@@ -1,0 +1,43 @@
+"""Vector math over ``array<float|double>`` columns — pure Catalyst.
+
+The reference does all vector math in NumPy inside RDD closures (F11,
+e.g. RDD_logisticregression.py:103-109). For query-side vector ops
+(dot products, cosine similarity for the similarity-search operators)
+we stay JVM-side with higher-order functions: ``zip_with`` + ``aggregate``
+compile to codegen'd loops — no Python worker, no Arrow hop.
+
+Heavy batched math (gradient descent, NN training) still uses NumPy, but
+behind Arrow ``pandas_udf`` — see ml/gd.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two array columns (double result).
+
+    ``aggregate(zip_with(a, b, *), 0.0, +)`` — a sequential left fold,
+    deterministic summation order (matters for float reproducibility
+    against the DuckDB oracle).
+    """
+    prods = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column | str) -> Column:
+    c = _c(a)
+    return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; 0.0 for zero-norm inputs (guarded)."""
+    num = dot(a, b)
+    den = l2_norm(a) * l2_norm(b)
+    return F.when(den == 0.0, F.lit(0.0)).otherwise(num / den)

@@ -1,0 +1,49 @@
+"""Vocabulary build (R1) — the reference's ``get_dict``.
+
+Reference (RDD_logisticregression.py:59-66):
+    flatMap tokens → map (w,1) → reduceByKey(add) → top(10000, key=count)
+    → parallelize → zipWithIndex → (word, rank)
+
+Spark-first formulation: ``explode → groupBy.count`` compiles to a
+HashAggregate with map-side partial aggregation (the same optimization the
+reference hand-picked reduceByKey for — SURVEY §4.1), and
+``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject: each task
+keeps a k-item heap, the driver merges — no global sort, no full shuffle
+of the word counts. At 100 TB the only full-data shuffle is the word
+hash-partition for the count, which is irreducible.
+
+Tie-break is pinned to (count DESC, word ASC) — ``RDD.top`` on ties
+ordered by the full tuple; an unpinned ``orderBy(desc(count)).limit(k)``
+is nondeterministic and was flagged as the #1 cross-engine divergence
+source (SURVEY §2.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def word_counts(df: DataFrame, tokens_col: Column | str = "tokens") -> DataFrame:
+    """A1: corpus word counts. Returns (word, count)."""
+    tokens = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    return (
+        df.select(F.explode(tokens).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def top_k_vocabulary(df: DataFrame, k: int, tokens_col: Column | str = "tokens") -> DataFrame:
+    """R1: top-k words by corpus frequency → (word, count, idx).
+
+    idx = dense 0-based rank by (count DESC, word ASC), so idx 0 is the
+    most frequent word — matching the reference's dictionary orientation
+    (RDD_logisticregression.py:63-66) but with a deterministic tie-break.
+
+    The ``row_number`` window here runs over at most k rows (post-limit),
+    so the single-partition window is not a scale concern.
+    """
+    counts = word_counts(df, tokens_col).orderBy(F.desc("count"), F.asc("word")).limit(k)
+    w = Window.orderBy(F.desc("count"), F.asc("word"))
+    return counts.withColumn("idx", F.row_number().over(w) - F.lit(1))

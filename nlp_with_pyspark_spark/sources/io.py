@@ -1,0 +1,110 @@
+"""Readers and sinks.
+
+Replaces the reference's pandas-CSV detour (S1: ``pd.read_csv`` →
+``spark.createDataFrame``, LogisticRegression.py:50-57 and identically in
+all nine scripts) with native distributed readers. The pandas hop
+single-threads ingest on the driver and pickles every row to executors —
+a non-starter at scale; ``spark.read`` parallelizes the scan, pushes
+projections/filters into the format reader, and never materializes on the
+driver.
+
+Sink S4 (``rdd.coalesce(1).saveAsTextFile``, RDD_logisticregression.py:253)
+becomes ``write_single_file``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+#: Honest-typed schema for the reference's tweet CSV
+#: (nlp-getting-started/train.csv, header: id,keyword,location,text,target).
+#: The reference types the 0/1 target as *string* "class"
+#: (LogisticRegression.py:54-56); we keep integer and cast at the edge
+#: where reference-compat string semantics matter (SURVEY §1.2).
+TWEETS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), True),
+        T.StructField("keyword", T.StringType(), True),
+        T.StructField("location", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("target", T.IntegerType(), True),
+    ]
+)
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    multiline: bool = True,
+) -> DataFrame:
+    """Native CSV scan (S1/S2).
+
+    ``multiline=True`` + quote/escape handling covers the embedded
+    newlines/commas/quotes in tweet text that pushed the reference author
+    to pandas (comment in Part1.ipynb[22]).
+    """
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("multiLine", str(multiline).lower())
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan — columnar, predicate/projection pushdown for free."""
+    return spark.read.parquet(path)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One driver-testdata table (TESTDATA.md) by name."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def read_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All driver-testdata tables keyed by name."""
+    return {t: read_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def write_single_file(df: DataFrame, path: str, fmt: str = "csv", mode: str = "overwrite") -> None:
+    """Single-file sink (S4).
+
+    ``coalesce(1)`` collapses to one output task *without* a shuffle —
+    correct for small result sets (cost curves, reports). Never use for
+    large data; for big outputs call ``df.write`` directly and let each
+    task write its own file.
+    """
+    writer = df.coalesce(1).write.mode(mode)
+    if fmt == "csv":
+        writer.option("header", "true").csv(path)
+    elif fmt == "text":
+        writer.text(path)
+    elif fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "json":
+        writer.json(path)
+    else:
+        raise ValueError(f"unsupported format: {fmt}")
