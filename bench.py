@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark harness — driver contract (see repo instructions).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized via a count-style action
+(``df.toPandas`` would add transfer cost that isn't query time;
+``count()`` after a no-op cache-buster keeps it honest but cheap).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nlp_with_pyspark_spark.queries import QUERIES  # noqa: E402
+from nlp_with_pyspark_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "tfidf_long",
+    "vocab_top100",
+    "pricing_summary",
+    "top_parts_by_revenue",
+    "customer_nation_revenue",
+    "top_orders_per_customer",
+    "order_priority_counts",
+    "events_tumbling_5m",
+    "events_sliding_10m",
+    "events_session_stats",
+    "events_json_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    # warm the JVM/codegen path once with the cheapest query so the
+    # first measured query doesn't pay session startup costs
+    QUERIES["vocab_top100"](spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        df.count()  # full materialization of the query result
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline-suite wall-clock",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""Relational/analytic operators over the TPC-H-ish testdata tables.
+
+The reference's relational surface is thin (projection P1-P5, equality
+filters P6-P7, one equi-join J1, hash aggregations A1-A10, top-k T1-T4);
+this module expresses each category as idiomatic DataFrame ops over the
+driver tables, at the physical shapes we want at 100 TB:
+
+  * fact-side scans keep filters/projections native so Catalyst pushes
+    them into the parquet reader;
+  * dimension joins are broadcast (``F.broadcast``) — no fact shuffle;
+  * aggregations are plain ``groupBy.agg`` → HashAggregate with
+    map-side partial aggregation;
+  * per-group top-k via ranking windows (SURVEY §2.5 — absent in the
+    reference, required for dedup/top-k-per-key at scale);
+  * money sums go through ``decimal(18,2)`` so results are exact and
+    bit-stable against the DuckDB oracle (double summation order is
+    nondeterministic across engines/partitionings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def money_sum(col: Column | str, alias: str) -> Column:
+    """Exact decimal sum of a double money column, emitted as double.
+
+    decimal(18,2) per-row cast → exact decimal accumulation (order-
+    independent) → one final double conversion. This is also the right
+    call at scale: float sums over 1e9+ rows drift by partitioning, so
+    reruns/AQE re-plans would change results.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(18,2)")).cast("double").alias(alias)
+
+
+def pricing_summary(lineitem: DataFrame, ship_before: str = "2001-09-01") -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (A1/A4/A5 hash-agg family).
+
+    Filter is a native predicate ⇒ pushed to the parquet scan; the only
+    shuffle is the 6-group final aggregation after map-side partials.
+    """
+    li = lineitem.where(F.col("l_shipdate") < F.lit(ship_before))
+    disc_price = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    charge = disc_price * (F.lit(1).cast("decimal(18,2)") + F.col("l_tax").cast("decimal(18,2)"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum("l_quantity", "sum_qty"),
+            money_sum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def top_parts_by_revenue(lineitem: DataFrame, part: DataFrame, k: int = 20) -> DataFrame:
+    """J1+T1: broadcast dim join + top-k by aggregated revenue.
+
+    Aggregates the fact table BEFORE the join (partial agg on l_partkey),
+    so the broadcast join sees one row per part, not one per lineitem —
+    the agg-pushdown shape that matters at 100 TB. Tie-break pinned on
+    p_partkey.
+    """
+    rev = lineitem.groupBy("l_partkey").agg(
+        money_sum("l_extendedprice", "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    joined = rev.join(F.broadcast(part), rev.l_partkey == part.p_partkey, "inner")
+    return (
+        joined.select("p_partkey", "p_name", "p_brand", "revenue", "n_items")
+        .orderBy(F.desc("revenue"), F.asc("p_partkey"))
+        .limit(k)
+    )
+
+
+def customer_nation_revenue(
+    customer: DataFrame, orders: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Multi-join rollup: orders ⋈ customer ⋈ nation ⋈ region → per-nation
+    revenue. Fact (orders) aggregated per custkey first; all dims broadcast."""
+    per_cust = orders.groupBy("o_custkey").agg(money_sum("o_totalprice", "cust_revenue"))
+    cust = customer.select("c_custkey", "c_nationkey")
+    nat = nation.select("n_nationkey", "n_name", "n_regionkey")
+    reg = region.select("r_regionkey", "r_name")
+    return (
+        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum("cust_revenue").cast("decimal(18,2)").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Per-group top-k via ranking window (SURVEY §2.5).
+
+    ``row_number`` over (o_custkey / o_totalprice DESC) — one shuffle on
+    the partition key; with many keys the window parallelizes cleanly.
+    Tie-break pinned on o_orderkey.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Existence semi-join (absent-in-reference join type, SURVEY §2.3):
+    orders having ≥1 lineitem shipped after order date → priority counts.
+    ``left_semi`` never widens rows and needs only the join key from the
+    fact side."""
+    shipped = lineitem.select("l_orderkey").distinct()
+    return (
+        orders.join(shipped, orders.o_orderkey == shipped.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )

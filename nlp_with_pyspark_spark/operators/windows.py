@@ -1,0 +1,127 @@
+"""Event-time windowing over the ``events`` table — batch formulations.
+
+The reference has no temporal operators at all (SURVEY §2.12); these are
+the batch-first versions of the Structured Streaming windows in
+``streaming/`` (same semantics, oracle-checkable). Buckets are epoch-
+second floors so the DuckDB oracle agrees bit-for-bit.
+
+Precision note: events.ts is nanosecond-resolution, and nanos-since-epoch
+(~1.7e18) exceed double's 53-bit mantissa — so every second/bucket
+derivation uses *integer* arithmetic on the exact ``ts_ns`` long
+(``div``), never float division. The oracle mirrors with DuckDB's
+``epoch_ns(ts) // 1000000000``.
+
+Scale notes: tumbling/sliding aggs shuffle once on (bucket, key) with
+map-side partials. Sessionization is the classic gaps-and-islands — one
+shuffle on user_id for the lag/cumsum window, then a hash agg; this is
+how Spark's own ``session_window`` executes, but spelled out so the
+oracle can check it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .relational import money_sum
+
+def _epoch_sec() -> Column:
+    """Exact epoch seconds from the long-nanos column (floor; ts ≥ 0)."""
+    return F.expr("ts_ns div 1000000000")
+
+
+def _bucket(sec: Column, width_sec: int) -> Column:
+    # integer floor-div then re-scale: bucket start in epoch seconds
+    return (sec - (sec % width_sec)).cast("long")
+
+
+def tumbling_counts(events: DataFrame, width_sec: int = 300) -> DataFrame:
+    """Tumbling window: per (bucket, event_type) count + value sum."""
+    return (
+        events.groupBy(
+            _bucket(_epoch_sec(), width_sec).alias("bucket_start_epoch"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value", "sum_value"),
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, width_sec: int = 600, slide_sec: int = 300) -> DataFrame:
+    """Sliding window via explode of the covering bucket sequence.
+
+    An event at t belongs to every aligned window start in (t-width, t]
+    (strict lower bound: start + width > t), emitted with ``sequence`` +
+    ``explode`` (F12) — the native shape that avoids re-scanning the
+    input once per window offset.
+    """
+    assert width_sec % slide_sec == 0, "width must be a multiple of slide"
+    sec = _epoch_sec()
+    low = sec - width_sec  # exclusive
+    first_aligned = ((low - (low % slide_sec)) + slide_sec).cast("long")
+    last_aligned = (sec - (sec % slide_sec)).cast("long")
+    starts = F.sequence(first_aligned, last_aligned, F.lit(slide_sec).cast("long"))
+    return (
+        events.select(
+            F.col("event_type"), F.col("value"), F.explode(starts).alias("window_start_epoch")
+        )
+        .groupBy("window_start_epoch", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), money_sum("value", "sum_value"))
+    )
+
+
+def sessionize(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """Session windows per user (gap-based): one row per session.
+
+    gaps-and-islands: lag(sec) over (user, ts_ns-order) → new-session
+    flag → running sum = session id → agg. Ordering on the exact ns
+    value (+ event_id tie-break) keeps session assignment deterministic
+    and engine-independent.
+    """
+    order = [F.col("ts_ns").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    sec = _epoch_sec()
+    prev = F.lag(sec).over(w)
+    new_sess = F.when(prev.isNull() | ((sec - prev) > gap_sec), 1).otherwise(0)
+    sess_id = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        events.withColumn("_sec", sec)
+        .withColumn("session_id", sess_id)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("_sec").alias("session_start_epoch"),
+            F.max("_sec").alias("session_end_epoch"),
+        )
+    )
+
+
+def session_stats(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """Per-user session summary — oracle-friendly rollup of sessionize."""
+    s = sessionize(events, gap_sec)
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max(F.col("session_end_epoch") - F.col("session_start_epoch")).alias(
+            "longest_session_sec"
+        ),
+    )
+
+
+def json_props_stats(events: DataFrame) -> DataFrame:
+    """``get_json_object`` on events.props (the driver's JSON column) →
+    per-event-type stats of the extracted field (SURVEY §2.8 'absent:
+    JSON functions' gap)."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

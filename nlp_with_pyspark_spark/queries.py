@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.text import DEFAULT_STOPWORDS, tokens_pipeline
+from .operators import relational, windows
 from .operators.features import tf_idf
 from .operators.vocab import top_k_vocabulary
 from .sources.io import read_table
@@ -148,4 +149,271 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.size(tokens_pipeline(F.col("text"))).cast("double")), 4).alias(
             "avg_tokens"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational: scans, filters, joins, hash aggs, top-k (S*, P*, J*, A*, T*)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                    * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+               AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped agg (A1/A4/A5): pushdown filter + hash agg."""
+    return relational.pricing_summary(read_table(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "top_parts_by_revenue",
+    """
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_partkey, p_name, p_brand, revenue, n_items
+    FROM rev JOIN part ON l_partkey = p_partkey
+    ORDER BY revenue DESC, p_partkey ASC
+    LIMIT 20
+    """,
+)
+def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+T1: agg-before-join, broadcast dim, pinned top-k."""
+    return relational.top_parts_by_revenue(
+        read_table(spark, sf_dir, "lineitem"), read_table(spark, sf_dir, "part")
+    )
+
+
+@query(
+    "customer_nation_revenue",
+    """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS cust_revenue
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT r_name, n_name,
+           CAST(sum(CAST(cust_revenue AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_customers
+    FROM per_cust
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def customer_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-broadcast-join rollup (star-schema shape)."""
+    return relational.customer_nation_revenue(
+        read_table(spark, sf_dir, "customer"),
+        read_table(spark, sf_dir, "orders"),
+        read_table(spark, sf_dir, "nation"),
+        read_table(spark, sf_dir, "region"),
+    )
+
+
+@query(
+    "top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+        FROM orders
+    )
+    WHERE rank <= 3
+    """,
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window (SURVEY §2.5 — per-group top-k)."""
+    return relational.top_orders_per_customer(read_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "order_priority_counts",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi existence join (absent-in-reference join type)."""
+    return relational.order_priority_counts(
+        read_table(spark, sf_dir, "orders"), read_table(spark, sf_dir, "lineitem")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows + JSON (batch formulations of streaming/, SURVEY §2.12)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_tumbling_5m",
+    """
+    WITH e AS (SELECT *, epoch_ns(ts) // 1000000000 AS sec FROM events)
+    SELECT sec - (sec % 300) AS bucket_start_epoch,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM e
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window, batch form."""
+    return windows.tumbling_counts(read_table(spark, sf_dir, "events"), 300)
+
+
+@query(
+    "events_sliding_10m",
+    """
+    WITH e AS (SELECT event_type, value, epoch_ns(ts) // 1000000000 AS sec FROM events)
+    SELECT window_start_epoch, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM (
+        SELECT event_type, value,
+               unnest(generate_series(((sec - 600) - ((sec - 600) % 300)) + 300,
+                                      sec - (sec % 300),
+                                      300)) AS window_start_epoch
+        FROM e
+    )
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (width 600s, slide 300s) via covering-bucket explode."""
+    return windows.sliding_counts(read_table(spark, sf_dir, "events"), 600, 300)
+
+
+@query(
+    "events_session_stats",
+    """
+    WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, epoch_ns(ts) // 1000000000 AS sec FROM events),
+    lagged AS (
+        SELECT *, lag(sec) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS prev FROM e
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END AS new_sess
+        FROM lagged
+    ),
+    sess AS (
+        SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    per AS (
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(sec) AS s, max(sec) AS e2
+        FROM sess GROUP BY 1, 2
+    )
+    SELECT user_id, count(*) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(max(e2 - s) AS BIGINT) AS longest_session_sec
+    FROM per GROUP BY user_id
+    """,
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (gaps-and-islands), per-user rollup."""
+    return windows.session_stats(read_table(spark, sf_dir, "events"), 1800)
+
+
+@query(
+    "events_json_stats",
+    """
+    WITH e AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               FROM events)
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           round(avg(k), 6) AS avg_k,
+           min(k) AS min_k, max(k) AS max_k
+    FROM e GROUP BY event_type
+    """,
+)
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction on events.props (get_json_object) + stats."""
+    return windows.json_props_stats(read_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# EDA / metrics (A8/R11 confusion aggs, E2 histogram)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "confusion_metrics",
+    """
+    WITH p AS (
+        SELECT CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END AS pred,
+               CASE WHEN label = 1 THEN 1 ELSE 0 END AS y
+        FROM embeddings
+    )
+    SELECT CAST(sum(CASE WHEN pred=1 AND y=1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN pred=0 AND y=0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           CAST(sum(CASE WHEN pred=1 AND y=0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN pred=0 AND y=1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           round(CAST(sum(CASE WHEN pred=y THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS accuracy,
+           round(CAST(sum(CASE WHEN pred=1 AND y=1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / (sum(CASE WHEN pred=1 AND y=1 THEN 1 ELSE 0 END)
+                    + 0.5 * (sum(CASE WHEN pred=1 AND y=0 THEN 1 ELSE 0 END)
+                             + sum(CASE WHEN pred=0 AND y=1 THEN 1 ELSE 0 END))), 6) AS f1
+    FROM p
+    """,
+)
+def confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/R11: one-pass confusion matrix + accuracy/F1 as conditional
+    aggregates (replaces the reference's tuple-reduce,
+    RDD_logisticregression.py:183-189,229-242). Prediction rule here is a
+    deterministic stand-in (embedding[0] > 0) so the oracle can check the
+    aggregation shape."""
+    from .operators.metrics import confusion_from_predictions
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    preds = emb.select(
+        F.when(F.element_at("embedding", 1) > 0, 1).otherwise(0).alias("pred"),
+        F.when(F.col("label") == 1, 1).otherwise(0).alias("y"),
+    )
+    return confusion_from_predictions(preds)
+
+
+@query(
+    "doc_length_histogram",
+    """
+    SELECT CAST(floor(n_chars / 100) AS BIGINT) * 100 AS bucket,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: histogram via floor-bucket groupBy."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy((F.floor(F.col("n_chars") / 100) * 100).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )

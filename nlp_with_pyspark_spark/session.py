@@ -51,6 +51,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read as long nanos (exact) and convert in
+        # sources.io — see read_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # 128 MiB input splits: good balance of parallelism vs task overhead
         # for parquet scans; at 100 TB this yields ~800k tasks, fine for a
         # 1000-executor cluster with AQE coalescing downstream.

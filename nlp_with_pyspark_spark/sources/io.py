@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 #: Honest-typed schema for the reference's tweet CSV
@@ -80,8 +81,21 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """One driver-testdata table (TESTDATA.md) by name."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """One driver-testdata table (TESTDATA.md) by name.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark reads only as
+    long nanos (``spark.sql.legacy.parquet.nanosAsLong``, set in
+    session.py). We surface BOTH: ``ts_ns`` (exact long — nanos don't fit
+    a double, so all ordering/bucketing math uses integer arithmetic on
+    this) and ``ts`` (micro-truncated proper timestamp for humans and
+    streaming APIs).
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df
 
 
 def read_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
