@@ -1,0 +1,383 @@
+"""Deduplication operators — the LLM-training-pipeline surface.
+
+Absent from the reference (its only dedup-ish op is the presence-TF
+``distinct``, RDD_logisticregression.py:84); these are the operators a
+100 TB text corpus actually needs, built Spark-first:
+
+  * ``exact``      — content-hash groupBy (sha256), keep-first.
+  * ``minhash LSH``— shingle → k minhashes → banded buckets → candidate
+                     pairs → exact-Jaccard verify. Subquadratic: only
+                     docs sharing a band bucket are compared.
+  * ``ngram jaccard`` — exact all-pairs via inverted shingle index
+                     (pairs sharing ≥1 shingle only — the exact-but-
+                     indexed baseline LSH is checked against).
+  * ``simhash``    — 64-bit bit-majority fingerprint; near-dups =
+                     small Hamming distance.
+  * ``embedding cosine`` — near-dup pairs above a cosine threshold.
+
+Engine-independence note (this is what makes every step DuckDB-oracle-
+able): all hashing is ``md5``/``sha2`` over explicit strings, and
+minhash uses the *lexicographic minimum of md5 hex digests* under k
+salted copies — a perfectly valid permutation family that both engines
+compute bit-identically, with no hex→int conversion (which the two
+engines expose differently).
+
+Scale notes: every operator is shuffle-bounded by its key —
+content-hash, (band_id, band_hash), shingle, or embedding bucket —
+never an unkeyed cross join. Skewed buckets (stop-shingles) are the
+known hazard: ``ngram_jaccard_pairs`` takes a ``max_docs_per_shingle``
+frequency cut, the standard guard in published dedup pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicate_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group by sha256(text): (content_hash, keep_id, n_docs).
+
+    keep_id = min id — the deterministic keep-first rule. Hashing before
+    the shuffle means 32-byte keys move, not document bodies.
+    """
+    h = F.sha2(F.col(text_col), 256).alias("content_hash")
+    return (
+        docs.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Surviving rows after exact dedup (keep lowest id per content hash)."""
+    keep = exact_duplicate_groups(docs, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return docs.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingling + minhash
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(tokens: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams as space-joined strings.
+
+    transform(sequence(0, size-n)) — pure Catalyst, no explode needed at
+    this stage; arrays stay row-local until the LSH bucketing explodes
+    bands (k·bands rows/doc, not |shingles| rows/doc).
+    """
+    t = F.col(tokens) if isinstance(tokens, str) else tokens
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - n),
+        lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+    )
+    # guard: docs shorter than n tokens have no shingles (empty array)
+    return F.array_distinct(F.when(F.size(t) >= n, grams).otherwise(F.array()))
+
+
+def minhash_signature(shingles: Column | str, k: int = 12) -> Column:
+    """k-minhash signature: sig[i] = min over shingles of md5(i ~ shingle).
+
+    Lexicographic min over salted md5 hex digests ≡ minhash under k
+    pseudo-random permutations. All string ops ⇒ identical in DuckDB.
+    """
+    s = F.col(shingles) if isinstance(shingles, str) else shingles
+    return F.array(
+        *[
+            F.array_min(F.transform(s, lambda x: F.md5(F.concat(F.lit(f"{i}~"), x))))
+            for i in range(k)
+        ]
+    )
+
+
+def lsh_band_buckets(
+    docs: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """(doc_id, band_id, band_hash): one row per (doc, band).
+
+    band_hash = md5 of the band's r = k/bands signature slice. Docs with
+    no shingles emit nothing (null-signature guard).
+    """
+    assert k % bands == 0, "k must divide evenly into bands"
+    r = k // bands
+    sig = minhash_signature(word_shingles(F.col(tokens_col), n), k)
+    with_sig = docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig")).where(
+        ~F.array_contains(F.transform(F.col("sig"), lambda x: x.isNull()), F.lit(True))
+    )
+    band_rows = []
+    for b in range(bands):
+        band_rows.append(
+            with_sig.select(
+                "doc_id",
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", F.slice("sig", b * r + 1, r))).alias("band_hash"),
+            )
+        )
+    out = band_rows[0]
+    for more in band_rows[1:]:
+        out = out.unionAll(more)
+    return out
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Distinct candidate (doc_a < doc_b) pairs sharing ≥1 band bucket.
+
+    The bucket self-join is keyed on (band_id, band_hash) — the shuffle
+    moves (doc_id, 32-char hash) rows only. Bucket sizes are ~Poisson
+    under random hashing; a pathological bucket means genuinely
+    near-identical docs, which is the signal, not skew.
+    """
+    b = lsh_band_buckets(docs, tokens_col, id_col, n, k, bands)
+    left = b.alias("l")
+    right = b.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard ≥ threshold.
+
+    Returns (doc_a, doc_b, jaccard). The verify joins each side's
+    distinct-shingle array back in; candidate cardinality (not corpus
+    size) bounds the cost.
+    """
+    shingle_sets = docs.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(tokens_col), n).alias("shingles"),
+    )
+    cands = minhash_candidate_pairs(docs, tokens_col, id_col, n, k, bands)
+    a = shingle_sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    b = shingle_sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    joined = cands.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        joined.select("doc_a", "doc_b", F.round(jac, 8).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram jaccard (inverted index)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_docs_per_shingle: int = 1000,
+) -> DataFrame:
+    """Exact Jaccard ≥ threshold over word n-grams, via inverted index.
+
+    explode shingles → (optionally drop stop-shingles appearing in more
+    than ``max_docs_per_shingle`` docs — the skew guard) → self-join on
+    shingle → count common shingles per pair → Jaccard. Only pairs
+    sharing ≥1 (kept) shingle are ever materialized.
+    """
+    sets = docs.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(tokens_col), n).alias("shingles"),
+    ).where(F.size("shingles") > 0)
+    sizes = sets.select("doc_id", F.size("shingles").alias("n_sh"))
+    inv = sets.select("doc_id", F.explode("shingles").alias("shingle"))
+    freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    inv = inv.join(
+        F.broadcast(freq.where(F.col("df") <= max_docs_per_shingle).select("shingle")),
+        "shingle",
+        "inner",
+    )
+    l = inv.select(F.col("doc_id").alias("doc_a"), "shingle")
+    r = inv.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        l.join(r, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                8,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(tokens: Column | str) -> Column:
+    """64-bit SimHash as a 64-char '0'/'1' string (bit 0 first).
+
+    Per token, bit j of md5(token) is extracted from hex nibble j//4 via
+    ``instr`` on a hex alphabet (identical expression exists in DuckDB —
+    no integer hex parsing). Fingerprint bit = majority vote over
+    tokens, ties → 0. Pure higher-order functions; at scale this is one
+    codegen'd projection, no shuffle at all.
+    """
+    t = F.col(tokens) if isinstance(tokens, str) else tokens
+    uniq = F.array_distinct(t)
+    hashes = F.transform(uniq, lambda x: F.md5(x))
+
+    def bit_sum(j: int) -> Column:
+        nibble_idx = j // 4 + 1  # 1-based substring position
+        shift = 3 - (j % 4)
+        mask = 1 << shift
+
+        def contrib(h: Column) -> Column:
+            nib = F.instr(F.lit("0123456789abcdef"), F.substring(h, nibble_idx, 1)) - 1
+            bit = F.floor(nib / mask) % 2
+            return F.when(bit == 1, 1).otherwise(-1)
+
+        return F.aggregate(hashes, F.lit(0), lambda acc, h: acc + contrib(h))
+
+    bits = [F.when(bit_sum(j) > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(64)]
+    return F.concat(*bits)
+
+
+def simhash_fingerprints(
+    docs: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, simhash) for every doc with ≥1 token."""
+    return docs.where(F.size(F.col(tokens_col)) > 0).select(
+        F.col(id_col).alias("doc_id"), simhash64(F.col(tokens_col)).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Banded blocking (split the 64 bits into ``bands`` segments; any pair
+    within distance d < bands must agree exactly on ≥1 segment) keeps
+    this subquadratic, then the exact Hamming check filters. Same
+    band-join shape as minhash LSH.
+    """
+    fp = simhash_fingerprints(docs, tokens_col, id_col)
+    seg = 64 // bands
+    parts = []
+    for b in range(bands):
+        parts.append(
+            fp.select(
+                "doc_id",
+                "simhash",
+                F.lit(b).alias("band_id"),
+                F.substring("simhash", b * seg + 1, seg).alias("band_bits"),
+            )
+        )
+    banded = parts[0]
+    for more in parts[1:]:
+        banded = banded.unionAll(more)
+    l = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"), "band_id", "band_bits"
+    )
+    r = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"), "band_id", "band_bits"
+    )
+    cands = (
+        l.join(r, ["band_id", "band_bits"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    # hamming distance between two '0'/'1' strings: count differing positions
+    ham = F.size(
+        F.filter(
+            F.zip_with(F.split("fp_a", ""), F.split("fp_b", ""), lambda x, y: x != y),
+            lambda d: d,
+        )
+    )
+    return cands.select("doc_a", "doc_b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dups
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold (exact, all-pairs).
+
+    Exact baseline: O(n²) — correct at test scale and as the verifier
+    for the LSH path (similarity.py provides the subquadratic variant).
+    Cosine computed in double via a sequential fold, rounded to 6dp
+    BEFORE thresholding so the oracle agrees at the boundary.
+    """
+    from ..functions.vector import cosine_similarity
+
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).where(
+        F.col("cosine") >= threshold
+    )

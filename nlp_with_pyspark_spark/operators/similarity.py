@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, per the standard ANN playbook:
+
+  * ``brute_force_topk`` — exact cosine top-k per query. The baseline
+    and the recall oracle. Broadcast the (small) query set against the
+    corpus: one pass, no corpus shuffle, per-partition heap via the
+    ranking window.
+  * ``lsh_topk`` — random-hyperplane LSH: bucket by sign-bit signature,
+    search only the query's bucket (multi-probe = also adjacent buckets
+    differing in 1 bit). Subquadratic; recall < 1 by design — verified
+    against the brute-force oracle in tests, not by the SQL oracle.
+
+Determinism: hyperplanes are derived from md5 digests (seeded), not an
+RNG, so results are reproducible across runs, engines, and cluster
+sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
+
+    Self-matches excluded. Cosine rounded to 6dp before ranking, with
+    neighbor_id as tie-break, so ordering is total and engine-stable.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int, seed: str = "ann-seed") -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from md5.
+
+    Component j ∈ [-7.5, +7.5]: hex nibble of md5(seed~plane~block) - 7.5.
+    Quality is adequate for sign-LSH (only the sign of the dot matters).
+    """
+    import hashlib
+
+    comps: list[float] = []
+    block = 0
+    while len(comps) < dim:
+        h = hashlib.md5(f"{seed}~{plane_idx}~{block}".encode()).hexdigest()
+        comps.extend(int(ch, 16) - 7.5 for ch in h)
+        block += 1
+    return comps[:dim]
+
+
+def signature_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature string, one char per hyperplane."""
+    bits = []
+    for p in planes:
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        d = F.aggregate(
+            F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    multi_probe: bool = True,
+) -> DataFrame:
+    """ANN top-k: bucket corpus by sign signature, score only the
+    query's bucket (+1-bit-flip probes). Same output schema as
+    brute_force_topk; recall measured in tests against it.
+
+    At 100 TB: the corpus is hash-partitioned once by signature (a
+    ~n_planes-bit key ⇒ 2^n_planes buckets); each query touches
+    1 + n_planes buckets instead of the full corpus.
+    """
+    planes = [_hyperplane(dim, i) for i in range(n_planes)]
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        signature_col(F.col(vec_col), planes).alias("sig"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        signature_col(F.col(vec_col), planes).alias("qsig"),
+    )
+    if multi_probe:
+        # probe signatures: exact + each 1-bit flip
+        def flip(sig: Column, i: int) -> Column:
+            flipped = F.when(F.substring(sig, i + 1, 1) == "1", F.lit("0")).otherwise(
+                F.lit("1")
+            )
+            return F.concat(F.substring(sig, 1, i), flipped, F.substring(sig, i + 2, n_planes - i - 1))
+
+        probes = F.array(F.col("qsig"), *[flip(F.col("qsig"), i) for i in range(n_planes)])
+        q = q.select("query_id", "qv", F.explode(probes).alias("sig"))
+    else:
+        q = q.select("query_id", "qv", F.col("qsig").alias("sig"))
+    scored = (
+        c.join(F.broadcast(q), "sig")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+        .distinct()  # multi-probe can hit the same candidate twice
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

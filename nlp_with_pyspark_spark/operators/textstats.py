@@ -1,0 +1,133 @@
+"""Text analysis operators: language ID, quality scoring, token
+counting, document fingerprinting — the per-document scoring pass of a
+training-data pipeline.
+
+All pure Catalyst expressions (one codegen'd projection, zero shuffles,
+zero Python) — by construction these run at scan speed on 100 TB and
+are DuckDB-oracle-able.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import DEFAULT_STOPWORDS, tokenize
+
+#: tiny pinned English function-word list for the n-gram/stopword
+#: language heuristic (deliberately NOT nltk's — no external dep, same
+#: list inlined in the oracle SQL)
+EN_MARKERS = DEFAULT_STOPWORDS + ("this", "that", "with", "for", "was", "are")
+
+#: BPE-ish token pattern: word pieces OR single non-space punctuation.
+#: Mirrors the common pre-tokenizer split (letters | digits | other).
+BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def en_marker_ratio(text: Column | str) -> Column:
+    """Fraction of whitespace tokens that are English function words."""
+    t = tokenize(F.lower(F.col(text) if isinstance(text, str) else text))
+    markers = F.array(*[F.lit(w) for w in EN_MARKERS])
+    hits = F.size(F.filter(t, lambda x: F.array_contains(markers, x)))
+    return F.when(F.size(t) > 0, hits.cast("double") / F.size(t).cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def predict_language(text: Column | str, threshold: float = 0.05) -> Column:
+    """n-gram-heuristic language ID.
+
+    ASCII-ratio gate first (non-Latin scripts → 'other'), then English
+    function-word density. A real pipeline plugs a trained n-gram model
+    in here; the operator shape (pure projection) is identical.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    ascii_ratio = (
+        F.length(F.regexp_replace(c, r"[^\x00-\x7F]", "")).cast("double")
+        / F.greatest(F.length(c), F.lit(1)).cast("double")
+    )
+    return (
+        F.when(ascii_ratio < 0.8, F.lit("other"))
+        .when(en_marker_ratio(c) >= threshold, F.lit("en"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality signals: lengths, ratios, a composite score.
+
+    The standard cheap filters (Gopher/C4-style): length bounds, symbol
+    ratio, stopword density, mean word length.
+    """
+    c = F.col(text_col)
+    toks = tokenize(c)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    alpha_chars = F.length(F.regexp_replace(c, r"[^a-zA-Z]", ""))
+    punct_chars = F.length(F.regexp_replace(c, r"[a-zA-Z0-9\s]", ""))
+    mean_word_len = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+        / n_tokens.cast("double"),
+    ).otherwise(F.lit(0.0))
+    sw_ratio = en_marker_ratio(c)
+    alpha_ratio = F.when(n_chars > 0, alpha_chars.cast("double") / n_chars.cast("double")).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct_chars.cast("double") / n_chars.cast("double")).otherwise(F.lit(0.0))
+    # composite ∈ [0,1]: alpha-heavy, some stopwords, sane word lengths
+    score = (
+        F.least(alpha_ratio / 0.7, F.lit(1.0)) * 0.4
+        + F.least(sw_ratio / 0.3, F.lit(1.0)) * 0.3
+        + F.when((mean_word_len >= 3) & (mean_word_len <= 10), F.lit(1.0)).otherwise(F.lit(0.0)) * 0.2
+        + F.when((n_tokens >= 10) & (n_tokens <= 100000), F.lit(1.0)).otherwise(F.lit(0.0)) * 0.1
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace + BPE-ish token counts per doc (budgeting pass)."""
+    c = F.col(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokenize(c)).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0)).cast("long").alias("bpe_tokens"),
+    )
+
+
+def fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_chars: int = 16,
+    stride: int = 8,
+) -> DataFrame:
+    """Document fingerprints: full-content md5 + min/max of strided
+    character-shingle hashes (a winnowing-style robust fingerprint —
+    agrees for docs differing only at one edit site with high
+    probability).
+
+    Shingles: substrings of length ``shingle_chars`` at positions
+    1, 1+stride, … — via sequence+transform, pure Catalyst.
+    """
+    c = F.col(text_col)
+    n = F.length(c)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(n - shingle_chars + 1, F.lit(1)),
+        F.lit(stride),
+    )
+    sh_hashes = F.transform(starts, lambda i: F.md5(c.substr(i, F.lit(shingle_chars))))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(c).alias("content_md5"),
+        F.array_min(sh_hashes).alias("min_shingle_hash"),
+        F.array_max(sh_hashes).alias("max_shingle_hash"),
+    )

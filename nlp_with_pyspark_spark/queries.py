@@ -417,3 +417,340 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.groupBy((F.floor(F.col("n_chars") / 100) * 100).alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (LLM-pipeline operators: exact, MinHash-LSH, n-gram
+# Jaccard, SimHash, embedding cosine)
+# ---------------------------------------------------------------------------
+
+#: DuckDB CTE fragment: tokenized docs → distinct 3-gram shingles
+_SHINGLES_SQL = f"""
+    toks AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(tokens) >= 3
+                        THEN list_transform(range(1, len(tokens) - 1),
+                                            i -> array_to_string(tokens[i:i+2], ' '))
+                        ELSE [] END) AS shingles
+        FROM toks
+    )
+"""
+
+
+@query(
+    "dedup_exact_groups",
+    """
+    SELECT sha256(text) AS content_hash,
+           min(doc_id) AS keep_id,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groups with deterministic keep-first."""
+    from .operators.dedup import exact_duplicate_groups
+
+    return exact_duplicate_groups(read_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_minhash_pairs",
+    f"""
+    WITH {_SHINGLES_SQL},
+    sig AS (
+        SELECT doc_id, shingles,
+               [{", ".join(f"list_aggregate(list_transform(shingles, s -> md5('{i}~' || s)), 'min')" for i in range(12))}] AS sig
+        FROM sh WHERE len(shingles) > 0
+    ),
+    bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_id, md5(array_to_string(sig[{b * 3 + 1}:{b * 3 + 3}], '|')) AS band_hash FROM sig" for b in range(4))}
+    ),
+    cands AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM bands l JOIN bands r
+          ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+         AND l.doc_id < r.doc_id
+    ),
+    verified AS (
+        SELECT doc_a, doc_b,
+               round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                     / (len(a.shingles) + len(b.shingles)
+                        - len(list_intersect(a.shingles, b.shingles))), 8) AS jaccard
+        FROM cands
+        JOIN sig a ON doc_a = a.doc_id
+        JOIN sig b ON doc_b = b.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.2
+    """,
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (k=12, 4 bands), exact-Jaccard-verified.
+
+    Fully oracle-checkable because the minhash family is lexicographic
+    min over salted md5 digests — identical in both engines (see
+    operators/dedup.py).
+    """
+    from .operators.dedup import minhash_dedup_pairs
+
+    docs = _tokenized_documents(spark, sf_dir)
+    return minhash_dedup_pairs(docs, n=3, k=12, bands=4, threshold=0.2)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLES_SQL},
+    sets AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh WHERE len(shingles) > 0),
+    inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sets),
+    freq AS (SELECT shingle, count(*) AS df FROM inv0 GROUP BY shingle),
+    inv AS (SELECT doc_id, i.shingle FROM inv0 i JOIN freq USING (shingle) WHERE df <= 1000),
+    common AS (
+        SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_common
+        FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 8) AS jaccard
+    FROM common
+    JOIN sets sa ON doc_a = sa.doc_id
+    JOIN sets sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs via inverted shingle index (the
+    exact baseline the LSH path approximates)."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    docs = _tokenized_documents(spark, sf_dir)
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+
+
+def _simhash_sql() -> str:
+    bit_exprs = []
+    for j in range(64):
+        nib = j // 4 + 1
+        mask = 1 << (3 - (j % 4))
+        bit_exprs.append(
+            "CASE WHEN list_sum(list_transform(hashes, h -> "
+            f"CASE WHEN (CAST(floor((strpos('0123456789abcdef', substr(h, {nib}, 1)) - 1) / {mask}) AS BIGINT) % 2) = 1 "
+            "THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END"
+        )
+    concat = " || ".join(bit_exprs)
+    return f"""
+    WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents),
+    h AS (
+        SELECT doc_id, list_transform(list_distinct(tokens), t -> md5(t)) AS hashes
+        FROM toks WHERE len(tokens) > 0
+    )
+    SELECT doc_id, {concat} AS simhash FROM h
+    """
+
+
+@query("simhash_fingerprints", _simhash_sql())
+def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (bit-majority over token md5 bits)."""
+    from .operators.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(_tokenized_documents(spark, sf_dir))
+
+
+@query(
+    "embedding_near_dups",
+    """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+           6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+           6) >= 0.3
+    """,
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.3 — the synthetic
+    vectors are near-orthogonal, so the canonical 0.95 would be vacuous;
+    the operator default remains 0.95)."""
+    from .operators.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        read_table(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (ANN)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_brute_force_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(
+                 list_sum(list_transform(list_zip(qv, cv),
+                                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+               6) AS cosine
+        FROM c CROSS JOIN q
+        WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    WHERE rank <= 10
+    """,
+)
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for the first 5 vectors as queries."""
+    from .operators.similarity import brute_force_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return brute_force_topk(emb, queries_df, k=10)
+
+
+@query("ann_lsh_topk")  # rows-only: probabilistic recall, no SQL oracle
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-10 (recall vs brute force asserted in tests)."""
+    from .operators.similarity import lsh_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return lsh_topk(emb, queries_df, k=10, n_planes=8, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (language ID, quality, token budget, fingerprints)
+# ---------------------------------------------------------------------------
+
+_EN_MARKERS_SQL = ", ".join(
+    f"'{w}'"
+    for w in DEFAULT_STOPWORDS + ("this", "that", "with", "for", "was", "are")
+)
+
+#: whitespace tokens of lower(text), empties dropped (mirror of
+#: functions.text.tokenize ∘ lower)
+_WS_TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+_EN_RATIO_SQL = f"""
+    CASE WHEN len({_WS_TOKS_SQL}) > 0
+         THEN CAST(len(list_filter({_WS_TOKS_SQL}, t -> t IN ({_EN_MARKERS_SQL}))) AS DOUBLE)
+              / len({_WS_TOKS_SQL})
+         ELSE 0.0 END
+"""
+
+
+@query(
+    "lang_id_counts",
+    f"""
+    WITH scored AS (
+        SELECT lang,
+               CASE WHEN CAST(length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) AS DOUBLE)
+                         / greatest(length(text), 1) < 0.8 THEN 'other'
+                    WHEN {_EN_RATIO_SQL} >= 0.05 THEN 'en'
+                    ELSE 'unknown' END AS pred_lang
+        FROM documents
+    )
+    SELECT lang, pred_lang, count(*) AS n_docs
+    FROM scored GROUP BY lang, pred_lang
+    """,
+)
+def lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic vs the labeled lang column (confusion counts)."""
+    from .operators.textstats import predict_language
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", predict_language(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "quality_scores",
+    f"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len({_WS_TOKS_SQL}) AS BIGINT) AS n_tokens,
+               CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+               CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS punct,
+               CASE WHEN len({_WS_TOKS_SQL}) > 0
+                    THEN CAST(list_sum(list_transform({_WS_TOKS_SQL}, t -> length(t))) AS DOUBLE)
+                         / len({_WS_TOKS_SQL})
+                    ELSE 0.0 END AS mwl,
+               {_EN_RATIO_SQL} AS swr
+        FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           round(CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END, 6) AS alpha_ratio,
+           round(CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+           round(swr, 6) AS stopword_ratio,
+           round(mwl, 6) AS mean_word_len,
+           round(least((CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END) / 0.7, 1.0) * 0.4
+                 + least(swr / 0.3, 1.0) * 0.3
+                 + (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.0 END) * 0.2
+                 + (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END) * 0.1,
+             6) AS quality_score
+    FROM base
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features (C4/Gopher-style cheap filters)."""
+    from .operators.textstats import quality_features
+
+    return quality_features(read_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "token_budget",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+)
+def token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts per document."""
+    from .operators.textstats import token_counts
+
+    return token_counts(read_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           md5(text) AS content_md5,
+           list_aggregate(list_transform(range(1, greatest(length(text) - 15, 1) + 1, 8),
+                                         i -> md5(substr(text, i, 16))), 'min') AS min_shingle_hash,
+           list_aggregate(list_transform(range(1, greatest(length(text) - 15, 1) + 1, 8),
+                                         i -> md5(substr(text, i, 16))), 'max') AS max_shingle_hash
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content md5 + winnowing-style min/max strided shingle hashes."""
+    from .operators.textstats import fingerprints
+
+    return fingerprints(read_table(spark, sf_dir, "documents"))

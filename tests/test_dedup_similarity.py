@@ -1,0 +1,84 @@
+"""Property tests for the non-oracle-able paths (SURVEY §5):
+LSH ANN recall vs the exact baseline; dedup invariants."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from nlp_with_pyspark_spark.functions.text import tokens_pipeline
+from nlp_with_pyspark_spark.operators.dedup import (
+    exact_dedup,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from nlp_with_pyspark_spark.operators.similarity import brute_force_topk, lsh_topk
+from nlp_with_pyspark_spark.sources.io import read_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return (
+        read_table(spark, sf_dir, "documents")
+        .withColumn("tokens", tokens_pipeline(F.col("text")))
+        .cache()
+    )
+
+
+def test_lsh_recall_vs_brute_force(emb):
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = brute_force_topk(emb, queries, k=10)
+    # 4 planes = 16 coarse buckets: on near-orthogonal synthetic vectors
+    # only coarse buckets retain signal (real embedding corpora cluster,
+    # so production defaults use more planes)
+    approx = lsh_topk(emb, queries, k=10, n_planes=4, dim=64)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # sign-LSH with 6 planes + multiprobe on near-orthogonal vectors is a
+    # weak filter, but must beat random chance by a wide margin:
+    # random 10-of-n recall ≈ 10/n ≈ 2%.
+    assert recall > 0.2, f"LSH recall {recall:.2%} barely above chance"
+
+
+def test_lsh_subset_of_scored_universe(emb):
+    queries = emb.where(F.col("vec_id") < 5)
+    approx = lsh_topk(emb, queries, k=10, n_planes=6, dim=64)
+    rows = approx.collect()
+    assert all(r.rank >= 1 and r.rank <= 10 for r in rows)
+    assert all(r.query_id != r.neighbor_id for r in rows)
+
+
+def test_exact_dedup_keeps_one_per_content(spark, docs):
+    deduped = exact_dedup(docs)
+    n_distinct_texts = docs.select("text").distinct().count()
+    assert deduped.count() == n_distinct_texts
+    # idempotent
+    assert exact_dedup(deduped).count() == n_distinct_texts
+
+
+def test_minhash_candidates_superset_of_high_jaccard(docs):
+    """Every pair with very high exact Jaccard should be an LSH candidate
+    (probabilistic, but ≥0.9 Jaccard with 4 bands of r=3 collides with
+    prob 1-(1-0.9^3)^4 ≈ 0.995 per pair)."""
+    exact_hi = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.9).collect()
+    }
+    if not exact_hi:
+        pytest.skip("no ≥0.9-Jaccard pairs at this sf")
+    cands = {
+        (r.doc_a, r.doc_b) for r in minhash_candidate_pairs(docs, k=12, bands=4).collect()
+    }
+    missed = exact_hi - cands
+    assert len(missed) <= max(1, len(exact_hi) // 10), f"LSH missed {missed}"
+
+
+def test_simhash_near_pairs_symmetric_bounded(docs):
+    pairs = simhash_near_pairs(docs, max_hamming=16, bands=4).collect()
+    assert all(r.doc_a < r.doc_b for r in pairs)
+    assert all(0 <= r.hamming <= 16 for r in pairs)
