@@ -1,0 +1,116 @@
+"""Structured Streaming operators over the events schema.
+
+The reference has no streaming at all (SURVEY §2.12); this module is
+the north-star extension: the same windowed aggregations as
+``operators/windows.py`` expressed as streaming plans, so a user can
+run the identical query over a live source. The batch versions are the
+oracle-checked semantics; tests assert stream-vs-batch agreement by
+replaying the static events table through a file stream.
+
+Watermarking: every stateful op bounds its state with
+``withWatermark('ts', ...)`` — at 100 TB/day of events, unbounded state
+is the first thing that kills a streaming job. Late rows beyond the
+watermark are dropped (documented, standard semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: schema of the events parquet as Spark reads it with nanosAsLong
+#: (sources/io.py): ts arrives as long nanos, converted here.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (legacy nanosAsLong read)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream_from_dir(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-based streaming source over an events parquet directory.
+
+    ``maxFilesPerTrigger`` simulates incremental arrival when replaying
+    static testdata; a production deployment swaps this one line for a
+    Kafka source — every downstream operator is source-agnostic.
+    """
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    return raw.withColumn("ts_ns", F.col("ts")).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def tumbling_stream(
+    events: DataFrame, width_sec: int = 300, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming tumbling window ≡ operators.windows.tumbling_counts.
+
+    Emits (bucket_start_epoch, event_type, n_events, sum_value) — the
+    same shape as the batch/oracle version, so results are directly
+    comparable.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{width_sec} seconds"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("bucket_start_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionized_stream(
+    events: DataFrame, gap_sec: int = 1800, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming session windows ≡ operators.windows.sessionize, via the
+    native ``session_window`` (state-store backed, watermark-bounded)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", f"{gap_sec} seconds"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.expr("ts_ns div 1000000000")).alias("session_start_epoch"),
+            F.max(F.expr("ts_ns div 1000000000")).alias("session_end_epoch"),
+        )
+        .select(
+            "user_id", "n_events", "session_start_epoch", "session_end_epoch"
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Exactly-once event stream by event_id within the watermark window
+    (the streaming counterpart of operators.dedup.exact_dedup)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drain a (bounded) stream into an in-memory table; returns the
+    query handle after all available data is processed. Test utility."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
