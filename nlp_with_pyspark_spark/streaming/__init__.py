@@ -1,3 +1,4 @@
+from .stateful import user_running_stats
 from .windows import (
     events_stream_from_dir,
     sessionized_stream,
@@ -10,4 +11,5 @@ __all__ = [
     "sessionized_stream",
     "streaming_dedup",
     "tumbling_stream",
+    "user_running_stats",
 ]
