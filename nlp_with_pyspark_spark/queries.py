@@ -754,3 +754,51 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textstats import fingerprints
 
     return fingerprints(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns (LLM-pipeline extension; operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_asset_stats",
+    """
+    WITH assets AS (
+        SELECT doc_id AS asset_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+               encode(text) AS content
+        FROM documents
+    )
+    SELECT modality,
+           count(*) AS n_assets,
+           CAST(sum(octet_length(content)) AS BIGINT) AS total_bytes,
+           CAST(max(octet_length(content)) AS BIGINT) AS max_bytes
+    FROM assets GROUP BY modality
+    """,
+)
+def multimodal_asset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality payload stats over the synthetic binary asset table.
+
+    Metadata-only: the plan must prune the payload for everything except
+    the length aggregate (operators/multimodal.py scale notes).
+    """
+    from .operators.multimodal import asset_stats, synthetic_assets
+
+    assets = synthetic_assets(read_table(spark, sf_dir, "documents"))
+    return asset_stats(assets).select(
+        "modality",
+        "n_assets",
+        F.col("total_bytes").cast("long").alias("total_bytes"),
+        F.col("max_bytes").cast("long").alias("max_bytes"),
+    )
+
+
+@query("multimodal_decode_features")  # rows-only: byte-level decode is not SQL-expressible
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake-codec decode + feature extraction (mean/std/byte-histogram)
+    over every asset — the mapInPandas plumbing a real codec would use."""
+    from .operators.multimodal import decode_features, synthetic_assets
+
+    assets = synthetic_assets(read_table(spark, sf_dir, "documents"))
+    return decode_features(assets)
