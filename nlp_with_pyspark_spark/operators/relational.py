@@ -119,6 +119,54 @@ def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def revenue_rollup(
+    customer: DataFrame, orders: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Hierarchical subtotals via ``rollup(region, nation)`` (SURVEY §2.4
+    'absent: grouping sets/rollup' gap): per-nation, per-region, and
+    grand-total revenue in ONE shuffle — Catalyst expands the grouping
+    sets map-side instead of running three scans."""
+    per_cust = orders.groupBy("o_custkey").agg(money_sum("o_totalprice", "cust_revenue"))
+    cust = customer.select("c_custkey", "c_nationkey")
+    nat = nation.select("n_nationkey", "n_name", "n_regionkey")
+    reg = region.select("r_regionkey", "r_name")
+    return (
+        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.sum("cust_revenue").cast("decimal(18,2)").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+def order_status_cube(orders: DataFrame) -> DataFrame:
+    """Full cross-tabulation via ``cube(status, priority)`` — all four
+    grouping sets in one pass (SURVEY §2.4 gap)."""
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum("o_totalprice", "revenue"),
+    )
+
+
+def customer_order_setops(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Set operations (SURVEY §2.7 — absent in reference): classify every
+    customer as with/without orders using EXCEPT + INTERSECT on key sets.
+
+    Both branches reuse one distinct build of the order-customer keys;
+    at scale these compile to hash joins (left-semi / left-anti), never
+    a sort."""
+    all_cust = customer.select(F.col("c_custkey").alias("custkey"))
+    with_orders = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    have = all_cust.intersect(with_orders).withColumn("segment", F.lit("with_orders"))
+    none = all_cust.exceptAll(with_orders).withColumn("segment", F.lit("no_orders"))
+    return have.unionByName(none).groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
 def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Existence semi-join (absent-in-reference join type, SURVEY §2.3):
     orders having ≥1 lineitem shipped after order date → priority counts.

@@ -802,3 +802,82 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assets = synthetic_assets(read_table(spark, sf_dir, "documents"))
     return decode_features(assets)
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets & set operations (SURVEY §2.4/§2.7 absent-in-reference gaps)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "revenue_rollup",
+    """
+    WITH per_cust AS (
+        SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS cust_revenue
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT r_name, n_name,
+           CAST(CAST(sum(cust_revenue) AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
+           count(*) AS n_customers
+    FROM per_cust
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def revenue_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rollup(region, nation) revenue subtotals + grand total."""
+    return relational.revenue_rollup(
+        read_table(spark, sf_dir, "customer"),
+        read_table(spark, sf_dir, "orders"),
+        read_table(spark, sf_dir, "nation"),
+        read_table(spark, sf_dir, "region"),
+    )
+
+
+@query(
+    "order_status_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def order_status_cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cube(status, priority): all four grouping sets in one pass."""
+    return relational.order_status_cube(read_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "customer_order_setops",
+    """
+    WITH all_cust AS (SELECT c_custkey AS custkey FROM customer),
+    with_orders AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+    seg AS (
+        SELECT custkey, 'with_orders' AS segment
+        FROM (SELECT custkey FROM all_cust INTERSECT SELECT custkey FROM with_orders)
+        UNION ALL
+        SELECT custkey, 'no_orders' AS segment
+        FROM (SELECT custkey FROM all_cust EXCEPT ALL SELECT custkey FROM with_orders)
+    )
+    SELECT segment, count(*) AS n_customers FROM seg GROUP BY segment
+    """,
+)
+def customer_order_setops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT ALL customer segmentation."""
+    return relational.customer_order_setops(
+        read_table(spark, sf_dir, "customer"), read_table(spark, sf_dir, "orders")
+    )
+
+
+@query("ann_ivf_topk")  # rows-only: k-means index, no SQL oracle
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means inverted-file) ANN top-10 — the bucketed-index scale
+    path; recall vs brute force asserted in tests."""
+    from .operators.similarity import ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries_df, k=10, n_lists=16, n_probe=4)

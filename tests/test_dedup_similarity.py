@@ -45,6 +45,29 @@ def test_lsh_recall_vs_brute_force(emb):
     assert recall > 0.2, f"LSH recall {recall:.2%} barely above chance"
 
 
+def test_ivf_recall_vs_brute_force(emb):
+    from nlp_with_pyspark_spark.operators.similarity import ivf_topk
+
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = brute_force_topk(emb, queries, k=10)
+    approx = ivf_topk(emb, queries, k=10, n_lists=8, n_probe=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # probing half the lists (4/8) must recover well over half the true
+    # neighbors; random 10-of-n recall is ~2%
+    assert recall > 0.4, f"IVF recall {recall:.2%}"
+
+
+def test_ivf_deterministic(emb):
+    from nlp_with_pyspark_spark.operators.similarity import ivf_topk
+
+    queries = emb.where(F.col("vec_id") < 5)
+    a = sorted(map(tuple, ivf_topk(emb, queries, k=10).collect()))
+    b = sorted(map(tuple, ivf_topk(emb, queries, k=10).collect()))
+    assert a == b
+
+
 def test_lsh_subset_of_scored_universe(emb):
     queries = emb.where(F.col("vec_id") < 5)
     approx = lsh_topk(emb, queries, k=10, n_planes=6, dim=64)
