@@ -31,10 +31,23 @@ HEADLINE = [
     "customer_nation_revenue",
     "top_orders_per_customer",
     "order_priority_counts",
+    "revenue_rollup",
+    "order_status_cube",
     "events_tumbling_5m",
     "events_sliding_10m",
     "events_session_stats",
     "events_json_stats",
+    "dedup_exact_groups",
+    "dedup_minhash_pairs",
+    "simhash_fingerprints",
+    "ann_brute_force_topk",
+    "ann_lsh_topk",
+    "lang_id_counts",
+    "quality_scores",
+    "token_budget",
+    "doc_fingerprints",
+    "multimodal_asset_stats",
+    "multimodal_decode_features",
 ]
 
 

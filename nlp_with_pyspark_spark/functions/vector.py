@@ -37,7 +37,29 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity; 0.0 for zero-norm inputs (guarded)."""
+    """Cosine similarity; 0.0 for zero-norm inputs (guarded).
+
+    Three folds per evaluation — for all-pairs workloads, pre-normalize
+    each side once with ``unit_normalize`` and take ``dot`` instead.
+    """
     num = dot(a, b)
     den = l2_norm(a) * l2_norm(b)
     return F.when(den == 0.0, F.lit(0.0)).otherwise(num / den)
+
+
+def unit_normalized(df, vec_col: str, out_col: str):
+    """DataFrame with ``out_col`` = vec/‖vec‖ (array<double>); zero
+    vectors pass through unchanged (their dot with anything is 0,
+    matching the cosine guard).
+
+    Two projections on purpose: the norm is materialized as its own
+    column first, so the per-element division references a computed
+    value — inlining ``l2_norm`` inside the ``transform`` lambda would
+    re-run the O(dim) fold once per element (O(dim²)/row).
+    """
+    with_norm = df.withColumn("__nrm", l2_norm(F.col(vec_col)))
+    nrm = F.col("__nrm")
+    scaled = F.when(
+        nrm == 0.0, F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    ).otherwise(F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm))
+    return with_norm.withColumn(out_col, scaled).drop("__nrm")

@@ -198,6 +198,34 @@ class GDTrainer:
         self.weights_ = w
         return self
 
+    def top_features(self, vocab: DataFrame, n: int = 5) -> DataFrame:
+        """R12 (RDD_logisticregression.py:168-173): the n words with the
+        largest coefficients, natively: posexplode weights → orderBy →
+        limit → broadcast-join vocab. Tie-break pinned on idx."""
+        assert self.weights_ is not None
+        spark = vocab.sparkSession
+        wdf = spark.createDataFrame(
+            [(int(i), float(v)) for i, v in enumerate(self.weights_)], "idx int, weight double"
+        )
+        return (
+            wdf.orderBy(F.desc("weight"), F.asc("idx"))
+            .limit(n)
+            .join(F.broadcast(vocab.select("idx", "word")), "idx")
+            .select("idx", "word", "weight")
+            .orderBy(F.desc("weight"), F.asc("idx"))
+        )
+
+    def save_cost_curve(self, spark, path: str) -> None:
+        """R13 (RDD_logisticregression.py:253-254): persist the
+        cost-per-iteration curve as ONE csv part file — the reference's
+        golden-output format (out/*/part-00000)."""
+        from ..sources.io import write_single_file
+
+        df = spark.createDataFrame(
+            list(enumerate(self.costs_)), "iteration int, cost double"
+        )
+        write_single_file(df, path, fmt="csv")
+
     def predict_long(self, tfidf_long: DataFrame) -> DataFrame:
         """R10 natively: score long-form features against the trained
         weights with a broadcast join + hash agg — one pass, fully JVM.

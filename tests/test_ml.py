@@ -151,6 +151,33 @@ def test_lr_separates_synthetic(spark):
     assert acc > 0.97, f"synthetic separable data learned poorly: {acc}"
 
 
+def test_top_features_and_cost_sink(spark, doc_features, sf_dir, tmp_path):
+    """R12 report surfaces 'spark' for the contains-spark label; R13 sink
+    writes exactly one part file."""
+    from nlp_with_pyspark_spark.operators.vocab import top_k_vocabulary
+    from nlp_with_pyspark_spark.sources.io import read_table
+
+    _, feats = doc_features
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "tokens", tokens_pipeline(F.col("text"))
+    )
+    vocab = top_k_vocabulary(docs, k=50)
+    t = GDTrainer(k=50, loss="logistic", optimizer="adam", lr=0.5, iterations=40, l2=0.0)
+    t.fit(feats)
+    top = t.top_features(vocab, n=5)
+    rows = top.collect()
+    assert len(rows) == 5
+    assert rows[0].word == "spark"  # the label-defining token dominates
+    assert [r.weight for r in rows] == sorted((r.weight for r in rows), reverse=True)
+
+    out = str(tmp_path / "costs")
+    t.save_cost_curve(spark, out)
+    import glob
+
+    parts = glob.glob(f"{out}/part-*")
+    assert len(parts) == 1, f"expected one part file, got {parts}"
+
+
 def test_nn_cost_decreases(doc_features):
     _, feats = doc_features
     t = NNTrainer(k=50, hidden=16, optimizer="adam", lr=0.01, iterations=15, seed=1)
