@@ -98,8 +98,11 @@ def lemmatize_udf():
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, StringType
 
+    # no type hints: PEP-563 stringized annotations (module-level
+    # ``from __future__ import annotations``) break pyspark's hint
+    # resolution; the legacy no-hint form infers a scalar pandas UDF
     @pandas_udf(ArrayType(StringType()))
-    def _lemmatize(tokens: pd.Series) -> pd.Series:
+    def _lemmatize(tokens):
         try:  # per-executor lazy init, once per python worker
             from nltk.stem import WordNetLemmatizer  # type: ignore
 

@@ -77,6 +77,34 @@ def tumbling_stream(
     )
 
 
+def sliding_stream(
+    events: DataFrame,
+    width_sec: int = 600,
+    slide_sec: int = 300,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming sliding window ≡ operators.windows.sliding_counts
+    (native ``F.window(ts, width, slide)`` — epoch-aligned, so window
+    starts match the batch explode formulation exactly)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", f"{width_sec} seconds", f"{slide_sec} seconds"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sessionized_stream(
     events: DataFrame, gap_sec: int = 1800, watermark: str = "1 hour"
 ) -> DataFrame:

@@ -20,6 +20,7 @@ from nlp_with_pyspark_spark.streaming.windows import (
     events_stream_from_dir,
     run_to_memory,
     sessionized_stream,
+    sliding_stream,
     streaming_dedup,
     tumbling_stream,
 )
@@ -58,6 +59,40 @@ def test_tumbling_stream_matches_batch(spark, events_batch, events_stream):
         assert got == want
     finally:
         q.stop()
+
+
+def test_sliding_stream_matches_batch(spark, events_batch, events_stream):
+    from nlp_with_pyspark_spark.operators.windows import sliding_counts
+
+    q = run_to_memory(sliding_stream(events_stream, width_sec=600, slide_sec=300), "t_sliding")
+    try:
+        got = _rows(spark, "t_sliding")
+        want = {
+            tuple(r)
+            for r in sliding_counts(events_batch, width_sec=600, slide_sec=300)
+            .select("window_start_epoch", "event_type", "n_events", "sum_value")
+            .collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_lemmatize_udf_fallback(spark, sf_dir):
+    """F4/F6 pandas_udf plumbing: deterministic ASCII-fold fallback when
+    nltk is absent (this container), schema array<string>."""
+    from nlp_with_pyspark_spark.functions.text import lemmatize_udf, tokens_pipeline
+    from nlp_with_pyspark_spark.sources.io import read_table
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .limit(50)
+        .withColumn("tokens", tokens_pipeline(F.col("text")))
+        .withColumn("lemmas", lemmatize_udf()(F.col("tokens")))
+    )
+    rows = docs.select("tokens", "lemmas").collect()
+    assert rows and all(len(r.lemmas) == len(r.tokens) for r in rows)
+    assert all(all(c.isascii() for w in r.lemmas for c in w) for r in rows)
 
 
 def test_session_stream_matches_batch(spark, events_batch, events_stream):
