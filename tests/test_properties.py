@@ -1,0 +1,122 @@
+"""Hypothesis property tests (SURVEY §5: non-oracle correctness).
+
+Each property runs a whole generated corpus through ONE Spark job per
+example (row-at-a-time Spark calls would make hypothesis unusably slow).
+
+The differential properties re-implement the operator in ~5 lines of
+plain Python and require exact agreement — an independent model check,
+complementing the DuckDB oracle which shares the SQL formulation.
+"""
+
+import re
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from nlp_with_pyspark_spark.functions.text import DEFAULT_STOPWORDS, tokens_pipeline
+from nlp_with_pyspark_spark.operators.dedup import (
+    minhash_candidate_pairs,
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+from nlp_with_pyspark_spark.operators.relational import money_sum
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+texts = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDE @:/.0123456789  ",
+    min_size=0,
+    max_size=120,
+)
+
+token_lists = st.lists(
+    st.text(alphabet="abcdefg", min_size=1, max_size=6), min_size=0, max_size=25
+)
+
+
+def _py_tokens(text: str) -> list[str]:
+    """Independent Python model of tokens_pipeline (clean→split→stopfilter)."""
+    s = text.lower()
+    s = re.sub(r"(?:@|https?://)\S+", "", s)
+    s = re.sub(r"[^a-z]", " ", s).lstrip()
+    toks = [t for t in re.split(r"\s+", s) if t != ""]
+    return [t for t in toks if t not in DEFAULT_STOPWORDS]
+
+
+@settings(**SETTINGS)
+@given(st.lists(texts, min_size=1, max_size=30))
+def test_tokens_pipeline_matches_python_model(spark, corpus):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)], "id long, text string")
+    got = {
+        r.id: list(r.toks)
+        for r in df.select("id", tokens_pipeline(F.col("text")).alias("toks")).collect()
+    }
+    for i, t in enumerate(corpus):
+        assert got[i] == _py_tokens(t), f"text={t!r}"
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.decimals(
+            min_value=-99999, max_value=99999, places=2, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_money_sum_is_exact(spark, amounts):
+    """decimal(18,2) accumulation must equal exact Decimal arithmetic —
+    the partitioning-independence guarantee."""
+    df = spark.createDataFrame([(float(a),) for a in amounts], "v double")
+    got = df.repartition(7).agg(money_sum("v", "s")).first()["s"]
+    assert got == float(sum(amounts))
+
+
+@settings(**SETTINGS)
+@given(st.lists(token_lists, min_size=2, max_size=15), st.data())
+def test_exact_duplicates_always_minhash_candidates(spark, lists, data):
+    """Identical token lists have identical signatures ⇒ every band
+    matches ⇒ the pair MUST be a candidate (LSH false-negative-free for
+    exact dups)."""
+    # duplicate one eligible list (needs ≥3 tokens to have shingles)
+    eligible = [l for l in lists if len(l) >= 3]
+    if not eligible:
+        return
+    dup = data.draw(st.sampled_from(eligible))
+    rows = [(i, l) for i, l in enumerate(lists)] + [(len(lists), dup)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    pairs = {
+        (r.doc_a, r.doc_b) for r in minhash_candidate_pairs(df).collect()
+    }
+    a = lists.index(dup)
+    assert (a, len(lists)) in pairs
+
+
+@settings(**SETTINGS)
+@given(st.lists(token_lists.filter(lambda l: len(l) >= 1), min_size=2, max_size=12))
+def test_simhash_banding_exact_below_bands(spark, lists):
+    """Pigeonhole guarantee: with max_hamming < bands, banded blocking
+    finds EXACTLY the pairs with hamming ≤ max_hamming — no false
+    negatives."""
+    df = spark.createDataFrame(
+        [(i, l) for i, l in enumerate(lists)], "doc_id long, tokens array<string>"
+    )
+    fps = {r.doc_id: r.simhash for r in simhash_fingerprints(df).collect()}
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_pairs(df, max_hamming=3, bands=4).collect()
+    }
+    want = set()
+    ids = sorted(fps)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            ham = sum(x != y for x, y in zip(fps[ids[i]], fps[ids[j]]))
+            if ham <= 3:
+                want.add((ids[i], ids[j]))
+    assert got == want
