@@ -109,6 +109,44 @@ def session_stats(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
     )
 
 
+def asof_join_events(
+    events: DataFrame, left_type: str = "purchase", right_type: str = "click"
+) -> DataFrame:
+    """Event-time AS-OF join (absent in both the reference and Spark's
+    API): each ``left_type`` event matched to the same user's most recent
+    ``right_type`` event at-or-before it.
+
+    Spark-first shape: instead of a range join (which Spark would plan as
+    a broadcast-nested-loop), union the two streams and carry the last
+    right-side timestamp forward with one ranking window — a single
+    shuffle on user_id, linear work, the gaps-and-islands idiom. This is
+    how as-of joins scale: both sides hash-partition by key once.
+
+    Tie semantics: a right event at exactly the left ts matches (ordered
+    before it via the kind column); total order pinned by event_id.
+    """
+    e = events.where(F.col("event_type").isin([left_type, right_type])).withColumn(
+        "kind", F.when(F.col("event_type") == right_type, 0).otherwise(1)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_ns").asc(), F.col("kind").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    right_ns = F.when(F.col("kind") == 0, F.col("ts_ns"))
+    return (
+        e.withColumn("match_ns", F.last(right_ns, ignorenulls=True).over(w))
+        .where(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("ts_ns div 1000000000").alias("left_sec"),
+            F.expr("match_ns div 1000000000").alias("right_sec"),
+            F.expr("(ts_ns - match_ns) div 1000000000").alias("gap_sec"),
+        )
+    )
+
+
 def json_props_stats(events: DataFrame) -> DataFrame:
     """``get_json_object`` on events.props (the driver's JSON column) →
     per-event-type stats of the extracted field (SURVEY §2.8 'absent:

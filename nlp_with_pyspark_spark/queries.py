@@ -881,3 +881,109 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 5)
     return ivf_topk(emb, queries_df, k=10, n_lists=16, n_probe=4)
+
+
+# ---------------------------------------------------------------------------
+# As-of join, supplier rollup, exact percentiles (coverage widening)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_asof_click_purchase",
+    """
+    WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           epoch_ns(p.ts) // 1000000000 AS left_sec,
+           epoch_ns(c.ts) // 1000000000 AS right_sec,
+           (epoch_ns(p.ts) - epoch_ns(c.ts)) // 1000000000 AS gap_sec
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def events_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each purchase matched to the user's latest click at or
+    before it (operators/windows.py:asof_join_events; DuckDB's native
+    ASOF JOIN is the oracle)."""
+    return windows.asof_join_events(
+        read_table(spark, sf_dir, "events"), "purchase", "click"
+    )
+
+
+@query(
+    "supplier_nation_revenue",
+    """
+    WITH per_supp AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS supp_revenue,
+               count(*) AS n_items
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT n_name,
+           CAST(CAST(sum(supp_revenue) AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
+           CAST(sum(n_items) AS BIGINT) AS n_items,
+           count(*) AS n_suppliers
+    FROM per_supp
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-side revenue rollup: fact pre-agg per suppkey, broadcast
+    dims (same shape as customer_nation_revenue, supplier table)."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    disc_price = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    per_supp = lineitem.groupBy("l_suppkey").agg(
+        F.sum(disc_price).cast("double").alias("supp_revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return (
+        per_supp.join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            per_supp.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum("supp_revenue").cast("decimal(18,2)").cast("double").alias("revenue"),
+            F.sum("n_items").alias("n_items"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )
+
+
+@query(
+    "price_percentiles",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (F.percentile — the oracle-able exact
+    form; at 100 TB swap for approx_percentile, same plan shape with a
+    mergeable sketch instead of a full sort buffer)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
