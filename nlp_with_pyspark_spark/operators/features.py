@@ -85,6 +85,7 @@ def tf_idf(
     tokens_col: str = "tokens",
     smoothed: bool = False,
     true_tf: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """R3: long-form TF-IDF → (doc_id, word, idx, tf, idf, tfidf).
 
@@ -94,6 +95,15 @@ def tf_idf(
     joined tfArray).
     """
     tf_long = presence_tf(docs, vocab, doc_col, tokens_col, true_tf=true_tf)
+    if materialize:
+        # tf_long feeds THREE consumers (document frequency, the N-docs
+        # count, and the final join); without a barrier each one re-runs
+        # the full tokenize→explode→distinct→join lineage — 4 corpus
+        # passes total, measured ~2× the runtime at sf0.1. localCheckpoint
+        # materializes it once to executor-local storage and truncates
+        # the lineage. (On a real cluster with executor churn, swap for
+        # reliable checkpointing or an explicit intermediate table.)
+        tf_long = tf_long.localCheckpoint()
     dfreq = document_frequency(tf_long)
     n_docs = tf_long.select("doc_id").distinct().count()
     if smoothed:
