@@ -119,6 +119,33 @@ def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe shuffle join: when one side has hot keys that AQE's
+    skew-join splitting can't fix (e.g. a shuffled hash join where one
+    key holds 10% of a 100 TB fact table), salt the skewed side into
+    ``n_salts`` sub-keys and replicate the other side once per salt.
+
+    The salt is derived from a hash of the full row (deterministic given
+    the data, uniform across salts), so results are identical to the
+    unsalted join — only the partitioning changes. Replication costs
+    ``n_salts×`` the smaller side, so keep it for genuinely skewed
+    shuffle joins; broadcast joins don't need it.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
+    left = skewed.withColumn("__salt", salt)
+    salts = skewed.sparkSession.range(n_salts).select(
+        F.col("id").cast("long").alias("__salt")
+    )
+    right = other.crossJoin(F.broadcast(salts))
+    return left.join(right, [key, "__salt"], how).drop("__salt")
+
+
 def revenue_rollup(
     customer: DataFrame, orders: DataFrame, nation: DataFrame, region: DataFrame
 ) -> DataFrame:

@@ -103,6 +103,33 @@ def read_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: read_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed + sorted table write — the co-located-join strategy.
+
+    Two tables bucketed by the same key into the same bucket count join
+    with NO exchange on either side (asserted in tests/test_scale.py):
+    at 100 TB this turns every recurring fact-fact join on the bucket
+    key into a zero-shuffle sort-merge. Bucketing requires the table
+    catalog (``saveAsTable``); ``path`` places the data externally.
+    """
+    writer = (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
 def write_single_file(df: DataFrame, path: str, fmt: str = "csv", mode: str = "overwrite") -> None:
     """Single-file sink (S4).
 
