@@ -48,6 +48,10 @@ HEADLINE = [
     "doc_fingerprints",
     "multimodal_asset_stats",
     "multimodal_decode_features",
+    "events_asof_click_purchase",
+    "supplier_nation_revenue",
+    "price_percentiles",
+    "corpus_clean_stats",
 ]
 
 

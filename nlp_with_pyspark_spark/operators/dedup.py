@@ -243,6 +243,9 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(tokens_col), n).alias("shingles"),
     ).where(F.size("shingles") > 0)
+    # three consumers (postings, both size joins) would each re-run the
+    # tokenize→shingle lineage; materialize it once (see features.tf_idf)
+    sets = sets.localCheckpoint()
     sizes = sets.select("doc_id", F.size("shingles").alias("n_sh"))
     inv = sets.select("doc_id", F.explode("shingles").alias("shingle"))
     # postings list per shingle in ONE hash-agg; the frequency cut (skew

@@ -987,3 +987,65 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed end-to-end corpus-cleaning pipeline (dedup → filter → budget)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_clean_stats",
+    f"""
+    WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    survivors AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+    scored AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT)
+                   AS ws_tokens,
+               least((CASE WHEN length(text) > 0
+                           THEN CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                                / length(text) ELSE 0.0 END) / 0.7, 1.0) * 0.4
+               + least(({_EN_RATIO_SQL}) / 0.3, 1.0) * 0.3
+               + (CASE WHEN (CASE WHEN len({_WS_TOKS_SQL}) > 0
+                                  THEN CAST(list_sum(list_transform({_WS_TOKS_SQL}, t -> length(t))) AS DOUBLE)
+                                       / len({_WS_TOKS_SQL}) ELSE 0.0 END) BETWEEN 3 AND 10
+                      THEN 1.0 ELSE 0.0 END) * 0.2
+               + (CASE WHEN len({_WS_TOKS_SQL}) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.1
+                   AS quality_score
+        FROM survivors
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(ws_tokens) AS BIGINT) AS total_tokens,
+           round(avg(round(quality_score, 6)), 6) AS avg_quality
+    FROM scored
+    WHERE round(quality_score, 6) >= 0.5
+    GROUP BY source
+    """,
+)
+def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM-data-pipeline flow in ONE declarative plan:
+    exact dedup (keep-first) → quality filter (score ≥ 0.5) → per-source
+    token budget. Catalyst fuses the scoring projections into the
+    post-dedup scan; the only shuffles are the dedup groupBy and the
+    final per-source rollup."""
+    from .operators.dedup import exact_dedup
+    from .operators.textstats import quality_features, token_counts
+
+    docs = read_table(spark, sf_dir, "documents")
+    survivors = exact_dedup(docs)
+    q = quality_features(survivors).select("doc_id", "quality_score")
+    t = token_counts(survivors).select("doc_id", "ws_tokens")
+    return (
+        survivors.select("doc_id", "source")
+        .join(q, "doc_id")
+        .join(t, "doc_id")
+        .where(F.col("quality_score") >= 0.5)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").alias("total_tokens"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        )
+    )
