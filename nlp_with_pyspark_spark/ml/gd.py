@@ -96,7 +96,17 @@ def _partials(loss: str, k: int, weights_bc) -> callable:
 
 @dataclass
 class Optimizer:
-    """Driver-side first-order update rules (R8), standard formulas."""
+    """Driver-side first-order update rules (R8).
+
+    ``compat='standard'`` (default) uses the published formulas.
+    ``compat='reference'`` replicates the reference's as-written Nesterov
+    and RMSprop, which deviate from the literature (SURVEY §7.4 'known
+    bugs'): Nesterov applies the lookahead against the *previous*
+    iteration's momentum (LR_Optimizers.py:162-166), and RMSprop decays
+    a cumulative sum divided by the iteration count instead of a running
+    mean (LR_Optimizers.py:180-184). Both still descend; outputs match
+    the reference's golden cost curves only under this mode.
+    """
 
     name: str = "gd"
     lr: float = 0.01
@@ -104,6 +114,7 @@ class Optimizer:
     beta1: float = 0.9
     beta2: float = 0.999
     eps: float = 1e-8
+    compat: str = "standard"
     _v: np.ndarray | None = None
     _m: np.ndarray | None = None
     _t: int = 0
@@ -119,6 +130,14 @@ class Optimizer:
             self._v = self.momentum * self._v + self.lr * g
             return w - self._v
         if self.name == "nesterov":
+            if self.compat == "reference":
+                # as-written (LR_Optimizers.py:162-166): lookahead uses the
+                # momentum from TWO updates ago (prev_mom lags one step)
+                temp = w - self.momentum * self._m
+                out = temp - self.lr * g
+                self._m = self._v
+                self._v = self.momentum * self._v + self.lr * g
+                return out
             v_prev = self._v
             self._v = self.momentum * self._v - self.lr * g
             return w + (-self.momentum * v_prev + (1 + self.momentum) * self._v)
@@ -132,6 +151,13 @@ class Optimizer:
             self._v = self._v + g * g
             return w - self.lr * g / (np.sqrt(self._v) + self.eps)
         if self.name == "rmsprop":
+            if self.compat == "reference":
+                # as-written (LR_Optimizers.py:180-184): decays the running
+                # *cumulative sum / t*, then accumulates after the step
+                exp_grad = self.beta1 * self._v / self._t + (1 - self.beta1) * g * g
+                out = w - self.lr / np.sqrt(exp_grad + self.eps) * g
+                self._v = self._v + g * g
+                return out
             self._v = self.beta2 * self._v + (1 - self.beta2) * g * g
             return w - self.lr * g / (np.sqrt(self._v) + self.eps)
         raise ValueError(self.name)
@@ -155,6 +181,7 @@ class GDTrainer:
     l2: float = 1.15
     bold_driver: bool = True
     early_stop_tol: float | None = None
+    compat: str = "standard"  # 'reference' replays the as-written R8 formulas
     weights_: np.ndarray | None = None
     costs_: list[float] = field(default_factory=list)
 
@@ -166,7 +193,7 @@ class GDTrainer:
         )
         feat.count()  # materialize once; loop reuses the cached partitions
         w = np.zeros(self.k, dtype=np.float64)
-        opt = Optimizer(name=self.optimizer, lr=self.lr)
+        opt = Optimizer(name=self.optimizer, lr=self.lr, compat=self.compat)
         lr = self.lr
         prev_cost = float("inf")
         schema = "cost double, grad array<double>, n long"

@@ -78,6 +78,21 @@ def test_lr_cost_decreases_all_optimizers(doc_features, optimizer):
     assert t.costs_[-1] < t.costs_[0], f"{optimizer}: {t.costs_[0]} -> {t.costs_[-1]}"
 
 
+@pytest.mark.parametrize("optimizer", ["nesterov", "rmsprop"])
+def test_reference_compat_optimizers_descend(doc_features, optimizer):
+    """compat='reference' replays the as-written (nonstandard) Nesterov/
+    RMSprop formulas (LR_Optimizers.py:162-184); they must still reduce
+    cost, and must differ from the standard-formula trajectory."""
+    _, feats = doc_features
+    kw = dict(k=50, loss="logistic", optimizer=optimizer, lr=0.01, iterations=10, l2=0.01)
+    ref = GDTrainer(compat="reference", **kw)
+    ref.fit(feats)
+    std = GDTrainer(compat="standard", **kw)
+    std.fit(feats)
+    assert ref.costs_[-1] < ref.costs_[0]
+    assert ref.costs_ != std.costs_
+
+
 def test_svm_cost_decreases(doc_features):
     _, feats = doc_features
     t = GDTrainer(k=50, loss="hinge", optimizer="gd", lr=0.001, iterations=40)
