@@ -1049,3 +1049,51 @@ def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("quality_score"), 6).alias("avg_quality"),
         )
     )
+
+
+@query(
+    "sql_top_unshipped_orders",
+    """
+    SELECT o.o_orderkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '2001-06-15'
+      AND l.l_shipdate > TIMESTAMP '2001-06-15'
+    GROUP BY o.o_orderkey, orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def sql_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped query through the ``spark.sql`` surface — the
+    engine's second API: temp views + ANSI SQL, one Catalyst plan, same
+    physical shapes (pushdown, broadcast under AQE) as the DataFrame
+    formulation. Tie-break pinned on o_orderkey."""
+    for t in ("customer", "orders", "lineitem"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT o.o_orderkey,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS revenue,
+               date_format(o.o_orderdate, 'yyyy-MM-dd') AS orderdate,
+               o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < DATE '2001-06-15'
+          AND l.l_shipdate > TIMESTAMP '2001-06-15'
+        GROUP BY o.o_orderkey, orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, o.o_orderkey ASC
+        LIMIT 10
+        """
+    )
