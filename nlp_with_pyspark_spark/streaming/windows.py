@@ -130,6 +130,32 @@ def streaming_dedup(events: DataFrame, watermark: str = "30 minutes") -> DataFra
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def stream_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+):
+    """Production sink shape: parquet files + checkpointed offsets.
+
+    The checkpoint directory gives exactly-once output across restarts
+    (offset log + file-sink manifest); a resumed query continues from
+    the last committed batch instead of reprocessing. Append mode
+    requires a watermarked aggregation (finalized windows only).
+    Blocks until all available input is processed.
+    """
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """Drain a (bounded) stream into an in-memory table; returns the
     query handle after all available data is processed. Test utility."""

@@ -122,6 +122,43 @@ def test_streaming_dedup_drops_dupes(spark, events_stream, events_batch):
         q.stop()
 
 
+def test_parquet_sink_checkpointed(spark, events_batch, sf_dir, tmp_path):
+    """File-sink path: watermarked tumbling agg → checkpointed parquet in
+    append mode. Finalized windows (everything before max_ts - watermark)
+    must match the batch answer for those buckets; a restart with the
+    same checkpoint must add NO duplicate rows (exactly-once)."""
+    from nlp_with_pyspark_spark.streaming.windows import stream_to_parquet
+
+    d = tmp_path / "src"
+    d.mkdir()
+    (d / "events.parquet").symlink_to(f"{sf_dir}/events.parquet")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run():
+        s = events_stream_from_dir(spark, str(d), max_files_per_trigger=16)
+        q = stream_to_parquet(
+            tumbling_stream(s, width_sec=300, watermark="10 minutes"), out, ckpt
+        )
+        q.stop()
+
+    run()
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    batch = tumbling_counts(events_batch, width_sec=300).select(
+        "bucket_start_epoch", "event_type", "n_events", "sum_value"
+    )
+    # append mode emits only windows finalized by the watermark
+    max_sec = events_batch.agg(F.max(F.expr("ts_ns div 1000000000"))).first()[0]
+    finalized = {
+        tuple(r)
+        for r in batch.where(F.col("bucket_start_epoch") + 300 <= max_sec - 600).collect()
+    }
+    assert finalized <= got, "sink is missing finalized windows"
+    n_first = len(got)
+
+    run()  # resume from the same checkpoint: no new input ⇒ no new rows
+    assert spark.read.parquet(out).count() == n_first
+
+
 def test_stateful_running_stats_converges(spark, events_stream, events_batch):
     """applyInPandasWithState: after draining the whole table, the last
     update per user must equal the batch groupBy fold."""
