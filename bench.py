@@ -52,6 +52,10 @@ HEADLINE = [
     "supplier_nation_revenue",
     "price_percentiles",
     "corpus_clean_stats",
+    "sql_top_unshipped_orders",
+    "events_distinct_users",
+    "order_priority_pivot",
+    "customer_running_revenue",
 ]
 
 

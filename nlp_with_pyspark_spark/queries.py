@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.text import DEFAULT_STOPWORDS, tokens_pipeline
@@ -1096,4 +1096,108 @@ def sql_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY revenue DESC, o.o_orderkey ASC
         LIMIT 10
         """
+    )
+
+
+@query(
+    "events_distinct_users",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: distinct-count aggregation. Exact countDistinct here (two-
+    phase hash agg); the 100 TB swap-in is approx_count_distinct (HLL,
+    single-pass mergeable sketch) — tested within tolerance of this
+    exact answer in tests/test_oracle_parity.py."""
+    events = read_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "order_priority_pivot",
+    """
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_o,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (cross-tab): order counts by priority × status. Explicit
+    pivot values ⇒ single-pass plan (no extra distinct-values job); the
+    oracle is the portable CASE-sum formulation, which is also exactly
+    how Catalyst lowers pivot."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("status_f"),
+            F.coalesce("O", F.lit(0)).alias("status_o"),
+            F.coalesce("P", F.lit(0)).alias("status_p"),
+        )
+    )
+
+
+@query(
+    "customer_running_revenue",
+    """
+    WITH top_cust AS (
+        SELECT o_custkey FROM orders GROUP BY o_custkey
+        ORDER BY count(*) DESC, o_custkey ASC LIMIT 100
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_revenue,
+           round(CAST(o_totalprice AS DOUBLE)
+                 - lag(CAST(o_totalprice AS DOUBLE), 1, 0.0)
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate ASC, o_orderkey ASC), 4) AS delta_vs_prev
+    FROM orders
+    WHERE o_custkey IN (SELECT o_custkey FROM top_cust)
+    """,
+)
+def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window frames (SURVEY §2.5 — absent in reference):
+    running decimal-exact revenue + lag delta per customer, restricted
+    to the 100 most active customers (broadcast semi-join). One shuffle
+    on the partition key serves both window functions."""
+    orders = read_table(spark, sf_dir, "orders")
+    top_cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("o_custkey"))
+        .limit(100)
+        .select("o_custkey")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    run_sum = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+    )
+    delta = F.round(
+        F.col("o_totalprice").cast("double")
+        - F.lag(F.col("o_totalprice").cast("double"), 1, 0.0).over(w),
+        4,
+    )
+    return (
+        orders.join(F.broadcast(top_cust), "o_custkey", "left_semi")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            run_sum.alias("running_revenue"),
+            delta.alias("delta_vs_prev"),
+        )
     )
