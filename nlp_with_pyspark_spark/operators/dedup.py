@@ -98,33 +98,33 @@ def minhash_signature(shingles: Column | str, k: int = 12) -> Column:
     )
 
 
-def lsh_band_buckets(
-    docs: DataFrame,
-    tokens_col: str = "tokens",
-    id_col: str = "doc_id",
-    n: int = 3,
-    k: int = 12,
-    bands: int = 4,
+def _shingle_sets(
+    docs: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """(doc_id, band_id, band_hash): one row per (doc, band).
+    """(doc_id, shingles) for docs with ≥ n tokens.
 
-    band_hash = md5 of the band's r = k/bands signature slice. Docs with
-    no shingles emit nothing (null-signature guard).
+    The token-count pre-filter matters: docs shorter than n tokens have
+    no shingles ⇒ an all-null signature, and a null-check on the
+    signature itself gets pushed below the projection and re-evaluates
+    the entire md5 fold a second time (measured 2×).
+    """
+    return docs.where(F.size(F.col(tokens_col)) >= n).select(
+        F.col(id_col).alias("doc_id"), word_shingles(F.col(tokens_col), n).alias("shingles")
+    )
+
+
+def _band_buckets_from_shingles(shingle_sets: DataFrame, k: int, bands: int) -> DataFrame:
+    """(doc_id, band_id, band_hash) from a (doc_id, shingles) table.
+
+    sig is materialized by ONE projection; banding explodes a small
+    struct array in a SECOND projection. (A union of per-band branches
+    would re-evaluate the md5-heavy signature once per band — measured
+    4× the runtime at sf0.1.)
     """
     assert k % bands == 0, "k must divide evenly into bands"
     r = k // bands
-    sig = minhash_signature(word_shingles(F.col(tokens_col), n), k)
-    # sig is materialized by ONE projection; banding explodes a small
-    # struct array in a SECOND projection. (A union of per-band branches
-    # would re-evaluate the md5-heavy signature once per band — measured
-    # 4× the runtime at sf0.1.)
-    # docs shorter than n tokens have no shingles ⇒ all-null signature;
-    # filter on the CHEAP precondition (token count) before computing
-    # sig — a null-check on sig itself gets pushed below the projection
-    # and re-evaluates the entire md5 fold a second time (measured 2×)
-    with_sig = docs.where(F.size(F.col(tokens_col)) >= n).select(
-        F.col(id_col).alias("doc_id"), sig.alias("sig")
-    )
+    sig = minhash_signature(F.col("shingles"), k)
+    with_sig = shingle_sets.select("doc_id", sig.alias("sig"))
     band_arr = F.array(
         *[
             F.struct(
@@ -137,6 +137,22 @@ def lsh_band_buckets(
     return with_sig.select("doc_id", F.explode(band_arr).alias("bb")).select(
         "doc_id", F.col("bb.band_id").alias("band_id"), F.col("bb.band_hash").alias("band_hash")
     )
+
+
+def lsh_band_buckets(
+    docs: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """(doc_id, band_id, band_hash): one row per (doc, band).
+
+    band_hash = md5 of the band's r = k/bands signature slice. Docs with
+    no shingles emit nothing.
+    """
+    return _band_buckets_from_shingles(_shingle_sets(docs, tokens_col, id_col, n), k, bands)
 
 
 def minhash_candidate_pairs(
@@ -154,15 +170,21 @@ def minhash_candidate_pairs(
     under random hashing; a pathological bucket means genuinely
     near-identical docs, which is the signal, not skew.
     """
-    b = lsh_band_buckets(docs, tokens_col, id_col, n, k, bands)
-    # one hash-agg per bucket, then pairs generated row-locally from the
-    # sorted member list — no self-join, so the signature lineage runs
-    # exactly once. (The self-join formulation re-evaluated it for each
-    # side.) Assumes exact dedup ran first, the standard pipeline order:
-    # a bucket of m exact-identical docs would expand to m²/2 pairs in
-    # one row here, where the join shape would merely shuffle them.
+    return _bucket_pairs(lsh_band_buckets(docs, tokens_col, id_col, n, k, bands))
+
+
+def _bucket_pairs(band_buckets: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs co-bucketed in ≥1 band.
+
+    One hash-agg per bucket, then pairs generated row-locally from the
+    sorted member list — no self-join, so the signature lineage runs
+    exactly once. (The self-join formulation re-evaluated it for each
+    side.) Assumes exact dedup ran first, the standard pipeline order:
+    a bucket of m exact-identical docs would expand to m²/2 pairs in
+    one row here, where the join shape would merely shuffle them.
+    """
     buckets = (
-        b.groupBy("band_id", "band_hash")
+        band_buckets.groupBy("band_id", "band_hash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") >= 2)
     )
@@ -198,11 +220,11 @@ def minhash_dedup_pairs(
     distinct-shingle array back in; candidate cardinality (not corpus
     size) bounds the cost.
     """
-    shingle_sets = docs.select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(F.col(tokens_col), n).alias("shingles"),
-    )
-    cands = minhash_candidate_pairs(docs, tokens_col, id_col, n, k, bands)
+    # ONE shingle computation feeds the signature/banding AND both verify
+    # join sides (docs with <n tokens have no shingles and can never be
+    # candidates, so the pre-filter does not change results)
+    shingle_sets = _shingle_sets(docs, tokens_col, id_col, n).localCheckpoint()
+    cands = _bucket_pairs(_band_buckets_from_shingles(shingle_sets, k, bands))
     a = shingle_sets.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
     )
