@@ -104,6 +104,10 @@ class NNTrainer:
     iterations: int = 50
     seed: int = 123
     bold_driver: bool = True
+    #: 'reference' replays the as-written Adam bug (RDD_NN.py:198,
+    #: utils/nn_func.py:99): BIAS second moment accumulates DB (not DB²),
+    #: masked by sqrt(abs(v)) (:209-210). Default is standard Adam.
+    compat: str = "standard"
     weights_: dict | None = None
     costs_: list[float] = field(default_factory=list)
 
@@ -145,9 +149,15 @@ class NNTrainer:
             if self.optimizer == "adam":
                 for key in w:
                     m[key] = b1p * m[key] + (1 - b1p) * grads[key]
-                    v[key] = b2p * v[key] + (1 - b2p) * grads[key] ** 2
+                    if self.compat == "reference" and key in ("b1", "b2"):
+                        # as-written (RDD_NN.py:198): bias 2nd moment uses
+                        # the raw gradient, sqrt(abs(·)) masks the sign
+                        v[key] = b2p * v[key] + (1 - b2p) * grads[key]
+                        vhat = np.abs(v[key] / (1 - b2p**t))
+                    else:
+                        v[key] = b2p * v[key] + (1 - b2p) * grads[key] ** 2
+                        vhat = v[key] / (1 - b2p**t)
                     mhat = m[key] / (1 - b1p**t)
-                    vhat = v[key] / (1 - b2p**t)
                     w[key] = w[key] - lr * mhat / (np.sqrt(vhat) + eps)
             else:
                 if self.bold_driver:

@@ -1201,3 +1201,42 @@ def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             delta.alias("delta_vs_prev"),
         )
     )
+
+
+@query(
+    "tfidf_smoothed_long",
+    f"""
+    WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents),
+    counts AS (
+        SELECT word, count(*) AS count
+        FROM (SELECT unnest(tokens) AS word FROM toks)
+        GROUP BY word
+    ),
+    vocab AS (
+        SELECT word, CAST(row_number() OVER (ORDER BY count DESC, word ASC) - 1 AS INT) AS idx
+        FROM counts ORDER BY count DESC, word ASC LIMIT 100
+    ),
+    doc_words AS (
+        SELECT DISTINCT doc_id, len(tokens) AS n_tokens, unnest(tokens) AS word
+        FROM toks
+    ),
+    tf AS (
+        SELECT dw.doc_id, dw.word, v.idx, 1.0 / dw.n_tokens AS tf
+        FROM doc_words dw JOIN vocab v USING (word)
+    ),
+    dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf)
+    SELECT tf.doc_id, tf.word, tf.idx,
+           round(tf.tf * ln((n.n_docs + 1) / (CAST(dfreq.df AS DOUBLE) + 1)), 8) AS tfidf
+    FROM tf, dfreq, n
+    WHERE tf.word = dfreq.word
+    """,
+)
+def tfidf_smoothed_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 variant: MLlib's smoothed IDF log((N+1)/(df+1)) — the engine
+    exposes BOTH formulas (the reference's RDD path is unsmoothed
+    log(N/df), its MLlib path smoothed; SURVEY §2.9 M4)."""
+    docs = _tokenized_documents(spark, sf_dir)
+    vocab = top_k_vocabulary(docs, k=100)
+    out = tf_idf(docs, vocab, smoothed=True)
+    return out.select("doc_id", "word", "idx", F.round("tfidf", 8).alias("tfidf"))

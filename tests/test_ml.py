@@ -200,6 +200,19 @@ def test_nn_cost_decreases(doc_features):
     assert t.costs_[-1] < t.costs_[0]
 
 
+def test_nn_reference_compat_descends(doc_features):
+    """compat='reference' NN Adam (bias 2nd-moment bug as written,
+    RDD_NN.py:198) must still reduce cost and differ from standard."""
+    _, feats = doc_features
+    kw = dict(k=50, hidden=16, optimizer="adam", lr=0.01, iterations=10, seed=1)
+    ref = NNTrainer(compat="reference", **kw)
+    ref.fit(feats)
+    std = NNTrainer(compat="standard", **kw)
+    std.fit(feats)
+    assert ref.costs_[-1] < ref.costs_[0]
+    assert ref.costs_ != std.costs_
+
+
 def test_nn_predict_schema(doc_features):
     _, feats = doc_features
     t = NNTrainer(k=50, hidden=8, optimizer="sgd", lr=0.05, iterations=5, seed=2)
