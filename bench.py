@@ -56,7 +56,16 @@ HEADLINE = [
     "events_distinct_users",
     "order_priority_pivot",
     "customer_running_revenue",
+    "customer_order_setops",
+    "confusion_metrics",
+    "doc_length_histogram",
+    "doc_token_stats",
+    "tfidf_smoothed_long",
 ]
+# Excluded on purpose: dedup_ngram_jaccard / embedding_near_dups are the
+# exact all-pairs VERIFIERS for the LSH/minhash scale paths (quadratic by
+# definition), and ann_ivf_topk's inline k-means index build dominates its
+# query time — its scale deployment persists the index once.
 
 
 def main() -> None:
