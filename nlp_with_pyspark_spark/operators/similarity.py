@@ -144,6 +144,35 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Index-build phase of IVF ANN: k-means coarse quantizer.
+
+    Returns (assignments, centroids): assignments = (neighbor_id, cv,
+    list_id) — at 100 TB this is written ONCE partitioned/bucketed by
+    list_id (`io.write_bucketed`) so queries read only their probed
+    lists; centroids = n_lists rows, always broadcastable.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    with_vec = c.withColumn("fv", array_to_vector(F.col("cv").cast("array<double>")))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="fv", predictionCol="list_id", maxIter=10)
+    model = km.fit(with_vec)
+    assignments = model.transform(with_vec).select("neighbor_id", "cv", "list_id")
+    centroids = corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        "list_id int, centroid array<double>",
+    )
+    return assignments, centroids
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -157,29 +186,30 @@ def ivf_topk(
     """IVF (inverted-file) ANN: k-means coarse quantizer → per-list
     inverted index → queries scan only their ``n_probe`` nearest lists.
 
-    The scale path beyond LSH: at 100 TB the corpus is written
-    partitioned/bucketed BY list_id once (one shuffle at index-build
-    time), so every query touches n_probe/n_lists of the data with no
-    corpus shuffle at query time. Here the index build is inline; a
-    production deployment persists ``assignments`` bucketed by list_id.
+    The scale path beyond LSH. This convenience form builds the index
+    inline; production builds once with ``build_ivf_index`` (persisted
+    bucketed by list_id) and serves many query batches with
+    ``ivf_query`` — the build dominates single-batch latency.
 
     Same output schema as brute_force_topk; recall is measured against
     it in tests (tests/test_dedup_similarity.py).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    assignments, centroids = build_ivf_index(corpus, n_lists, vec_col, id_col, seed)
+    return ivf_query(assignments, centroids, queries, k, n_probe, vec_col, id_col)
 
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    with_vec = c.withColumn("fv", array_to_vector(F.col("cv").cast("array<double>")))
-    km = KMeans(k=n_lists, seed=seed, featuresCol="fv", predictionCol="list_id", maxIter=10)
-    model = km.fit(with_vec)
-    assignments = model.transform(with_vec).select("neighbor_id", "cv", "list_id")
 
-    # centroid table is tiny (n_lists rows) — broadcast for probe ranking
-    centroids = queries.sparkSession.createDataFrame(
-        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
-        "list_id int, centroid array<double>",
-    )
+def ivf_query(
+    assignments: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query phase of IVF ANN against a prebuilt index: rank centroids
+    per query (broadcast — centroids are tiny), keep ``n_probe``, then
+    score only the probed lists. No corpus shuffle at query time."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     # rank centroids per query by euclidean distance, keep n_probe
     dist2 = F.aggregate(

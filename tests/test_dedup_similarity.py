@@ -68,6 +68,26 @@ def test_ivf_deterministic(emb):
     assert a == b
 
 
+def test_ivf_prebuilt_index_matches_inline(emb):
+    """Build-once/query-many must equal the inline convenience form, and
+    the prebuilt index must serve multiple query batches."""
+    from nlp_with_pyspark_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_query,
+        ivf_topk,
+    )
+
+    assignments, centroids = build_ivf_index(emb, n_lists=8)
+    assignments = assignments.cache()
+    q1 = emb.where(F.col("vec_id") < 5)
+    got = sorted(map(tuple, ivf_query(assignments, centroids, q1, k=10, n_probe=4).collect()))
+    want = sorted(map(tuple, ivf_topk(emb, q1, k=10, n_lists=8, n_probe=4).collect()))
+    assert got == want
+    q2 = emb.where((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
+    batch2 = ivf_query(assignments, centroids, q2, k=10, n_probe=4).collect()
+    assert {r.query_id for r in batch2} == {5, 6, 7, 8, 9}
+
+
 def test_lsh_subset_of_scored_universe(emb):
     queries = emb.where(F.col("vec_id") < 5)
     approx = lsh_topk(emb, queries, k=10, n_planes=6, dim=64)
