@@ -98,6 +98,49 @@ def test_exact_duplicates_always_minhash_candidates(spark, lists, data):
     assert (a, len(lists)) in pairs
 
 
+event_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # user_id
+        st.integers(min_value=0, max_value=20),  # ts (seconds; small range forces ties)
+        st.sampled_from(["click", "purchase", "view"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(**SETTINGS)
+@given(event_rows)
+def test_asof_join_matches_python_model(spark, rows):
+    """asof_join_events vs a direct Python model, exercising the edge
+    semantics synthetic testdata rarely hits: exact ts ties (click at
+    purchase time MUST match), multiple clicks at one ts, and purchases
+    with no prior click (null match)."""
+    from nlp_with_pyspark_spark.operators.windows import asof_join_events
+
+    data = [
+        (i, int(u), int(t) * 1_000_000_000, typ, 0.0, "{}")
+        for i, (u, t, typ) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, user_id long, ts_ns long, event_type string, value double, props string"
+    )
+    got = {
+        r.event_id: (r.left_sec, r.right_sec, r.gap_sec)
+        for r in asof_join_events(df, "purchase", "click").collect()
+    }
+    purchases = [(i, u, t) for i, (u, t, typ) in enumerate(rows) if typ == "purchase"]
+    clicks = [(u, t) for (u, t, typ) in rows if typ == "click"]
+    assert set(got) == {i for i, _, _ in purchases}
+    for i, u, t in purchases:
+        prior = [ct for cu, ct in clicks if cu == u and ct <= t]
+        want = max(prior) if prior else None
+        left, right, gap = got[i]
+        assert left == t
+        assert right == want
+        assert gap == (t - want if want is not None else None)
+
+
 @settings(**SETTINGS)
 @given(st.lists(token_lists.filter(lambda l: len(l) >= 1), min_size=2, max_size=12))
 def test_simhash_banding_exact_below_bands(spark, lists):
