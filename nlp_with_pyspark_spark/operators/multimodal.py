@@ -172,6 +172,49 @@ def decode_features(assets: DataFrame, n_bins: int = 16) -> DataFrame:
     return assets.mapInPandas(gen, schema=DECODED_SCHEMA)
 
 
+def decode_features_arrow(assets: DataFrame, n_bins: int = 16) -> DataFrame:
+    """``mapInArrow`` variant of decode_features: RecordBatch in/out,
+    skipping the Arrow→pandas conversion entirely.
+
+    For binary-heavy columns this is the cheapest Python boundary Spark
+    offers — pandas wraps each payload in a Python object per row, while
+    Arrow keeps the batch as contiguous buffers until we slice them.
+    Same output as decode_features (asserted in tests).
+    """
+    import pyarrow as pa
+
+    def gen(batches):
+        for batch in batches:
+            ids = batch.column("asset_id").to_pylist()
+            mods = batch.column("modality").to_pylist()
+            contents = batch.column("content")
+            out = {"asset_id": [], "modality": [], "n_samples": [], "mean_val": [], "std_val": [], "histogram": []}
+            for i in range(batch.num_rows):
+                v = _fake_decode(contents[i].as_buffer().to_pybytes())
+                hist = np.bincount(v >> 4, minlength=n_bins)[:n_bins]
+                out["asset_id"].append(ids[i])
+                out["modality"].append(mods[i])
+                out["n_samples"].append(int(v.size))
+                out["mean_val"].append(float(v.mean()) if v.size else 0.0)
+                out["std_val"].append(float(v.std()) if v.size else 0.0)
+                out["histogram"].append(hist.tolist())
+            yield pa.RecordBatch.from_pydict(
+                out,
+                schema=pa.schema(
+                    [
+                        ("asset_id", pa.int64()),
+                        ("modality", pa.string()),
+                        ("n_samples", pa.int32()),
+                        ("mean_val", pa.float64()),
+                        ("std_val", pa.float64()),
+                        ("histogram", pa.list_(pa.int64())),
+                    ]
+                ),
+            )
+
+    return assets.mapInArrow(gen, schema=DECODED_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Image resize (mapInPandas over image assets)
 # ---------------------------------------------------------------------------

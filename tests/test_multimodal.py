@@ -54,6 +54,16 @@ def test_decode_features_covers_all_assets(assets):
         assert 0.0 <= r.mean_val <= 255.0
 
 
+def test_decode_arrow_equals_pandas_path(assets):
+    """mapInArrow and mapInPandas decode paths must produce identical
+    feature rows (same fake codec, different Python boundary)."""
+    from nlp_with_pyspark_spark.operators.multimodal import decode_features_arrow
+
+    a = sorted(map(tuple, decode_features(assets).collect()))
+    b = sorted(map(tuple, decode_features_arrow(assets).collect()))
+    assert a == b
+
+
 def test_decode_features_deterministic(assets):
     a = sorted(map(tuple, decode_features(assets).collect()))
     b = sorted(map(tuple, decode_features(assets).collect()))
