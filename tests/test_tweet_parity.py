@@ -86,3 +86,35 @@ def test_rdd_lr_replay_beats_reference(spark, tweets):
     # reference: 0.7968-0.7981; margin below our measured 0.8104 for
     # split/partitioning jitter, still well above the 0.57 majority rate
     assert acc > 0.75, f"RDD-LR replay accuracy {acc}"
+
+
+def test_nn_replay_beats_reference(spark, tweets):
+    """R9 replay: disaster-only k=1000 vocabulary (RDD_NN.py:320-326),
+    2-layer NN. Reference: 71.10-71.72% accuracy. Ours (corrected Adam,
+    vectorized single-pass backprop) measured 0.8879 in ~70s."""
+    import pyspark.sql.functions as F
+
+    from nlp_with_pyspark_spark.functions.text import tokens_pipeline
+    from nlp_with_pyspark_spark.ml.gd import sparse_features
+    from nlp_with_pyspark_spark.ml.nn import NNTrainer
+    from nlp_with_pyspark_spark.operators.features import tf_idf
+    from nlp_with_pyspark_spark.operators.vocab import top_k_vocabulary
+
+    docs = (
+        tweets.select(
+            F.col("id").alias("doc_id"), "text", F.col("target").alias("label")
+        )
+        .withColumn("tokens", tokens_pipeline(F.col("text")))
+        .cache()
+    )
+    vocab = top_k_vocabulary(docs.where(F.col("label") == 1), k=1000)
+    long = tf_idf(docs, vocab).cache()
+    feats = sparse_features(long, docs.select("doc_id", "label"))
+    train, test = feats.randomSplit([0.8, 0.2], seed=123)
+    t = NNTrainer(k=1000, hidden=128, optimizer="adam", lr=0.005, iterations=40, seed=123)
+    t.fit(train.cache())
+    assert t.costs_[-1] < t.costs_[0]
+    preds = t.predict(test.cache())
+    joined = preds.join(feats.select("doc_id", F.col("label").alias("y")), "doc_id")
+    acc = joined.agg(F.avg((F.col("pred") == F.col("y")).cast("double"))).first()[0]
+    assert acc > 0.75, f"NN replay accuracy {acc}"
