@@ -64,6 +64,14 @@ def _tokenized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.withColumn("tokens", tokens_pipeline(F.col("text")))
 
 
+def _tokenized_documents_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenized (doc_id, tokens) materialized ONCE for queries whose
+    plan consumes the tokenization in several subtrees (vocabulary build
+    + TF + document frequency). Measured 3× on tfidf_long at sf0.1 —
+    see operators/features.tf_idf for the same pattern one level down."""
+    return _tokenized_documents(spark, sf_dir).select("doc_id", "tokens").localCheckpoint()
+
+
 # ---------------------------------------------------------------------------
 # Text pipeline: vocabulary / TF-IDF (R1, R2, R3, F1-F3, F5, F8, F9, F12)
 # ---------------------------------------------------------------------------
@@ -122,7 +130,7 @@ def tfidf_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     Preserves the reference's presence-TF distinct collapse, inner-join
     document drop, and unsmoothed log(N/df) — see operators/features.py.
     """
-    docs = _tokenized_documents(spark, sf_dir)
+    docs = _tokenized_documents_shared(spark, sf_dir)
     vocab = top_k_vocabulary(docs, k=100)
     out = tf_idf(docs, vocab)
     return out.select("doc_id", "word", "idx", F.round("tfidf", 8).alias("tfidf"))
@@ -1236,7 +1244,7 @@ def tfidf_smoothed_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4 variant: MLlib's smoothed IDF log((N+1)/(df+1)) — the engine
     exposes BOTH formulas (the reference's RDD path is unsmoothed
     log(N/df), its MLlib path smoothed; SURVEY §2.9 M4)."""
-    docs = _tokenized_documents(spark, sf_dir)
+    docs = _tokenized_documents_shared(spark, sf_dir)
     vocab = top_k_vocabulary(docs, k=100)
     out = tf_idf(docs, vocab, smoothed=True)
     return out.select("doc_id", "word", "idx", F.round("tfidf", 8).alias("tfidf"))
