@@ -317,37 +317,15 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash64(tokens: Column | str) -> Column:
-    """64-bit SimHash as a 64-char '0'/'1' string (bit 0 first).
-
-    Per token, bit j of md5(token) is extracted from hex nibble j//4 via
-    ``instr`` on a hex alphabet (identical expression exists in DuckDB —
-    no integer hex parsing). Fingerprint bit = majority vote over
-    tokens, ties → 0. Pure higher-order functions; at scale this is one
-    codegen'd projection, no shuffle at all.
-    """
-    t = F.col(tokens) if isinstance(tokens, str) else tokens
-    uniq = F.array_distinct(t)
-    hashes = F.transform(uniq, lambda x: F.md5(x))
-
-    def bit_sum(j: int) -> Column:
-        nibble_idx = j // 4 + 1  # 1-based substring position
-        shift = 3 - (j % 4)
-        mask = 1 << shift
-
-        def contrib(h: Column) -> Column:
-            nib = F.instr(F.lit("0123456789abcdef"), F.substring(h, nibble_idx, 1)) - 1
-            bit = F.floor(nib / mask) % 2
-            return F.when(bit == 1, 1).otherwise(-1)
-
-        return F.aggregate(hashes, F.lit(0), lambda acc, h: acc + contrib(h))
-
-    bits = [F.when(bit_sum(j) > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(64)]
-    return F.concat(*bits)
-
-
 def simhash_bits_from_hashes(hashes: Column | str) -> Column:
-    """64-bit simhash string from a precomputed md5-per-token array."""
+    """64-bit SimHash as a 64-char '0'/'1' string (bit 0 first) from a
+    precomputed md5-per-distinct-token array.
+
+    Per token, bit j of the md5 hex digest is extracted from nibble j//4
+    via ``instr`` on a hex alphabet (identical expression exists in
+    DuckDB — no integer hex parsing). Fingerprint bit = majority vote
+    over tokens, ties → 0. Pure projection, no shuffle.
+    """
     h = F.col(hashes) if isinstance(hashes, str) else hashes
 
     def bit_sum(j: int) -> Column:
