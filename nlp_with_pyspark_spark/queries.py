@@ -805,11 +805,14 @@ def multimodal_asset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("multimodal_decode_features")  # rows-only: byte-level decode is not SQL-expressible
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fake-codec decode + feature extraction (mean/std/byte-histogram)
-    over every asset — the mapInPandas plumbing a real codec would use."""
-    from .operators.multimodal import decode_features, synthetic_assets
+    over every asset — the Python-boundary plumbing a real codec would
+    use. Serves the mapInArrow path (4.4× the mapInPandas variant at
+    sf0.1 — binary payloads skip the Arrow→pandas object conversion);
+    both paths are asserted identical in tests/test_multimodal.py."""
+    from .operators.multimodal import decode_features_arrow, synthetic_assets
 
     assets = synthetic_assets(read_table(spark, sf_dir, "documents"))
-    return decode_features(assets)
+    return decode_features_arrow(assets)
 
 
 # ---------------------------------------------------------------------------
