@@ -84,12 +84,16 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One driver-testdata table (TESTDATA.md) by name.
 
     ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark reads only as
-    long nanos (``spark.sql.legacy.parquet.nanosAsLong``, set in
-    session.py). We surface BOTH: ``ts_ns`` (exact long — nanos don't fit
-    a double, so all ordering/bucketing math uses integer arithmetic on
-    this) and ``ts`` (micro-truncated proper timestamp for humans and
-    streaming APIs).
+    long nanos (``spark.sql.legacy.parquet.nanosAsLong``). That flag is a
+    *runtime* SQL conf, so we set it here rather than depending on the
+    session builder (session.py also sets it, but callers may hand us a
+    vanilla ``SparkSession`` — the read must not care). We surface BOTH:
+    ``ts_ns`` (exact long — nanos don't fit a double, so all
+    ordering/bucketing math uses integer arithmetic on this) and ``ts``
+    (micro-truncated proper timestamp for humans and streaming APIs).
     """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts_ns", F.col("ts")).withColumn(
