@@ -48,6 +48,8 @@ HEADLINE = [
     "doc_fingerprints",
     "multimodal_asset_stats",
     "multimodal_decode_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
     "events_asof_click_purchase",
     "supplier_nation_revenue",
     "price_percentiles",

@@ -89,23 +89,26 @@ def tf_idf(
 ) -> DataFrame:
     """R3: long-form TF-IDF → (doc_id, word, idx, tf, idf, tfidf).
 
-    N = number of documents that survive the vocabulary join (matching
-    the reference, which computes corpus size *after* the join drops
-    vocab-free docs — RDD_logisticregression.py:94-100 operates on the
-    joined tfArray).
+    N = the FULL pre-join corpus count, matching the reference:
+    ``numberOftweets = RDD.count()`` runs before any vocabulary join
+    (RDD_logisticregression.py:193) and is what get_tf_idfArray divides
+    by (:216). Documents dropped by the inner join (no vocab words)
+    still count toward N, so idf = log(N/df) can exceed log(n_joined/df).
+    The count is column-free, so Catalyst prunes the tokenize lineage —
+    at parquet scale it's a metadata count, not a corpus pass.
     """
     tf_long = presence_tf(docs, vocab, doc_col, tokens_col, true_tf=true_tf)
     if materialize:
-        # tf_long feeds THREE consumers (document frequency, the N-docs
-        # count, and the final join); without a barrier each one re-runs
-        # the full tokenize→explode→distinct→join lineage — 4 corpus
-        # passes total, measured ~2× the runtime at sf0.1. localCheckpoint
+        # tf_long feeds the document-frequency agg AND the final join;
+        # without a barrier each consumer re-runs the full
+        # tokenize→explode→distinct→join lineage — multiple corpus
+        # passes, measured ~2× the runtime at sf0.1. localCheckpoint
         # materializes it once to executor-local storage and truncates
         # the lineage. (On a real cluster with executor churn, swap for
         # reliable checkpointing or an explicit intermediate table.)
         tf_long = tf_long.localCheckpoint()
     dfreq = document_frequency(tf_long)
-    n_docs = tf_long.select("doc_id").distinct().count()
+    n_docs = docs.count()
     if smoothed:
         idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0))) + F.lit(0.0)
     else:

@@ -240,7 +240,9 @@ def resize_images(assets: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFram
         for pdf in batches:
             out = []
             for aid, content, meta in zip(pdf["asset_id"], pdf["content"], pdf["meta"]):
-                w, h, c = meta["width"], meta["height"], meta["channels"]
+                # empty payloads give height 0 (synthetic_assets: ceil(0/48));
+                # clamp so np.ix_ indexing never sees a zero-sized axis
+                w, h, c = max(meta["width"], 1), max(meta["height"], 1), max(meta["channels"], 1)
                 grid = np.zeros(h * w * c, dtype=np.uint8)
                 raw = _fake_decode(content)[: h * w * c]
                 grid[: raw.size] = raw

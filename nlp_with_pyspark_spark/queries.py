@@ -117,7 +117,7 @@ def vocab_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM doc_words dw JOIN vocab v USING (word)
     ),
     dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
-    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf)
+    n AS (SELECT count(*) AS n_docs FROM documents)  -- full pre-join corpus (ref :193)
     SELECT tf.doc_id, tf.word, tf.idx,
            round(tf.tf * ln(n.n_docs / CAST(dfreq.df AS DOUBLE)), 8) AS tfidf
     FROM tf, dfreq, n
@@ -524,7 +524,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM common
     JOIN sets sa ON doc_a = sa.doc_id
     JOIN sets sb ON doc_b = sb.doc_id
-    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 8) >= 0.2
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -802,17 +802,156 @@ def multimodal_asset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode_features")  # rows-only: byte-level decode is not SQL-expressible
+@query(
+    "multimodal_decode_features",
+    # The fake codec is deterministic byte math over encode(text), so it IS
+    # SQL-expressible: hex() gives two hex digits per byte; the high digit is
+    # exactly the 16-bin histogram bucket (byte >> 4) and both digits rebuild
+    # the byte value for mean/stddev_pop.
+    """
+    WITH assets AS (
+        SELECT doc_id AS asset_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+               hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents
+    ),
+    idx AS (
+        SELECT asset_id, hx, unnest(range(1, CAST(n AS BIGINT) + 1)) AS i FROM assets
+    ),
+    bytes AS (
+        SELECT asset_id,
+               (strpos('0123456789ABCDEF', substr(hx, CAST(2*i - 1 AS INT), 1)) - 1) AS hi,
+               16 * (strpos('0123456789ABCDEF', substr(hx, CAST(2*i - 1 AS INT), 1)) - 1)
+                 + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 1) AS byte_val
+        FROM idx
+    ),
+    stats AS (
+        SELECT asset_id, round(avg(byte_val), 6) AS mean_val,
+               round(stddev_pop(byte_val), 6) AS std_val
+        FROM bytes GROUP BY asset_id
+    ),
+    hist AS (
+        SELECT a.asset_id,
+               string_agg(CAST(coalesce(c.cnt, 0) AS VARCHAR), ',' ORDER BY b.b) AS histogram
+        FROM assets a
+        CROSS JOIN generate_series(0, 15) b(b)
+        LEFT JOIN (SELECT asset_id, hi, count(*) AS cnt FROM bytes GROUP BY asset_id, hi) c
+          ON c.asset_id = a.asset_id AND c.hi = b.b
+        GROUP BY a.asset_id
+    )
+    SELECT a.asset_id, a.modality, CAST(a.n AS BIGINT) AS n_samples,
+           coalesce(s.mean_val, 0.0) AS mean_val,
+           coalesce(s.std_val, 0.0) AS std_val,
+           h.histogram
+    FROM assets a
+    LEFT JOIN stats s ON s.asset_id = a.asset_id
+    JOIN hist h ON h.asset_id = a.asset_id
+    """,
+)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fake-codec decode + feature extraction (mean/std/byte-histogram)
     over every asset — the Python-boundary plumbing a real codec would
     use. Serves the mapInArrow path (4.4× the mapInPandas variant at
     sf0.1 — binary payloads skip the Arrow→pandas object conversion);
-    both paths are asserted identical in tests/test_multimodal.py."""
+    both paths are asserted identical in tests/test_multimodal.py.
+
+    Registry shape: floats rounded (6 dp, ≥1000× headroom) and the
+    histogram stringified — the driver's canonicalizer pandas-sorts all
+    columns and an ``array<long>`` cell is unhashable (round-1 err).
+    API users get the array form from ``decode_features_arrow`` itself.
+    """
     from .operators.multimodal import decode_features_arrow, synthetic_assets
 
     assets = synthetic_assets(read_table(spark, sf_dir, "documents"))
-    return decode_features_arrow(assets)
+    return decode_features_arrow(assets).select(
+        "asset_id",
+        "modality",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.round("mean_val", 6).alias("mean_val"),
+        F.round("std_val", 6).alias("std_val"),
+        F.concat_ws(",", F.col("histogram").cast("array<string>")).alias("histogram"),
+    )
+
+
+@query(
+    "multimodal_resize",
+    # Nearest-neighbor resize of the fake-decoded 16×h×3 grid to 4×4×3.
+    # Sampled pixel k (0..47): yi=k//12, xi=(k//3)%4, ci=k%3; source byte
+    # position = (yi*h//4)*48 + xi*4*3 + ci, value = payload byte there or 0
+    # past the payload (the grid is zero-filled). Grid height comes from
+    # n_chars (synthetic_assets meta) while the payload bound is byte length.
+    """
+    WITH imgs AS (
+        SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n,
+               greatest(CAST(ceil(n_chars / 48.0) AS INT), 1) AS h
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    px AS (
+        SELECT asset_id, hx, n, h, unnest(range(0, 48)) AS k FROM imgs
+    ),
+    pos AS (
+        SELECT asset_id, hx, n, k,
+               ((k // 12) * h // 4) * 48 + ((k // 3) % 4) * 12 + (k % 3) AS p
+        FROM px
+    ),
+    vals AS (
+        SELECT asset_id, k,
+               CASE WHEN p < n THEN
+                 16 * (strpos('0123456789ABCDEF', substr(hx, CAST(2*p + 1 AS INT), 1)) - 1)
+                   + (strpos('0123456789ABCDEF', substr(hx, CAST(2*p + 2 AS INT), 1)) - 1)
+               ELSE 0 END AS val
+        FROM pos
+    )
+    SELECT asset_id, CAST(4 AS INT) AS out_width, CAST(4 AS INT) AS out_height,
+           string_agg(CAST(val AS VARCHAR), ',' ORDER BY k) AS pixels
+    FROM vals GROUP BY asset_id
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor image resize over the fake-codec grid; pixels
+    stringified for the driver canonicalizer (array form in the API)."""
+    from .operators.multimodal import resize_images, synthetic_assets
+
+    assets = synthetic_assets(read_table(spark, sf_dir, "documents"))
+    return resize_images(assets).select(
+        "asset_id",
+        "out_width",
+        "out_height",
+        F.concat_ws(",", F.col("pixels").cast("array<string>")).alias("pixels"),
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    # Every 4th frame of each video payload; the fake codec slices the
+    # payload into n_frames equal chunks of max(bytes // n_frames, 1).
+    # Frames compared as hex so the driver never canonicalizes raw binary.
+    """
+    WITH vids AS (
+        SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n,
+               greatest(CAST(ceil(n_chars / 64.0) AS INT), 1) AS nf
+        FROM documents WHERE doc_id % 3 = 2
+    ),
+    fl AS (SELECT asset_id, hx, greatest(n // nf, 1) AS frame_len, nf FROM vids),
+    frames AS (
+        SELECT asset_id, hx, frame_len, unnest(range(0, nf, 4)) AS frame_idx FROM fl
+    )
+    SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx,
+           substr(hx, CAST(2 * frame_idx * frame_len + 1 AS INT), CAST(2 * frame_len AS INT)) AS frame_hex
+    FROM frames
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided video frame sampling (decode-and-sample in one pass)."""
+    from .operators.multimodal import sample_frames, synthetic_assets
+
+    assets = synthetic_assets(read_table(spark, sf_dir, "documents"))
+    return sample_frames(assets).select(
+        "asset_id", "frame_idx", F.hex("frame_bytes").alias("frame_hex")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1239,7 +1378,7 @@ def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM doc_words dw JOIN vocab v USING (word)
     ),
     dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
-    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf)
+    n AS (SELECT count(*) AS n_docs FROM documents)  -- full pre-join corpus (ref :193)
     SELECT tf.doc_id, tf.word, tf.idx,
            round(tf.tf * ln((n.n_docs + 1) / (CAST(dfreq.df AS DOUBLE) + 1)), 8) AS tfidf
     FROM tf, dfreq, n

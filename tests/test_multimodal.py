@@ -117,6 +117,18 @@ def test_frame_bytes_reassemble_prefix(assets):
     assert len(joined) > 0
 
 
+def test_resize_empty_payload_does_not_crash(spark):
+    """An empty asset gives height ceil(0/48)=0 in the synthetic metadata;
+    resize must clamp the grid axes instead of IndexError-ing the task."""
+    docs = spark.createDataFrame(
+        [(0, "", 0), (3, "abc" * 40, 120)], "doc_id long, text string, n_chars long"
+    )
+    rows = resize_images(synthetic_assets(docs)).collect()
+    assert {r.asset_id for r in rows} == {0, 3}
+    empty = next(r for r in rows if r.asset_id == 0)
+    assert empty.pixels == [0] * 48
+
+
 def test_real_codec_seam_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_asset_real(b"\x00", {})
