@@ -162,31 +162,40 @@ def minhash_candidate_pairs(
     n: int = 3,
     k: int = 12,
     bands: int = 4,
+    max_docs_per_bucket: int = 1000,
 ) -> DataFrame:
     """Distinct candidate (doc_a < doc_b) pairs sharing ≥1 band bucket.
 
     The bucket self-join is keyed on (band_id, band_hash) — the shuffle
     moves (doc_id, 32-char hash) rows only. Bucket sizes are ~Poisson
-    under random hashing; a pathological bucket means genuinely
-    near-identical docs, which is the signal, not skew.
+    under random hashing; buckets above ``max_docs_per_bucket`` (mass
+    near-dup clusters) are dropped — see ``_bucket_pairs``.
     """
-    return _bucket_pairs(lsh_band_buckets(docs, tokens_col, id_col, n, k, bands))
+    return _bucket_pairs(
+        lsh_band_buckets(docs, tokens_col, id_col, n, k, bands), max_docs_per_bucket
+    )
 
 
-def _bucket_pairs(band_buckets: DataFrame) -> DataFrame:
+def _bucket_pairs(band_buckets: DataFrame, max_docs_per_bucket: int = 1000) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs co-bucketed in ≥1 band.
 
     One hash-agg per bucket, then pairs generated row-locally from the
     sorted member list — no self-join, so the signature lineage runs
     exactly once. (The self-join formulation re-evaluated it for each
-    side.) Assumes exact dedup ran first, the standard pipeline order:
-    a bucket of m exact-identical docs would expand to m²/2 pairs in
-    one row here, where the join shape would merely shuffle them.
+    side.)
+
+    ``max_docs_per_bucket`` is the skew guard, mirroring
+    ``ngram_jaccard_pairs.max_docs_per_shingle``: at corpus scale a
+    templated-document cluster (same boilerplate, different bodies) puts
+    m docs in one bucket → an m-element collect_list row and m²/2 pairs
+    on a single executor. Buckets above the cap are dropped — a cluster
+    that large is a mass-duplication signal better handled by exact
+    dedup first (the standard pipeline order this operator assumes).
     """
     buckets = (
         band_buckets.groupBy("band_id", "band_hash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .where(F.size("ids") >= 2)
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_docs_per_bucket))
     )
     ids = F.col("ids")
     pair_arr = F.flatten(
@@ -213,6 +222,7 @@ def minhash_dedup_pairs(
     k: int = 12,
     bands: int = 4,
     threshold: float = 0.7,
+    max_docs_per_bucket: int = 1000,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard ≥ threshold.
 
@@ -224,7 +234,9 @@ def minhash_dedup_pairs(
     # join sides (docs with <n tokens have no shingles and can never be
     # candidates, so the pre-filter does not change results)
     shingle_sets = _shingle_sets(docs, tokens_col, id_col, n).localCheckpoint()
-    cands = _bucket_pairs(_band_buckets_from_shingles(shingle_sets, k, bands))
+    cands = _bucket_pairs(
+        _band_buckets_from_shingles(shingle_sets, k, bands), max_docs_per_bucket
+    )
     a = shingle_sets.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
     )
@@ -362,47 +374,83 @@ def simhash_fingerprints(
     return hashed.select("doc_id", simhash_bits_from_hashes("_h").alias("simhash"))
 
 
+def simhash_band_segments(bands: int, n_bits: int = 64) -> list[tuple[int, int]]:
+    """(1-based start, length) of each band segment, covering ALL bits.
+
+    64 rarely divides evenly by ``max_hamming + 1`` bands, so the first
+    ``n_bits % bands`` segments get one extra bit — a truncating 64//bands
+    split would leave trailing bits in no band, silently missing pairs
+    that differ only there. Shared with the DuckDB oracle (queries.py).
+    """
+    base, rem = divmod(n_bits, bands)
+    out, pos = [], 1
+    for b in range(bands):
+        ln = base + (1 if b < rem else 0)
+        out.append((pos, ln))
+        pos += ln
+    return out
+
+
+def _simhash_band_buckets(fp: DataFrame, bands: int) -> DataFrame:
+    """(doc_id, band_id, band_hash) by exploding the segment array from
+    ONE fingerprint projection — same shape as
+    ``_band_buckets_from_shingles``. (The previous unionAll-of-branches
+    formulation re-evaluated the md5+64-bit-fold lineage once per band
+    and again per self-join side, ~8× the hash work.)
+    """
+    segs = simhash_band_segments(bands)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.substring("simhash", start, ln).alias("band_hash"),
+            )
+            for b, (start, ln) in enumerate(segs)
+        ]
+    )
+    return fp.select("doc_id", F.explode(band_arr).alias("bb")).select(
+        "doc_id", F.col("bb.band_id").alias("band_id"), F.col("bb.band_hash").alias("band_hash")
+    )
+
+
 def simhash_near_pairs(
     docs: DataFrame,
     tokens_col: str = "tokens",
     id_col: str = "doc_id",
     max_hamming: int = 8,
-    bands: int = 4,
+    bands: int | None = None,
+    max_docs_per_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Banded blocking (split the 64 bits into ``bands`` segments; any pair
-    within distance d < bands must agree exactly on ≥1 segment) keeps
-    this subquadratic, then the exact Hamming check filters. Same
-    band-join shape as minhash LSH.
+    Banded blocking: a pair at distance d differs in at most d of the
+    ``bands`` segments, so with ``bands > max_hamming`` it must agree
+    exactly on ≥1 segment (pigeonhole) — candidate generation is then
+    LOSSLESS for the advertised radius, and the result equals the exact
+    all-pairs filter (what the DuckDB oracle checks). ``bands`` defaults
+    to ``max_hamming + 1``; smaller values would silently miss pairs
+    whose differing bits spread across every segment, so they're
+    rejected. Large radii (≳16) make segments so short that buckets
+    degenerate toward all-pairs — this operator is for tight near-dup
+    radii; use embedding similarity for coarse matching.
+
+    Same bucket shape as minhash LSH: one fingerprint projection feeds
+    banding and both verify sides; ``max_docs_per_bucket`` guards
+    mass-duplication skew (see ``_bucket_pairs``).
     """
-    fp = simhash_fingerprints(docs, tokens_col, id_col)
-    seg = 64 // bands
-    parts = []
-    for b in range(bands):
-        parts.append(
-            fp.select(
-                "doc_id",
-                "simhash",
-                F.lit(b).alias("band_id"),
-                F.substring("simhash", b * seg + 1, seg).alias("band_bits"),
-            )
+    if bands is None:
+        bands = max_hamming + 1
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands={bands} <= max_hamming={max_hamming}: banded blocking only "
+            "guarantees recall for Hamming distance < bands (pigeonhole); "
+            "use bands >= max_hamming + 1"
         )
-    banded = parts[0]
-    for more in parts[1:]:
-        banded = banded.unionAll(more)
-    l = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"), "band_id", "band_bits"
-    )
-    r = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"), "band_id", "band_bits"
-    )
-    cands = (
-        l.join(r, ["band_id", "band_bits"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "fp_a", "fp_b")
-        .distinct()
-    )
+    fp = simhash_fingerprints(docs, tokens_col, id_col).localCheckpoint()
+    cands = _bucket_pairs(_simhash_band_buckets(fp, bands), max_docs_per_bucket)
+    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"))
+    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"))
+    joined = cands.join(a, "doc_a").join(b, "doc_b")
     # hamming distance between two '0'/'1' strings: count differing positions
     ham = F.size(
         F.filter(
@@ -410,7 +458,7 @@ def simhash_near_pairs(
             lambda d: d,
         )
     )
-    return cands.select("doc_a", "doc_b", ham.alias("hamming")).where(
+    return joined.select("doc_a", "doc_b", ham.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
 
