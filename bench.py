@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_exact_groups",
     "dedup_minhash_pairs",
     "simhash_fingerprints",
+    "simhash_near_pairs",
     "ann_brute_force_topk",
     "ann_lsh_topk",
     "lang_id_counts",

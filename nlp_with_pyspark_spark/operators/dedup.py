@@ -108,6 +108,9 @@ def _shingle_sets(
     signature itself gets pushed below the projection and re-evaluates
     the entire md5 fold a second time (measured 2×).
     """
+    from ..sources.io import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     return docs.where(F.size(F.col(tokens_col)) >= n).select(
         F.col(id_col).alias("doc_id"), word_shingles(F.col(tokens_col), n).alias("shingles")
     )
@@ -273,7 +276,9 @@ def ngram_jaccard_pairs(
     shingle → count common shingles per pair → Jaccard. Only pairs
     sharing ≥1 (kept) shingle are ever materialized.
     """
-    sets = docs.select(
+    from ..sources.io import ensure_parallelism
+
+    sets = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(tokens_col), n).alias("shingles"),
     ).where(F.size("shingles") > 0)
@@ -329,49 +334,74 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash_bits_from_hashes(hashes: Column | str) -> Column:
-    """64-bit SimHash as a 64-char '0'/'1' string (bit 0 first) from a
-    precomputed md5-per-distinct-token array.
-
-    Per token, bit j of the md5 hex digest is extracted from nibble j//4
-    via ``instr`` on a hex alphabet (identical expression exists in
-    DuckDB — no integer hex parsing). Fingerprint bit = majority vote
-    over tokens, ties → 0. Pure projection, no shuffle.
-    """
-    h = F.col(hashes) if isinstance(hashes, str) else hashes
-
-    def bit_sum(j: int) -> Column:
-        nibble_idx = j // 4 + 1
-        shift = 3 - (j % 4)
-        mask = 1 << shift
-
-        def contrib(hx: Column) -> Column:
-            nib = F.instr(F.lit("0123456789abcdef"), F.substring(hx, nibble_idx, 1)) - 1
-            bit = F.floor(nib / mask) % 2
-            return F.when(bit == 1, 1).otherwise(-1)
-
-        return F.aggregate(h, F.lit(0), lambda acc, x: acc + contrib(x))
-
-    bits = [F.when(bit_sum(j) > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(64)]
-    return F.concat(*bits)
-
-
 def simhash_fingerprints(
     docs: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(doc_id, simhash) for every doc with ≥1 token.
+    """(doc_id, simhash): 64-bit SimHash as a 64-char '0'/'1' string
+    (bit 0 first) for every doc with ≥1 token.
 
-    Two projections on purpose: the md5-per-distinct-token array is
-    materialized as its own column FIRST, then the 64 bit-folds read it.
-    Inlining (simhash64 as one expression) makes every bit-fold
-    re-evaluate the whole md5 transform — 64× the hash work, confirmed
-    by 64 md5 occurrences in the plan and a 4× slowdown at sf0.1.
+    Bit j = big-endian bit j of the token's md5 hex digest (first 16 hex
+    chars); fingerprint bit = majority vote over distinct tokens, ties →
+    0 — the same value the DuckDB oracle derives by nibble parsing
+    (queries._simhash_sql), asserted bit-identical in tests.
+
+    Three projections on purpose:
+    1. md5 per distinct token, parsed ONCE into two 32-bit ints
+       (``conv`` of each 8-hex-char half — 64 bits never touch a signed
+       overflow). Materializing this first matters: inlining makes every
+       downstream bit read re-run the md5 transform (measured 64× hash
+       work via 64 md5 occurrences in the plan, 4× wall at sf0.1).
+    2. ONE fold summing per-token ±1 contribution vectors
+       (``zip_with`` over a 64-int array). The previous formulation —
+       64 separate ``aggregate`` folds, each re-traversing the hash
+       array with instr/substring nibble parsing — generated ~3×
+       the codegen (slower to compile AND run; measured 10.4 s → 7.1 s
+       first-run, 4.5 s → 3.1 s steady at sf0.1).
+    3. majority vote → bit string.
+
+    Pure projection, no shuffle. ``ensure_parallelism`` guards the
+    single-row-group-input case where the fold would otherwise run on
+    one task (sources/io.py).
     """
+    from ..sources.io import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     hashed = docs.where(F.size(F.col(tokens_col)) > 0).select(
         F.col(id_col).alias("doc_id"),
-        F.transform(F.array_distinct(F.col(tokens_col)), lambda x: F.md5(x)).alias("_h"),
+        F.transform(
+            F.transform(F.array_distinct(F.col(tokens_col)), lambda x: F.md5(x)),
+            lambda hx: F.struct(
+                F.conv(F.substring(hx, 1, 8), 16, 10).cast("long").alias("v1"),
+                F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").alias("v2"),
+            ),
+        ).alias("_h"),
     )
-    return hashed.select("doc_id", simhash_bits_from_hashes("_h").alias("simhash"))
+
+    def contrib(x: Column) -> Column:
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(
+                        x["v1"] if j < 32 else x["v2"], (31 - j) if j < 32 else (63 - j)
+                    ).bitwiseAND(F.lit(1))
+                    == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+                for j in range(64)
+            ]
+        )
+
+    sums = F.aggregate(
+        F.col("_h"),
+        F.array(*[F.lit(0)] * 64),
+        lambda acc, x: F.zip_with(acc, contrib(x), lambda a, c: a + c),
+    )
+    with_sums = hashed.select("doc_id", sums.alias("_s"))
+    bits = [
+        F.when(F.element_at("_s", j + 1) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for j in range(64)
+    ]
+    return with_sums.select("doc_id", F.concat(*bits).alias("simhash"))
 
 
 def simhash_band_segments(bands: int, n_bits: int = 64) -> list[tuple[int, int]]:
@@ -391,21 +421,32 @@ def simhash_band_segments(bands: int, n_bits: int = 64) -> list[tuple[int, int]]
     return out
 
 
-def _simhash_band_buckets(fp: DataFrame, bands: int) -> DataFrame:
-    """(doc_id, band_id, band_hash) by exploding the segment array from
-    ONE fingerprint projection — same shape as
-    ``_band_buckets_from_shingles``. (The previous unionAll-of-branches
-    formulation re-evaluated the md5+64-bit-fold lineage once per band
-    and again per self-join side, ~8× the hash work.)
+def _simhash_band_buckets(fp: DataFrame, bands: int, combo_size: int = 1) -> DataFrame:
+    """(doc_id, band_id, band_hash) by exploding the blocking-key array
+    from ONE fingerprint projection — same shape as
+    ``_band_buckets_from_shingles``. (A unionAll-of-branches formulation
+    re-evaluated the md5+64-bit-fold lineage once per band and again per
+    self-join side, ~8× the hash work.)
+
+    ``combo_size=1``: one key per segment (classic pigeonhole banding).
+    ``combo_size=c>1``: one key per c-subset of segments (band_hash =
+    concatenated segment values, band_id = combo index) — C(bands, c)
+    keys per doc, keyspace ~2^(64·c/bands) per key. See
+    ``simhash_near_pairs`` for when each is the right trade.
     """
+    import itertools
+
     segs = simhash_band_segments(bands)
+    combos = list(itertools.combinations(range(bands), combo_size))
     band_arr = F.array(
         *[
             F.struct(
-                F.lit(b).alias("band_id"),
-                F.substring("simhash", start, ln).alias("band_hash"),
+                F.lit(ci).alias("band_id"),
+                F.concat(
+                    *[F.substring("simhash", segs[s][0], segs[s][1]) for s in combo]
+                ).alias("band_hash"),
             )
-            for b, (start, ln) in enumerate(segs)
+            for ci, combo in enumerate(combos)
         ]
     )
     return fp.select("doc_id", F.explode(band_arr).alias("bb")).select(
@@ -419,44 +460,75 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 8,
     bands: int | None = None,
+    combo_size: int | None = None,
     max_docs_per_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Banded blocking: a pair at distance d differs in at most d of the
-    ``bands`` segments, so with ``bands > max_hamming`` it must agree
-    exactly on ≥1 segment (pigeonhole) — candidate generation is then
-    LOSSLESS for the advertised radius, and the result equals the exact
-    all-pairs filter (what the DuckDB oracle checks). ``bands`` defaults
-    to ``max_hamming + 1``; smaller values would silently miss pairs
-    whose differing bits spread across every segment, so they're
-    rejected. Large radii (≳16) make segments so short that buckets
-    degenerate toward all-pairs — this operator is for tight near-dup
-    radii; use embedding similarity for coarse matching.
+    Combination-of-segments blocking (Manku et al., WWW'07): the 64 bits
+    split into ``bands`` segments; a pair at distance d ≤ max_hamming
+    differs in at most d segments, so it agrees exactly on some
+    ``bands - max_hamming`` of them — blocking on every
+    ``combo_size``-subset of segments is LOSSLESS for the advertised
+    radius whenever ``combo_size <= bands - max_hamming``, and the
+    result equals the exact all-pairs filter (what the DuckDB oracle
+    checks). Configs violating that bound silently miss pairs whose
+    differing bits spread across every key, so they're rejected.
+
+    The blocking trade, made explicit because it decides whether the
+    operator works at corpus scale:
+
+    * ``combo_size=1`` with ``bands = max_hamming + 1`` is classic
+      pigeonhole banding — cheapest (d+1 key rows/doc) but each key has
+      only 64/(d+1) bits ⇒ ~2^(64//(d+1)) distinct values per band, so
+      with the ``max_docs_per_bucket`` skew cap every bucket saturates
+      (and is dropped) once the corpus passes roughly
+      ``max_docs_per_bucket · 2^(64//(d+1))`` docs — ~256k docs at the
+      default radius 8. Fine for small partitions / the SQL oracle;
+      wrong as a 100 TB default.
+    * Defaults ``bands = max_hamming + 3``, ``combo_size = 3``:
+      C(bands, 3) key rows/doc (165 at d=8, 20 at d=3) but each key
+      carries 3·64/bands bits (~2^17 values at d=8, 2^32 at d=3), so
+      random-fingerprint buckets stay tiny at billion-doc scale. Key
+      rows are (doc_id, int, ≤33-char string) — the explode factor
+      buys keyspace, the standard simhash-at-scale trade.
 
     Same bucket shape as minhash LSH: one fingerprint projection feeds
-    banding and both verify sides; ``max_docs_per_bucket`` guards
-    mass-duplication skew (see ``_bucket_pairs``).
+    blocking and both verify sides; ``max_docs_per_bucket`` guards
+    mass-duplication skew (see ``_bucket_pairs``; run exact dedup first
+    so identical docs don't flood buckets).
     """
     if bands is None:
-        bands = max_hamming + 1
-    if bands <= max_hamming:
+        bands = max_hamming + 3
+    if combo_size is None:
+        combo_size = min(3, bands - max_hamming)
+    if bands > 64:
         raise ValueError(
-            f"bands={bands} <= max_hamming={max_hamming}: banded blocking only "
-            "guarantees recall for Hamming distance < bands (pigeonhole); "
-            "use bands >= max_hamming + 1"
+            f"bands={bands} > 64 bits: segments would be empty; this operator "
+            "is for tight radii (max_hamming ≲ 16) — use embedding similarity "
+            "for coarse matching"
+        )
+    if combo_size < 1 or combo_size > bands - max_hamming:
+        raise ValueError(
+            f"combo_size={combo_size} outside [1, bands - max_hamming = "
+            f"{bands - max_hamming}]: a pair at Hamming distance {max_hamming} "
+            f"only agrees on {bands}-{max_hamming} segments (pigeonhole), so "
+            "larger combos (or bands <= max_hamming) silently lose recall"
         )
     fp = simhash_fingerprints(docs, tokens_col, id_col).localCheckpoint()
-    cands = _bucket_pairs(_simhash_band_buckets(fp, bands), max_docs_per_bucket)
-    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"))
-    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"))
+    cands = _bucket_pairs(_simhash_band_buckets(fp, bands, combo_size), max_docs_per_bucket)
+    # Hamming verify: parse each fingerprint into two 32-bit ints ONCE per
+    # doc, so the per-candidate cost is bit_count(xor) — the naive per-pair
+    # formulation (split both 64-char strings + zip_with) paid the string
+    # work per candidate and was ~3× slower at sf0.1 (candidates ≫ docs on
+    # a Hamming-clustered corpus).
+    hi = F.conv(F.substring("simhash", 1, 32), 2, 10).cast("long")
+    lo = F.conv(F.substring("simhash", 33, 32), 2, 10).cast("long")
+    a = fp.select(F.col("doc_id").alias("doc_a"), hi.alias("hi_a"), lo.alias("lo_a"))
+    b = fp.select(F.col("doc_id").alias("doc_b"), hi.alias("hi_b"), lo.alias("lo_b"))
     joined = cands.join(a, "doc_a").join(b, "doc_b")
-    # hamming distance between two '0'/'1' strings: count differing positions
-    ham = F.size(
-        F.filter(
-            F.zip_with(F.split("fp_a", ""), F.split("fp_b", ""), lambda x, y: x != y),
-            lambda d: d,
-        )
+    ham = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
     )
     return joined.select("doc_a", "doc_b", ham.alias("hamming")).where(
         F.col("hamming") <= max_hamming

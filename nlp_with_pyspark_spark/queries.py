@@ -60,7 +60,14 @@ def query(name: str, sql: str | None = None):
 
 
 def _tokenized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    """documents + tokens column. The repartition guard sits BELOW the
+    tokenize projection on purpose: a single-row-group parquet scan is
+    one task, and an Exchange added on top of the projection would still
+    evaluate the regex pipeline pre-shuffle on that one task
+    (sources/io.ensure_parallelism; no-op on well-split inputs)."""
+    from .sources.io import ensure_parallelism
+
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     return docs.withColumn("tokens", tokens_pipeline(F.col("text")))
 
 
@@ -68,7 +75,8 @@ def _tokenized_documents_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenized (doc_id, tokens) materialized ONCE for queries whose
     plan consumes the tokenization in several subtrees (vocabulary build
     + TF + document frequency). Measured 3× on tfidf_long at sf0.1 —
-    see operators/features.tf_idf for the same pattern one level down."""
+    see operators/features.tf_idf for the same pattern one level down.
+    Input parallelism is handled inside ``_tokenized_documents``."""
     return _tokenized_documents(spark, sf_dir).select("doc_id", "tokens").localCheckpoint()
 
 
@@ -475,9 +483,14 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands AS (
         {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_id, md5(array_to_string(sig[{b * 3 + 1}:{b * 3 + 3}], '|')) AS band_hash FROM sig" for b in range(4))}
     ),
+    bsz AS (  -- mirror of _bucket_pairs.max_docs_per_bucket: hot buckets drop
+        SELECT band_id, band_hash FROM bands GROUP BY 1, 2 HAVING count(*) <= 1000
+    ),
     cands AS (
         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-        FROM bands l JOIN bands r
+        FROM bands l
+        JOIN bsz USING (band_id, band_hash)
+        JOIN bands r
           ON l.band_id = r.band_id AND l.band_hash = r.band_hash
          AND l.doc_id < r.doc_id
     ),
@@ -563,6 +576,59 @@ def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_fingerprints
 
     return simhash_fingerprints(_tokenized_documents(spark, sf_dir))
+
+
+def _simhash_near_pairs_sql(max_hamming: int, bands: int, cap: int) -> str:
+    """Exact mirror of simhash_near_pairs in pigeonhole mode: same
+    fingerprints (``_simhash_sql``), same band segments
+    (``simhash_band_segments`` — shared code, not a reimplementation),
+    same hot-bucket cap, same Hamming verify."""
+    from .operators.dedup import simhash_band_segments
+
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, substr(simhash, {start}, {ln}) AS band_hash FROM fp"
+        for b, (start, ln) in enumerate(simhash_band_segments(bands))
+    )
+    return f"""
+    WITH fp AS ({_simhash_sql()}),
+    bands AS ({band_union}),
+    bsz AS (SELECT band_id, band_hash FROM bands GROUP BY 1, 2 HAVING count(*) <= {cap}),
+    cands AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM bands l
+        JOIN bsz USING (band_id, band_hash)
+        JOIN bands r
+          ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+         AND l.doc_id < r.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+        SELECT doc_a, doc_b,
+               CAST(len(list_filter(range(1, 65),
+                    i -> substr(a.simhash, i, 1) <> substr(b.simhash, i, 1))) AS INT) AS hamming
+        FROM cands
+        JOIN fp a ON cands.doc_a = a.doc_id
+        JOIN fp b ON cands.doc_b = b.doc_id
+    ) WHERE hamming <= {max_hamming}
+    """
+
+
+@query("simhash_near_pairs", _simhash_near_pairs_sql(max_hamming=3, bands=4, cap=1000))
+def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at the canonical Manku-et-al. radius
+    (Hamming ≤ 3), pigeonhole banding.
+
+    Registered with bands = max_hamming + 1 / combo_size = 1 so the SQL
+    oracle stays 4 band branches; blocking is lossless either way, and
+    the operator's combination-blocking default (the 100 TB path) is
+    asserted equal to this config in tests/test_dedup_similarity.py.
+    (The synthetic corpus is Hamming-clustered: radius 8 yields ~0.8 M
+    pairs at sf0.1 — a result-size artifact, not extra coverage.)
+    """
+    from .operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        _tokenized_documents(spark, sf_dir), max_hamming=3, bands=4, combo_size=1
+    )
 
 
 @query(

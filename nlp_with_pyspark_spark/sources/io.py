@@ -49,6 +49,27 @@ TESTDATA_TABLES = (
 )
 
 
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition iff the plan would run on fewer partitions than the
+    cluster has cores.
+
+    Parquet scans can't split below row-group granularity, so a
+    single-file single-row-group input (exactly what small exports look
+    like) serializes every downstream compute-heavy projection — the
+    md5-fold fingerprint/signature operators — onto ONE task no matter
+    how many executors exist. The guard makes this a NO-OP on properly
+    laid-out 100 TB inputs (thousands of splits already ≥ cores): the
+    shuffle is only paid when the alternative is single-core execution.
+    Place it before a materialization point (localCheckpoint / heavy
+    fold), never as a blanket wrapper on reads.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
@@ -91,6 +112,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``ts_ns`` (exact long — nanos don't fit a double, so all
     ordering/bucketing math uses integer arithmetic on this) and ``ts``
     (micro-truncated proper timestamp for humans and streaming APIs).
+
+    The conf deliberately STAYS set on the session afterwards: Spark
+    re-reads it when the (lazy) scan actually executes, so restoring it
+    here — before any action has run — would fail that later execution.
+    Callers reading other nano-timestamp parquet in the same session get
+    long nanos there too; reset it explicitly if that's unwanted.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -122,6 +122,50 @@ def test_minhash_candidates_superset_of_high_jaccard(docs):
 
 
 def test_simhash_near_pairs_symmetric_bounded(docs):
-    pairs = simhash_near_pairs(docs, max_hamming=16, bands=4).collect()
+    pairs = simhash_near_pairs(docs, max_hamming=8).collect()
     assert all(r.doc_a < r.doc_b for r in pairs)
-    assert all(0 <= r.hamming <= 16 for r in pairs)
+    assert all(0 <= r.hamming <= 8 for r in pairs)
+
+
+def test_simhash_near_pairs_rejects_lossy_configs(docs):
+    # bands <= max_hamming: differing bits can touch every segment
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_pairs(docs, max_hamming=16, bands=4)
+    # combo_size > bands - max_hamming: no guaranteed shared key
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_pairs(docs, max_hamming=4, bands=6, combo_size=3)
+    # > 64 segments would be empty strings
+    with pytest.raises(ValueError, match="64"):
+        simhash_near_pairs(docs, max_hamming=63, bands=65)
+
+
+def test_simhash_combo_equals_pigeonhole_blocking(docs):
+    """Both blockings are lossless for the advertised radius, so they
+    must produce the identical verified pair set."""
+    combo = simhash_near_pairs(docs, max_hamming=4)  # bands=7, combo_size=3
+    pigeon = simhash_near_pairs(docs, max_hamming=4, bands=5, combo_size=1)
+    assert sorted(map(tuple, combo.collect())) == sorted(map(tuple, pigeon.collect()))
+
+
+def test_bucket_pairs_drops_hot_buckets(spark):
+    """The max_docs_per_bucket skew guard: an over-cap bucket (mass
+    duplication) contributes no pairs; other buckets are unaffected."""
+    from nlp_with_pyspark_spark.operators.dedup import _bucket_pairs
+
+    hot = [(i, 0, "hot") for i in range(12)]
+    ok = [(100, 1, "ok"), (101, 1, "ok")]
+    bb = spark.createDataFrame(hot + ok, "doc_id long, band_id int, band_hash string")
+    got = sorted(map(tuple, _bucket_pairs(bb, max_docs_per_bucket=10).collect()))
+    assert got == [(100, 101)]
+
+
+def test_minhash_cap_drops_mass_duplicate_cluster(spark):
+    """End-to-end: a cluster of identical docs larger than the cap emits
+    no candidates, while a distinct near-dup pair still does."""
+    clones = [(i, ["mass", "duplicate", "boilerplate", "text", "block"]) for i in range(8)]
+    pair = [(i, ["a", "small", "distinct", "duplicate", "pair"]) for i in (100, 101)]
+    docs = spark.createDataFrame(clones + pair, "doc_id long, tokens array<string>")
+    got = sorted(
+        map(tuple, minhash_candidate_pairs(docs, max_docs_per_bucket=5).collect())
+    )
+    assert got == [(100, 101)]
