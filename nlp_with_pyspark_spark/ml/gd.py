@@ -99,13 +99,23 @@ class Optimizer:
     """Driver-side first-order update rules (R8).
 
     ``compat='standard'`` (default) uses the published formulas.
-    ``compat='reference'`` replicates the reference's as-written Nesterov
-    and RMSprop, which deviate from the literature (SURVEY §7.4 'known
-    bugs'): Nesterov applies the lookahead against the *previous*
-    iteration's momentum (LR_Optimizers.py:162-166), and RMSprop decays
-    a cumulative sum divided by the iteration count instead of a running
-    mean (LR_Optimizers.py:180-184). Both still descend; outputs match
-    the reference's golden cost curves only under this mode.
+    ``compat='reference'`` replicates the reference's as-written rules,
+    which deviate from the literature (SURVEY §7.4 'known bugs'):
+    Nesterov applies the lookahead against the *previous* iteration's
+    momentum (LR_Optimizers.py:162-166); RMSprop decays a cumulative
+    sum divided by the iteration count instead of a running mean
+    (LR_Optimizers.py:180-184); Adam's second moment starts at the
+    SCALAR 10000 (``second_mom = np.array(10000)``,
+    LR_Optimizers.py:140) so its first steps are ~100× too small — the
+    golden curve out/optimizer:Adam/part-00000 (4405.14 → 4404.82 over
+    3 iterations) confirms that bug is live in the reference's own
+    outputs; and epsilon is 10e-8 i.e. 1e-7 (LR_Optimizers.py:141).
+    All still descend. Exact golden-curve replay is impossible for the
+    per-optimizer curves — the reference initializes coefficients from
+    an UNSEEDED ``np.random.normal(0, 0.1, 10000)``
+    (LR_Optimizers.py:129) — so the validated parity surface is the
+    zeros-init initial-cost identity + curve-shape envelope + bug
+    reproduction (tests/test_golden_curves.py).
     """
 
     name: str = "gd"
@@ -124,6 +134,13 @@ class Optimizer:
         if self._v is None:
             self._v = np.zeros_like(w)
             self._m = np.zeros_like(w)
+            if self.name == "adam" and self.compat == "reference":
+                # LR_Optimizers.py:140: second_mom = np.array(10000) — a
+                # scalar 10000, broadcast into the decay. First steps are
+                # divided by ~sqrt(10000/(1-β2^t)) ≈ 100× too large a
+                # denominator; the golden Adam curve barely moves.
+                self._v = np.full_like(w, 10000.0)
+        eps = 1e-7 if self.compat == "reference" else self.eps  # ref: 10e-8
         if self.name in ("gd", "sgd"):
             return w - self.lr * g
         if self.name == "momentum":
@@ -146,20 +163,20 @@ class Optimizer:
             self._v = self.beta2 * self._v + (1 - self.beta2) * g * g
             mhat = self._m / (1 - self.beta1**self._t)
             vhat = self._v / (1 - self.beta2**self._t)
-            return w - self.lr * mhat / (np.sqrt(vhat) + self.eps)
+            return w - self.lr * mhat / (np.sqrt(vhat) + eps)
         if self.name == "adagrad":
             self._v = self._v + g * g
-            return w - self.lr * g / (np.sqrt(self._v) + self.eps)
+            return w - self.lr * g / (np.sqrt(self._v) + eps)
         if self.name == "rmsprop":
             if self.compat == "reference":
                 # as-written (LR_Optimizers.py:180-184): decays the running
                 # *cumulative sum / t*, then accumulates after the step
                 exp_grad = self.beta1 * self._v / self._t + (1 - self.beta1) * g * g
-                out = w - self.lr / np.sqrt(exp_grad + self.eps) * g
+                out = w - self.lr / np.sqrt(exp_grad + eps) * g
                 self._v = self._v + g * g
                 return out
             self._v = self.beta2 * self._v + (1 - self.beta2) * g * g
-            return w - self.lr * g / (np.sqrt(self._v) + self.eps)
+            return w - self.lr * g / (np.sqrt(self._v) + eps)
         raise ValueError(self.name)
 
 
@@ -171,6 +188,16 @@ class GDTrainer:
     the reference's adaptation rule (RDD_logisticregression.py:150-153).
     early_stop_tol: stop when |Δcost| ≤ tol (live in RDD_SVM.py:155-157,
     disabled in LR — pass None to disable).
+
+    ``compat='reference'`` replicates the reference LOOP exactly, not
+    just the update rules (LR_Optimizers.py:144-200): the bold driver
+    applies to ALL optimizers (the shared learning_rate every rule
+    reads), the weight update uses the CURRENT lr and the adjustment
+    happens AFTER it, and ``old_cost`` starts at 0 — so iteration 0
+    always halves the rate (any positive cost > 0). Standard mode keeps
+    bold driver for plain GD only, adjusts BEFORE the update, and
+    starts ``prev_cost`` at +inf (first update never halves) — a
+    deliberate cleanup, documented divergence.
     """
 
     k: int
@@ -195,7 +222,9 @@ class GDTrainer:
         w = np.zeros(self.k, dtype=np.float64)
         opt = Optimizer(name=self.optimizer, lr=self.lr, compat=self.compat)
         lr = self.lr
-        prev_cost = float("inf")
+        # reference: old_cost = 0 (LR_Optimizers.py:134) — iteration 0's
+        # positive cost always halves the rate under the bold driver
+        prev_cost = 0.0 if self.compat == "reference" else float("inf")
         schema = "cost double, grad array<double>, n long"
         for _ in range(self.iterations):
             bw = sc.broadcast(w)
@@ -214,7 +243,15 @@ class GDTrainer:
             self.costs_.append(float(cost))
             if self.early_stop_tol is not None and abs(prev_cost - cost) <= self.early_stop_tol:
                 break
-            if self.optimizer == "gd":
+            if self.compat == "reference":
+                # LR_Optimizers.py:144-200: update with the CURRENT shared
+                # lr (all six rules read it), THEN bold-driver adjust it
+                # for the next iteration.
+                opt.lr = lr
+                w = opt.step(w, grad)
+                if self.bold_driver:
+                    lr = lr * 1.05 if cost < prev_cost else lr * 0.5
+            elif self.optimizer == "gd":
                 if self.bold_driver:
                     lr = lr * 1.05 if cost < prev_cost else lr * 0.5
                 w = w - lr * grad

@@ -701,9 +701,73 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries_df, k=10)
 
 
-@query("ann_lsh_topk")  # rows-only: probabilistic recall, no SQL oracle
+def _ann_lsh_sql(n_planes: int = 8, dim: int = 64, k: int = 10) -> str:
+    """Exact mirror of lsh_topk: the hyperplanes are DETERMINISTIC
+    md5-derived constants (similarity._hyperplane — shared here, not
+    reimplemented), so the whole operator is SQL-expressible: inline
+    each plane as a literal array, signature bit = sign of the dot
+    product, probes = exact signature + every 1-bit flip."""
+    from .operators.similarity import _hyperplane
+
+    def sig_expr(vec: str) -> str:
+        bits = []
+        for i in range(n_planes):
+            plane = _hyperplane(dim, i)
+            arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+            dot = (
+                f"list_sum(list_transform(list_zip({vec}, {arr}),"
+                " p -> CAST(p[1] AS DOUBLE) * p[2]))"
+            )
+            bits.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
+        return "concat(" + ", ".join(bits) + ")"
+
+    flips = ", ".join(
+        f"concat(substr(qsig, 1, {i}),"
+        f" CASE WHEN substr(qsig, {i + 1}, 1) = '1' THEN '0' ELSE '1' END,"
+        f" substr(qsig, {i + 2}, {n_planes - i - 1}))"
+        for i in range(n_planes)
+    )
+    return f"""
+    WITH c AS (
+        SELECT vec_id AS neighbor_id, embedding AS cv,
+               {sig_expr("embedding")} AS sig
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qv,
+               {sig_expr("embedding")} AS qsig
+        FROM embeddings WHERE vec_id < 5
+    ),
+    probes AS (
+        SELECT query_id, qv, unnest([qsig, {flips}]) AS sig FROM q
+    ),
+    scored AS (
+        SELECT DISTINCT query_id, neighbor_id,
+               round(
+                 list_sum(list_transform(list_zip(qv, cv),
+                                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+               6) AS cosine
+        FROM c JOIN probes USING (sig)
+        WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    WHERE rank <= {k}
+    """
+
+
+@query("ann_lsh_topk", _ann_lsh_sql())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN top-10 (recall vs brute force asserted in tests)."""
+    """LSH-bucketed ANN top-10. Fully oracled: deterministic md5
+    hyperplanes make the bucketing + multi-probe + verify SQL-
+    expressible (recall vs brute force additionally asserted in
+    tests)."""
     from .operators.similarity import lsh_topk
 
     emb = read_table(spark, sf_dir, "embeddings")

@@ -1,0 +1,218 @@
+"""Golden cost-curve parity for the hand-rolled GD path (R5/R8/R13).
+
+The reference's primary correctness artifact for its RDD ML scripts is
+the saved cost-per-iteration files under /root/reference/out/:
+
+* ``output2/part-00000`` — 300-iteration bold-driver SGD from
+  RDD_logisticregression.py (coef = np.zeros(10000), deterministic
+  given the data): first value 4226.118359873993.
+* ``optimizer:{SGD,Momentum,Nesterov,Adam,Adagrad,RMSprop}/part-00000``
+  — 200 iterations each from LR_Optimizers.py, coef drawn from an
+  UNSEEDED np.random.normal(0, 0.1, 10000) (LR_Optimizers.py:129), so
+  bitwise replay is impossible *in principle* — no seed exists to
+  recover.
+
+What CAN be validated, and is here:
+
+1. **Cost-function identity (zeros init).** At w=0 every row costs
+   exactly log(2) (θ=0 ⇒ -y·0 + log(1+e^0)) and the L2 term is 0, so
+   the first curve value must equal n_train·log(2). The golden file
+   proves the reference's own n_train (6097 = its randomSplit 80% of
+   7613); our compat trainer must satisfy the same identity on OUR
+   split — initial-cost agreement modulo split size, exact to float
+   precision on both sides.
+2. **Loop-semantics replication** (compat='reference',
+   LR_Optimizers.py:134-200): old_cost=0 (iteration 0 always halves
+   the lr), bold driver applied to ALL optimizers AFTER the update.
+3. **Envelope parity**: both golden curves and our compat curves
+   descend to well under their initial cost with a non-increasing
+   running minimum tail.
+4. **Bug reproduction**: the reference Adam's second_mom starts at the
+   scalar 10000 (LR_Optimizers.py:140), visible in its golden curve
+   (4405.139 → 4404.824 over 3 iterations, ~7e-5 relative motion).
+   compat='reference' must reproduce that near-flat start; standard
+   Adam must NOT (it moves orders of magnitude more).
+"""
+
+import math
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nlp_with_pyspark_spark.ml.gd import GDTrainer, sparse_features
+
+GOLDEN_DIR = "/root/reference/out"
+TRAIN_CSV = "/root/reference/nlp-getting-started/train.csv"
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.exists(GOLDEN_DIR) and os.path.exists(TRAIN_CSV)),
+    reason="reference golden outputs not present",
+)
+
+
+def golden_curve(name: str) -> list[float]:
+    with open(f"{GOLDEN_DIR}/{name}/part-00000") as f:
+        return [float(line) for line in f if line.strip()]
+
+
+@pytest.fixture(scope="module")
+def tweet_features(spark):
+    """Reference-shaped features: presence-TF × unsmoothed IDF over the
+    top-1000 vocabulary of the reference's own Kaggle data (k=1000 for
+    test wall-clock; the initial-cost identity is k-independent)."""
+    from nlp_with_pyspark_spark.functions.text import tokens_pipeline
+    from nlp_with_pyspark_spark.operators.features import tf_idf
+    from nlp_with_pyspark_spark.operators.vocab import top_k_vocabulary
+    from nlp_with_pyspark_spark.sources.io import TWEETS_SCHEMA, read_csv
+
+    tweets = read_csv(spark, TRAIN_CSV, schema=TWEETS_SCHEMA)
+    docs = (
+        tweets.select(F.col("id").alias("doc_id"), "text", F.col("target").alias("label"))
+        .withColumn("tokens", tokens_pipeline(F.col("text")))
+        .cache()
+    )
+    vocab = top_k_vocabulary(docs, k=1000)
+    long = tf_idf(docs, vocab)
+    feats = sparse_features(long, docs.select("doc_id", "label"))
+    train, _ = feats.randomSplit([0.8, 0.2], seed=123)
+    train = train.cache()
+    n = train.count()
+    return train, n
+
+
+def test_golden_sgd_initial_cost_is_n_log2():
+    """The golden zeros-init curves encode cost(w=0) = n·log(2) exactly —
+    validating that our cost formula is the reference's. 4226.118… /
+    log(2) must be a whole number of training rows (6097)."""
+    for name in ("output2", "output"):
+        first = golden_curve(name)[0]
+        n = first / math.log(2.0)
+        assert abs(n - 6097) < 1e-9, (name, n)
+
+
+def test_compat_initial_cost_identity(spark, tweet_features):
+    """Our compat='reference' trainer satisfies the same identity on its
+    own split: costs_[0] == n_train·log(2) to float precision."""
+    train, n = tweet_features
+    t = GDTrainer(
+        k=1000, optimizer="gd", lr=0.01, iterations=2, l2=1.15, compat="reference"
+    )
+    t.fit(train)
+    assert abs(t.costs_[0] - n * math.log(2.0)) < 1e-6 * t.costs_[0]
+    # iteration 0 halves the lr (old_cost=0), so the first update uses
+    # lr=0.01 — and must still descend on this data, as the golden curve
+    # does (4226.12 → 3868.73)
+    assert t.costs_[1] < t.costs_[0]
+
+
+def test_golden_envelope_properties():
+    """Shape contract shared by reference goldens and our curves: the
+    bold-driver curves descend far below the initial cost and their
+    running minimum stops improving by the tail."""
+    for name in ("output2", "optimizer:SGD", "optimizer:Momentum", "optimizer:RMSprop"):
+        c = golden_curve(name)
+        assert min(c) < 0.75 * c[0], name
+        assert c[-1] <= 1.02 * min(c), name  # settled near its floor
+
+
+def test_compat_curves_descend_all_optimizers(spark, tweet_features):
+    """compat='reference' replicates the as-written update rules for all
+    six optimizers; every curve must descend over 10 iterations on the
+    reference's own data (the goldens all do), with Adam exempted from
+    a depth requirement — its golden curve proves it barely moves."""
+    train, n = tweet_features
+    for name in ("sgd", "momentum", "nesterov", "adam", "adagrad", "rmsprop"):
+        t = GDTrainer(
+            k=1000, optimizer=name, lr=0.01, iterations=10, l2=1.15, compat="reference"
+        )
+        t.fit(train)
+        assert len(t.costs_) == 10, name
+        assert t.costs_[-1] < t.costs_[0], name
+
+
+def test_compat_adam_reproduces_second_mom_bug(spark, tweet_features):
+    """The golden Adam curve moves ~7e-5 relative in its first 3 steps
+    (second_mom starts at 10000 ⇒ step sizes ÷~100). compat mode must
+    reproduce the near-flat start; standard Adam must move >100× more."""
+    ref_adam = golden_curve("optimizer:Adam")
+    golden_rel = abs(ref_adam[2] - ref_adam[0]) / ref_adam[0]
+    assert golden_rel < 1e-3  # the bug is visible in the golden file
+
+    train, n = tweet_features
+    curves = {}
+    for compat in ("reference", "standard"):
+        t = GDTrainer(
+            k=1000, optimizer="adam", lr=0.01, iterations=3, l2=1.15, compat=compat
+        )
+        t.fit(train)
+        curves[compat] = t.costs_
+    rel_ref = abs(curves["reference"][2] - curves["reference"][0]) / curves["reference"][0]
+    rel_std = abs(curves["standard"][2] - curves["standard"][0]) / curves["standard"][0]
+    assert rel_ref < 1e-3, curves["reference"]
+    assert rel_std > 100 * rel_ref, (rel_std, rel_ref)
+
+
+def test_reference_update_rules_match_numpy_replay():
+    """Near-bitwise check of the compat update rules against a direct
+    NumPy transcription of LR_Optimizers.py:144-200 (same gradients fed
+    to both, so only the update arithmetic is under test)."""
+    rng = np.random.default_rng(7)
+    k = 50
+    grads = [rng.normal(size=k) for _ in range(6)]
+
+    for opt_name in ("sgd", "momentum", "nesterov", "adam", "adagrad", "rmsprop"):
+        from nlp_with_pyspark_spark.ml.gd import Optimizer
+
+        opt = Optimizer(name=opt_name, lr=0.01, compat="reference")
+        w_ours = np.zeros(k)
+        lr_ours = 0.01
+        prev_cost = 0.0
+        # transcription state (LR_Optimizers.py:127-141)
+        coef = np.zeros(k)
+        learning_rate = 0.01
+        old_cost = 0.0
+        beta, beta2, epsilon = 0.9, 0.999, 10e-8
+        momentum = np.zeros(k)
+        prev_mom = np.zeros(k)
+        second_mom = np.array(10000)
+        gti = np.zeros(k)
+        fake_costs = [5.0, 4.0, 4.5, 3.0, 2.5, 2.0]
+        for i, (g, cost) in enumerate(zip(grads, fake_costs)):
+            opt.lr = lr_ours
+            w_ours = opt.step(w_ours, g.copy())
+            lr_ours = lr_ours * 1.05 if cost < prev_cost else lr_ours * 0.5
+            prev_cost = cost
+
+            gradient = g.copy()
+            if opt_name == "sgd":
+                coef = coef - learning_rate * gradient
+            elif opt_name == "momentum":
+                momentum = beta * momentum + learning_rate * gradient
+                coef = coef - momentum
+            elif opt_name == "nesterov":
+                parameter_temp = coef - beta * prev_mom
+                coef = parameter_temp - learning_rate * gradient
+                prev_mom = momentum
+                momentum = beta * momentum + learning_rate * gradient
+            elif opt_name == "adam":
+                momentum = beta * momentum + (1 - beta) * gradient
+                second_mom = beta2 * second_mom + (1 - beta2) * (gradient**2)
+                momentum_ = momentum / (1 - beta ** (i + 1))
+                second_mom_ = second_mom / (1 - beta2 ** (i + 1))
+                coef = coef - learning_rate * momentum_ / (np.sqrt(second_mom_) + epsilon)
+            elif opt_name == "adagrad":
+                gti += gradient**2
+                adj_grad = gradient / (np.sqrt(gti) + epsilon)
+                coef = coef - learning_rate * adj_grad
+            elif opt_name == "rmsprop":
+                sq_grad = gradient**2
+                exp_grad = beta * gti / (i + 1) + (1 - beta) * sq_grad
+                coef = coef - learning_rate / np.sqrt(exp_grad + epsilon) * gradient
+                gti += sq_grad
+            learning_rate = learning_rate * 1.05 if cost < old_cost else learning_rate * 0.5
+            old_cost = cost
+            np.testing.assert_allclose(
+                w_ours, coef, rtol=1e-10, atol=1e-14, err_msg=f"{opt_name} iter {i}"
+            )
