@@ -9,6 +9,14 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is fully materialized via a count-style action
 (``df.toPandas`` would add transfer cost that isn't query time;
 ``count()`` after a no-op cache-buster keeps it honest but cheap).
+
+Each query runs ``BENCH_RUNS`` (default 3) consecutive times and
+reports the MEDIAN: single-shot numbers mixed machine-contention noise
+and first-run codegen-compile cost into every round-over-round delta
+(round 2's uniform ~1.7× drift on untouched queries made per-query
+comparisons unreadable). The median discards a one-off slow run while
+still charging queries whose plans are consistently heavy; per-query
+spreads land in "spread" for drift diagnosis.
 """
 
 from __future__ import annotations
@@ -82,18 +90,26 @@ def main() -> None:
     # first measured query doesn't pay session startup costs
     QUERIES["vocab_top100"](spark, sf_dir).count()
 
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
     times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        df.count()  # full materialization of the query result
-        times[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
+            df.count()  # full materialization of the query result
+            samples.append(round(time.perf_counter() - t0, 3))
+        times[name] = sorted(samples)[len(samples) // 2]
+        spread[name] = samples
 
     out = {
-        "metric": "headline-suite wall-clock",
+        "metric": "headline-suite wall-clock (median of runs)",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "runs": runs,
+        "spread": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

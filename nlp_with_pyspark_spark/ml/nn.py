@@ -104,9 +104,14 @@ class NNTrainer:
     iterations: int = 50
     seed: int = 123
     bold_driver: bool = True
-    #: 'reference' replays the as-written Adam bug (RDD_NN.py:198,
-    #: utils/nn_func.py:99): BIAS second moment accumulates DB (not DB²),
-    #: masked by sqrt(abs(v)) (:209-210). Default is standard Adam.
+    #: 'reference' replays the as-written loop (RDD_NN.py:220-296,
+    #: utils/nn_func.py:80-111): BIAS second moment accumulates DB (not
+    #: DB²), masked by sqrt(abs(v)) (:98,109-110); epsilon 10e-8 = 1e-7;
+    #: bold driver applies to BOTH optimizers (the shared learning_rate
+    #: Adam also reads), adjusted AFTER the update with old_cost = 0.
+    #: Exact golden replay (out/NN_rdd_*) is impossible — unseeded
+    #: uniform init (RDD_NN.py:232-235) — so parity is envelope + bug
+    #: reproduction (tests/test_golden_curves.py). Default: standard.
     compat: str = "standard"
     weights_: dict | None = None
     costs_: list[float] = field(default_factory=list)
@@ -129,9 +134,9 @@ class NNTrainer:
         m = {key: np.zeros_like(val) for key, val in w.items()}
         v = {key: np.zeros_like(val) for key, val in w.items()}
         b1p, b2p = 0.9, 0.999
-        eps = 1e-8
+        eps = 1e-7 if self.compat == "reference" else 1e-8
         lr = self.lr
-        prev_cost = float("inf")
+        prev_cost = 0.0 if self.compat == "reference" else float("inf")
         schema = "cost double, dW1 array<double>, dB1 array<double>, dW2 array<double>, dB2 array<double>, n long"
         for t in range(1, self.iterations + 1):
             bw = sc.broadcast(w)
@@ -150,8 +155,8 @@ class NNTrainer:
                 for key in w:
                     m[key] = b1p * m[key] + (1 - b1p) * grads[key]
                     if self.compat == "reference" and key in ("b1", "b2"):
-                        # as-written (RDD_NN.py:198): bias 2nd moment uses
-                        # the raw gradient, sqrt(abs(·)) masks the sign
+                        # as-written (utils/nn_func.py:98): bias 2nd moment
+                        # uses the raw gradient, sqrt(abs(·)) masks the sign
                         v[key] = b2p * v[key] + (1 - b2p) * grads[key]
                         vhat = np.abs(v[key] / (1 - b2p**t))
                     else:
@@ -159,11 +164,21 @@ class NNTrainer:
                         vhat = v[key] / (1 - b2p**t)
                     mhat = m[key] / (1 - b1p**t)
                     w[key] = w[key] - lr * mhat / (np.sqrt(vhat) + eps)
-            else:
-                if self.bold_driver:
+                if self.compat == "reference" and self.bold_driver:
+                    # RDD_NN.py:287-291: the bold driver also runs after
+                    # Adam updates — Adam reads the adapted shared lr
                     lr = lr * 1.05 if cost < prev_cost else lr * 0.5
-                for key in w:
-                    w[key] = w[key] - lr * grads[key]
+            else:
+                if self.compat == "reference":
+                    for key in w:
+                        w[key] = w[key] - lr * grads[key]
+                    if self.bold_driver:
+                        lr = lr * 1.05 if cost < prev_cost else lr * 0.5
+                else:
+                    if self.bold_driver:
+                        lr = lr * 1.05 if cost < prev_cost else lr * 0.5
+                    for key in w:
+                        w[key] = w[key] - lr * grads[key]
             prev_cost = cost
         feat.unpersist()
         self.weights_ = w

@@ -216,3 +216,54 @@ def test_reference_update_rules_match_numpy_replay():
             np.testing.assert_allclose(
                 w_ours, coef, rtol=1e-10, atol=1e-14, err_msg=f"{opt_name} iter {i}"
             )
+
+
+# ---------------------------------------------------------------------------
+# NN golden curves (R9: out/NN_rdd_{SGD,Adam}, written by RDD_NN.py:354-358)
+# ---------------------------------------------------------------------------
+
+
+def test_golden_nn_envelope_properties():
+    """The NN goldens are per-row-normalized SSE (Cost/n, RDD_NN.py:254):
+    both start near 0.30 (random ±0.5 init), descend below 0.19 and
+    settle (BASELINE.md: converged ≈0.188/0.187). Unseeded init ⇒ no
+    bitwise replay; the envelope is the checkable contract."""
+    floors = {"NN_rdd_SGD": 0.19, "NN_rdd_Adam": 0.21}  # Adam settles higher
+    for name, floor in floors.items():
+        c = golden_curve(name)
+        assert len(c) == 300, name
+        assert 0.25 < c[0] < 0.35, (name, c[0])
+        assert min(c) < floor, (name, min(c))
+        assert c[-1] <= 1.05 * min(c), name  # settled near its floor
+
+
+@pytest.fixture(scope="module")
+def nn_features(spark, tweet_features):
+    """Disaster-vocabulary features for the NN replay (RDD_NN.py:320-326
+    uses the k=1000 disaster-only vocabulary; for envelope/bug checks the
+    shared tweet features are equivalent and already cached)."""
+    return tweet_features
+
+
+def test_compat_nn_adam_bias_bug_reproduced(spark, nn_features):
+    """compat='reference' NN replays the biased-bias-moment Adam
+    (utils/nn_func.py:98: v_b accumulates DB, not DB²) inside the
+    reference's bold-driver loop: the curve must still descend (the
+    golden Adam curve reaches the same floor as SGD) AND diverge from
+    standard Adam — proving the branch is live, not dead code."""
+    from nlp_with_pyspark_spark.ml.nn import NNTrainer
+
+    train, n = nn_features
+    curves = {}
+    for compat in ("reference", "standard"):
+        t = NNTrainer(
+            k=1000, hidden=32, optimizer="adam", lr=0.005, iterations=8,
+            seed=123, compat=compat,
+        )
+        t.fit(train)
+        curves[compat] = t.costs_
+    assert curves["reference"][-1] < curves["reference"][0]
+    assert curves["standard"][-1] < curves["standard"][0]
+    # same seed, same data: any difference is the compat branch
+    diffs = [abs(a - b) for a, b in zip(curves["reference"], curves["standard"])]
+    assert max(diffs) > 1e-9, curves

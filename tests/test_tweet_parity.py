@@ -118,3 +118,28 @@ def test_nn_replay_beats_reference(spark, tweets):
     joined = preds.join(feats.select("doc_id", F.col("label").alias("y")), "doc_id")
     acc = joined.agg(F.avg((F.col("pred") == F.col("y")).cast("double"))).first()[0]
     assert acc > 0.75, f"NN replay accuracy {acc}"
+
+
+def test_grid_sweep_matches_notebook_tables(tweets):
+    """M11: the notebook's regParam sweeps (Part1.ipynb[32,37];
+    BASELINE.md 'Hyperparameter sweeps'). Our featurization differs
+    slightly by design (native clean, no NLTK custom stop list) and the
+    80/20 split is seed-equal but not row-identical, so parity is
+    per-point tolerance + shape: every accuracy within 4 points of the
+    published value, and the regParam=10 collapse (the table's headline
+    feature) reproduced as the worst point of each sweep."""
+    from nlp_with_pyspark_spark.ml.classify import grid_sweep
+
+    grid = (1e-4, 1e-3, 1e-2, 0.1, 1.0, 10.0)
+    ref = {
+        "logistic_regression": [0.7456, 0.7581, 0.7757, 0.7782, 0.7838, 0.6560],
+        "linear_svc": [0.7631, 0.7631, 0.7625, 0.7722, 0.7773, 0.6091],
+    }
+    for estimator, want in ref.items():
+        got = grid_sweep(tweets, reg_params=grid, estimator=estimator)
+        accs = [r["accuracy"] for r in got]
+        assert [r["regParam"] for r in got] == list(grid)
+        for rp, ours, theirs in zip(grid, accs, want):
+            assert abs(ours - theirs) < 0.04, (estimator, rp, ours, theirs)
+        # the large-regParam collapse is the sweep's defining shape
+        assert accs[-1] == min(accs), (estimator, accs)
