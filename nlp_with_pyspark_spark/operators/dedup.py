@@ -83,13 +83,31 @@ def word_shingles(tokens: Column | str, n: int = 3) -> Column:
     return F.array_distinct(F.when(F.size(t) >= n, grams).otherwise(F.array()))
 
 
-def minhash_signature(shingles: Column | str, k: int = 12) -> Column:
-    """k-minhash signature: sig[i] = min over shingles of md5(i ~ shingle).
+def minhash_signature(shingles: Column | str, k: int = 12, hash_fn: str = "md5") -> Column:
+    """k-minhash signature: sig[i] = min over shingles of hash_i(shingle).
 
-    Lexicographic min over salted md5 hex digests ≡ minhash under k
-    pseudo-random permutations. All string ops ⇒ identical in DuckDB.
+    ``hash_fn='md5'`` (default, the ORACLE-PARITY family): lexicographic
+    min over salted md5 hex digests ≡ minhash under k pseudo-random
+    permutations. All string ops ⇒ identical in DuckDB.
+
+    ``hash_fn='xxhash64'`` (the PRODUCTION family): numeric min over
+    seeded xxhash64 longs — Spark's native 64-bit hash. Same minhash
+    semantics under a different permutation family, at a fraction of the
+    cost: 8-byte longs instead of 32-char hex strings (4× smaller
+    signatures in flight) and no digest hex-encoding per shingle. Not
+    SQL-oracle-able (DuckDB has no xxhash64 with Spark's seeding), so
+    the oracle-checked query keeps md5; flip this flag at deployment.
     """
     s = F.col(shingles) if isinstance(shingles, str) else shingles
+    if hash_fn == "xxhash64":
+        return F.array(
+            *[
+                F.array_min(F.transform(s, lambda x: F.xxhash64(F.lit(i), x)))
+                for i in range(k)
+            ]
+        )
+    if hash_fn != "md5":
+        raise ValueError(f"hash_fn={hash_fn!r}: expected 'md5' or 'xxhash64'")
     return F.array(
         *[
             F.array_min(F.transform(s, lambda x: F.md5(F.concat(F.lit(f"{i}~"), x))))
@@ -116,24 +134,31 @@ def _shingle_sets(
     )
 
 
-def _band_buckets_from_shingles(shingle_sets: DataFrame, k: int, bands: int) -> DataFrame:
+def _band_buckets_from_shingles(
+    shingle_sets: DataFrame, k: int, bands: int, hash_fn: str = "md5"
+) -> DataFrame:
     """(doc_id, band_id, band_hash) from a (doc_id, shingles) table.
 
     sig is materialized by ONE projection; banding explodes a small
     struct array in a SECOND projection. (A union of per-band branches
-    would re-evaluate the md5-heavy signature once per band — measured
-    4× the runtime at sf0.1.)
+    would re-evaluate the hash-heavy signature once per band — measured
+    4× the runtime at sf0.1.) In xxhash64 mode the band key is a long
+    (xxhash64 of the signature slice), not a 32-char md5 string — the
+    bucket shuffle moves 8-byte keys.
     """
     assert k % bands == 0, "k must divide evenly into bands"
     r = k // bands
-    sig = minhash_signature(F.col("shingles"), k)
+    sig = minhash_signature(F.col("shingles"), k, hash_fn)
     with_sig = shingle_sets.select("doc_id", sig.alias("sig"))
+
+    def band_hash(b: int) -> Column:
+        if hash_fn == "xxhash64":
+            return F.xxhash64(F.slice("sig", b * r + 1, r))
+        return F.md5(F.concat_ws("|", F.slice("sig", b * r + 1, r)))
+
     band_arr = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(F.concat_ws("|", F.slice("sig", b * r + 1, r))).alias("band_hash"),
-            )
+            F.struct(F.lit(b).alias("band_id"), band_hash(b).alias("band_hash"))
             for b in range(bands)
         ]
     )
@@ -149,13 +174,16 @@ def lsh_band_buckets(
     n: int = 3,
     k: int = 12,
     bands: int = 4,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(doc_id, band_id, band_hash): one row per (doc, band).
 
-    band_hash = md5 of the band's r = k/bands signature slice. Docs with
-    no shingles emit nothing.
+    band_hash = hash of the band's r = k/bands signature slice. Docs
+    with no shingles emit nothing.
     """
-    return _band_buckets_from_shingles(_shingle_sets(docs, tokens_col, id_col, n), k, bands)
+    return _band_buckets_from_shingles(
+        _shingle_sets(docs, tokens_col, id_col, n), k, bands, hash_fn
+    )
 
 
 def minhash_candidate_pairs(
@@ -166,16 +194,18 @@ def minhash_candidate_pairs(
     k: int = 12,
     bands: int = 4,
     max_docs_per_bucket: int = 1000,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Distinct candidate (doc_a < doc_b) pairs sharing ≥1 band bucket.
 
     The bucket self-join is keyed on (band_id, band_hash) — the shuffle
-    moves (doc_id, 32-char hash) rows only. Bucket sizes are ~Poisson
+    moves (doc_id, hash-key) rows only. Bucket sizes are ~Poisson
     under random hashing; buckets above ``max_docs_per_bucket`` (mass
     near-dup clusters) are dropped — see ``_bucket_pairs``.
     """
     return _bucket_pairs(
-        lsh_band_buckets(docs, tokens_col, id_col, n, k, bands), max_docs_per_bucket
+        lsh_band_buckets(docs, tokens_col, id_col, n, k, bands, hash_fn),
+        max_docs_per_bucket,
     )
 
 
@@ -226,19 +256,23 @@ def minhash_dedup_pairs(
     bands: int = 4,
     threshold: float = 0.7,
     max_docs_per_bucket: int = 1000,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard ≥ threshold.
 
     Returns (doc_a, doc_b, jaccard). The verify joins each side's
     distinct-shingle array back in; candidate cardinality (not corpus
-    size) bounds the cost.
+    size) bounds the cost. ``hash_fn='xxhash64'`` switches the signature
+    to the native-long production family (see ``minhash_signature``);
+    the verify step is hash-independent, so results differ only where a
+    borderline pair lands in a band under one family and not the other.
     """
     # ONE shingle computation feeds the signature/banding AND both verify
     # join sides (docs with <n tokens have no shingles and can never be
     # candidates, so the pre-filter does not change results)
     shingle_sets = _shingle_sets(docs, tokens_col, id_col, n).localCheckpoint()
     cands = _bucket_pairs(
-        _band_buckets_from_shingles(shingle_sets, k, bands), max_docs_per_bucket
+        _band_buckets_from_shingles(shingle_sets, k, bands, hash_fn), max_docs_per_bucket
     )
     a = shingle_sets.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")

@@ -169,3 +169,26 @@ def test_minhash_cap_drops_mass_duplicate_cluster(spark):
         map(tuple, minhash_candidate_pairs(docs, max_docs_per_bucket=5).collect())
     )
     assert got == [(100, 101)]
+
+
+def test_minhash_xxhash64_production_family(docs):
+    """hash_fn='xxhash64' (the production path: native 64-bit longs, no
+    hex digests) is a valid minhash family: the verified near-dup pairs
+    on the synthetic corpus match the oracle-parity md5 family, and the
+    band keys in flight are longs, not 32-char strings."""
+    from nlp_with_pyspark_spark.operators.dedup import (
+        lsh_band_buckets,
+        minhash_dedup_pairs,
+    )
+
+    md5_pairs = sorted(
+        map(tuple, minhash_dedup_pairs(docs, threshold=0.7).collect())
+    )
+    xx_pairs = sorted(
+        map(tuple, minhash_dedup_pairs(docs, threshold=0.7, hash_fn="xxhash64").collect())
+    )
+    assert xx_pairs == md5_pairs
+    bb = lsh_band_buckets(docs, hash_fn="xxhash64")
+    assert dict(bb.dtypes)["band_hash"] == "bigint"
+    with pytest.raises(ValueError, match="hash_fn"):
+        minhash_dedup_pairs(docs, hash_fn="fnv")
