@@ -37,6 +37,7 @@ HEADLINE = [
     "pricing_summary",
     "top_parts_by_revenue",
     "customer_nation_revenue",
+    "salted_nation_revenue",
     "top_orders_per_customer",
     "order_priority_counts",
     "revenue_rollup",

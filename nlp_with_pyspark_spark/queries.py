@@ -251,6 +251,48 @@ def customer_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_nation_revenue",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def salted_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe physical strategy for a shuffled fact⋈dim join
+    (operators.relational.salted_join): the fact side salts its join key
+    into 8 sub-keys, the dim side replicates per salt — identical
+    semantics to the plain join (this oracle IS the plain join), only
+    the partitioning changes. The plan to reach for when one key holds a
+    disproportionate share of a 100 TB fact table and the dim side is
+    too big to broadcast whole but cheap to replicate 8×."""
+    from .operators.relational import money_sum, salted_join
+
+    orders = read_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .withColumnRenamed("c_custkey", "custkey")
+        .select("custkey", "c_nationkey")
+    )
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        salted_join(orders, cust, "custkey", n_salts=8)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            money_sum("o_totalprice", "revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
     "top_orders_per_customer",
     """
     SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS INT) AS rank
