@@ -369,22 +369,31 @@ def ngram_jaccard_pairs(
 
 
 def simhash_fingerprints(
-    docs: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id"
+    docs: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(doc_id, simhash): 64-bit SimHash as a 64-char '0'/'1' string
     (bit 0 first) for every doc with ≥1 token.
 
-    Bit j = big-endian bit j of the token's md5 hex digest (first 16 hex
-    chars); fingerprint bit = majority vote over distinct tokens, ties →
-    0 — the same value the DuckDB oracle derives by nibble parsing
-    (queries._simhash_sql), asserted bit-identical in tests.
+    ``hash_fn='md5'`` (default, ORACLE-PARITY): bit j = big-endian bit j
+    of the token's md5 hex digest (first 16 hex chars); fingerprint bit
+    = majority vote over distinct tokens, ties → 0 — the same value the
+    DuckDB oracle derives by nibble parsing (queries._simhash_sql),
+    asserted bit-identical in tests.
+
+    ``hash_fn='xxhash64'`` (PRODUCTION): bit j = big-endian bit j of
+    Spark's native ``xxhash64(token)`` — the long IS the 64 bits, so
+    the per-token cost drops from md5 + hex parse to one JVM hash and
+    the bit reads are plain shifts. Same simhash semantics under a
+    different (not SQL-oracle-able) hash family.
 
     Three projections on purpose:
-    1. md5 per distinct token, parsed ONCE into two 32-bit ints
+    1. hash per distinct token — md5 parsed ONCE into two 32-bit ints
        (``conv`` of each 8-hex-char half — 64 bits never touch a signed
-       overflow). Materializing this first matters: inlining makes every
-       downstream bit read re-run the md5 transform (measured 64× hash
-       work via 64 md5 occurrences in the plan, 4× wall at sf0.1).
+       overflow), or the raw xxhash64 long. Materializing this first
+       matters: inlining makes every downstream bit read re-run the
+       hash transform (measured 64× hash work via 64 md5 occurrences
+       in the plan, 4× wall at sf0.1).
     2. ONE fold summing per-token ±1 contribution vectors
        (``zip_with`` over a 64-int array). The previous formulation —
        64 separate ``aggregate`` folds, each re-traversing the hash
@@ -400,30 +409,50 @@ def simhash_fingerprints(
     from ..sources.io import ensure_parallelism
 
     docs = ensure_parallelism(docs)
-    hashed = docs.where(F.size(F.col(tokens_col)) > 0).select(
-        F.col(id_col).alias("doc_id"),
-        F.transform(
-            F.transform(F.array_distinct(F.col(tokens_col)), lambda x: F.md5(x)),
+    distinct_toks = F.array_distinct(F.col(tokens_col))
+    if hash_fn == "xxhash64":
+        hashes = F.transform(distinct_toks, lambda x: F.xxhash64(x))
+
+        def contrib(x: Column) -> Column:
+            return F.array(
+                *[
+                    F.when(
+                        F.shiftright(x, 63 - j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    ).otherwise(F.lit(-1))
+                    for j in range(64)
+                ]
+            )
+
+    elif hash_fn == "md5":
+        hashes = F.transform(
+            F.transform(distinct_toks, lambda x: F.md5(x)),
             lambda hx: F.struct(
                 F.conv(F.substring(hx, 1, 8), 16, 10).cast("long").alias("v1"),
                 F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").alias("v2"),
             ),
-        ).alias("_h"),
-    )
-
-    def contrib(x: Column) -> Column:
-        return F.array(
-            *[
-                F.when(
-                    F.shiftright(
-                        x["v1"] if j < 32 else x["v2"], (31 - j) if j < 32 else (63 - j)
-                    ).bitwiseAND(F.lit(1))
-                    == 1,
-                    F.lit(1),
-                ).otherwise(F.lit(-1))
-                for j in range(64)
-            ]
         )
+
+        def contrib(x: Column) -> Column:
+            return F.array(
+                *[
+                    F.when(
+                        F.shiftright(
+                            x["v1"] if j < 32 else x["v2"],
+                            (31 - j) if j < 32 else (63 - j),
+                        ).bitwiseAND(F.lit(1))
+                        == 1,
+                        F.lit(1),
+                    ).otherwise(F.lit(-1))
+                    for j in range(64)
+                ]
+            )
+
+    else:
+        raise ValueError(f"hash_fn={hash_fn!r}: expected 'md5' or 'xxhash64'")
+
+    hashed = docs.where(F.size(F.col(tokens_col)) > 0).select(
+        F.col(id_col).alias("doc_id"), hashes.alias("_h")
+    )
 
     sums = F.aggregate(
         F.col("_h"),
@@ -496,8 +525,12 @@ def simhash_near_pairs(
     bands: int | None = None,
     combo_size: int | None = None,
     max_docs_per_bucket: int = 1000,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+    ``hash_fn='xxhash64'`` switches the fingerprint to the native-long
+    production family (see ``simhash_fingerprints``); blocking, verify,
+    and the lossless-radius guarantee are hash-independent.
 
     Combination-of-segments blocking (Manku et al., WWW'07): the 64 bits
     split into ``bands`` segments; a pair at distance d ≤ max_hamming
@@ -549,7 +582,7 @@ def simhash_near_pairs(
             f"only agrees on {bands}-{max_hamming} segments (pigeonhole), so "
             "larger combos (or bands <= max_hamming) silently lose recall"
         )
-    fp = simhash_fingerprints(docs, tokens_col, id_col).localCheckpoint()
+    fp = simhash_fingerprints(docs, tokens_col, id_col, hash_fn).localCheckpoint()
     cands = _bucket_pairs(_simhash_band_buckets(fp, bands, combo_size), max_docs_per_bucket)
     # Hamming verify: parse each fingerprint into two 32-bit ints ONCE per
     # doc, so the per-candidate cost is bit_count(xor) — the naive per-pair

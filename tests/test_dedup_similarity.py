@@ -192,3 +192,52 @@ def test_minhash_xxhash64_production_family(docs):
     assert dict(bb.dtypes)["band_hash"] == "bigint"
     with pytest.raises(ValueError, match="hash_fn"):
         minhash_dedup_pairs(docs, hash_fn="fnv")
+
+
+def test_simhash_xxhash64_production_family(docs):
+    """hash_fn='xxhash64' simhash: one native hash per token, bits read
+    straight off the long. Different family ⇒ different fingerprints
+    than md5, but the simhash CONTRACT holds: valid 64-char bitstrings,
+    deterministic, identical docs collide exactly, and near-pair search
+    still finds the corpus's near-dup structure."""
+    from nlp_with_pyspark_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_near_pairs,
+    )
+
+    fp = simhash_fingerprints(docs, hash_fn="xxhash64").collect()
+    assert fp and all(
+        len(r.simhash) == 64 and set(r.simhash) <= {"0", "1"} for r in fp
+    )
+    again = simhash_fingerprints(docs, hash_fn="xxhash64").collect()
+    assert sorted(map(tuple, fp)) == sorted(map(tuple, again))
+
+    # the family-independent guarantee: identical DISTINCT-token sets ⇒
+    # identical fingerprint ⇒ Hamming 0 ⇒ found (blocking is lossless).
+    # (Borderline pairs at 1..max_hamming legitimately differ between
+    # hash families — Hamming(fp) is a per-family estimator of token-set
+    # similarity, not a corpus invariant.)
+    same_sets = (
+        docs.select("doc_id", F.array_sort(F.array_distinct("tokens")).alias("ts"))
+        .where(F.size("ts") > 0)
+        .groupBy("ts")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+        .collect()
+    )
+    want = {
+        (ids[i], ids[j])
+        for r in same_sets
+        for ids in [r.ids]
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+    }
+    xx_pairs = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_near_pairs(docs, max_hamming=3, hash_fn="xxhash64").collect()
+    }
+    found0 = {(a, b) for a, b, h in xx_pairs if h == 0}
+    assert want, "fixture should contain at least one identical-token pair"
+    assert want <= found0, want - found0
+    with pytest.raises(ValueError, match="hash_fn"):
+        simhash_fingerprints(docs, hash_fn="sha1")
