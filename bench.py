@@ -67,6 +67,7 @@ HEADLINE = [
     "sql_top_unshipped_orders",
     "events_distinct_users",
     "order_priority_pivot",
+    "order_priority_melt",
     "customer_running_revenue",
     "customer_order_setops",
     "confusion_metrics",

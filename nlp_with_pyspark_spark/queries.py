@@ -1473,6 +1473,38 @@ def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "order_priority_melt",
+    """
+    SELECT o_orderpriority, status, CAST(n_orders AS BIGINT) AS n_orders FROM (
+        SELECT o_orderpriority,
+               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_f,
+               sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_o,
+               sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_p
+        FROM orders GROUP BY o_orderpriority
+    ) UNPIVOT (n_orders FOR status IN (status_f, status_o, status_p))
+    WHERE n_orders > 0
+    """,
+)
+def order_priority_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (``DataFrame.melt`` — §2.4 widening, the inverse of
+    ``order_priority_pivot``): wide per-status columns back to long
+    (priority, status, n) rows. Zero-count combos (pivot fill) are
+    dropped on both sides; the oracle unpivots the same CASE-sum wide
+    form DuckDB-side. melt is a projection+explode — no extra shuffle
+    beyond the pivot's own aggregation."""
+    wide = order_priority_pivot(spark, sf_dir)
+    return (
+        wide.melt(
+            ids=["o_orderpriority"],
+            values=["status_f", "status_o", "status_p"],
+            variableColumnName="status",
+            valueColumnName="n_orders",
+        )
+        .where(F.col("n_orders") > 0)
+    )
+
+
+@query(
     "customer_running_revenue",
     """
     WITH top_cust AS (
