@@ -61,6 +61,7 @@ HEADLINE = [
     "multimodal_resize",
     "multimodal_frame_sample",
     "events_asof_click_purchase",
+    "session_event_overlap",
     "supplier_nation_revenue",
     "price_percentiles",
     "corpus_clean_stats",

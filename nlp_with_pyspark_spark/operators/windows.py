@@ -109,6 +109,49 @@ def session_stats(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
     )
 
 
+def bucketed_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "sec",
+    start_col: str = "start_sec",
+    end_col: str = "end_sec",
+    bucket_sec: int = 3600,
+) -> DataFrame:
+    """Interval ⋈ point range join with NO equi key — every (interval,
+    point) pair with ``start <= ts <= end`` — without the
+    BroadcastNestedLoopJoin Spark would otherwise plan for a pure
+    non-equi condition.
+
+    The scale shape: points get ONE bucket row (``ts div bucket_sec``);
+    intervals explode across every bucket they span; the join is then a
+    plain equi shuffle join on the bucket, with the exact range
+    predicate as a post-filter. A pair can only meet in the point's own
+    bucket, so each qualifying pair appears EXACTLY once — no distinct
+    needed. Cost: |points| + Σ span_buckets(interval) rows through one
+    hash join instead of |points|·|intervals| comparisons.
+
+    ``bucket_sec`` trades explode factor (long intervals → many rows)
+    against bucket width (hot buckets when everything lands together);
+    set it near the median interval length. Timestamps must be
+    non-negative integer seconds (``div`` truncation).
+    """
+    p = points.withColumn("_bucket", F.expr(f"{ts_col} div {bucket_sec}"))
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"{start_col} div {bucket_sec}"),
+                F.expr(f"{end_col} div {bucket_sec}"),
+            )
+        ),
+    )
+    return (
+        iv.join(p, "_bucket")
+        .where((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col)))
+        .drop("_bucket")
+    )
+
+
 def asof_join_events(
     events: DataFrame, left_type: str = "purchase", right_type: str = "click"
 ) -> DataFrame:

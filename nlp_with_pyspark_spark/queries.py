@@ -403,6 +403,65 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "session_event_overlap",
+    """
+    WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, epoch_ns(ts) // 1000000000 AS sec FROM events),
+    lagged AS (
+        SELECT *, lag(sec) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS prev FROM e
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END AS new_sess
+        FROM lagged
+    ),
+    sess AS (
+        SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    intervals AS (
+        SELECT user_id AS sess_user, CAST(session_id AS BIGINT) AS session_id,
+               min(sec) AS start_sec, max(sec) AS end_sec
+        FROM sess WHERE user_id < 10 GROUP BY 1, 2
+    )
+    SELECT sess_user, session_id, start_sec, end_sec,
+           count(*) AS n_overlapping
+    FROM intervals JOIN e
+      ON e.sec >= intervals.start_sec AND e.sec <= intervals.end_sec
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def session_event_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (no equi key): per session of users 0-9, how many
+    events — from ANY user — fall inside the session's time interval.
+
+    Spark has no native interval join; a plain non-equi condition plans
+    as BroadcastNestedLoopJoin (all-pairs). ``bucketed_range_join``
+    turns it into an hour-bucket equi join + exact range filter (each
+    pair meets exactly once, in the point's bucket). The oracle is the
+    literal non-equi join DuckDB executes directly — same semantics,
+    different physical strategy per engine."""
+    events = read_table(spark, sf_dir, "events")
+    intervals = (
+        windows.sessionize(events, 1800)
+        .where(F.col("user_id") < 10)
+        .select(
+            F.col("user_id").alias("sess_user"),
+            "session_id",
+            F.col("session_start_epoch").alias("start_sec"),
+            F.col("session_end_epoch").alias("end_sec"),
+        )
+    )
+    points = events.select(F.expr("ts_ns div 1000000000").alias("sec"))
+    from .operators.windows import bucketed_range_join
+
+    return (
+        bucketed_range_join(points, intervals, bucket_sec=3600)
+        .groupBy("sess_user", "session_id", "start_sec", "end_sec")
+        .agg(F.count(F.lit(1)).alias("n_overlapping"))
+    )
+
+
+@query(
     "events_json_stats",
     """
     WITH e AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

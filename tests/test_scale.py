@@ -67,3 +67,36 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_ord_bucketed")
+
+
+def test_bucketed_range_join_exactly_once(spark):
+    """Every (interval, point) pair with start <= ts <= end appears
+    EXACTLY once — including intervals spanning many buckets and points
+    on bucket/interval boundaries — matching the naive all-pairs join."""
+    from nlp_with_pyspark_spark.operators.windows import bucketed_range_join
+
+    intervals = spark.createDataFrame(
+        [
+            (1, 0, 50),        # inside one bucket
+            (2, 90, 210),      # spans 3 buckets (width 100)
+            (3, 100, 100),     # degenerate, on a boundary
+            (4, 500, 9999),    # long interval, many buckets
+            (5, 150, 160),     # nested inside interval 2's range
+        ],
+        "iv_id long, start_sec long, end_sec long",
+    )
+    points = spark.createDataFrame(
+        [(i, s) for i, s in enumerate([0, 50, 99, 100, 101, 155, 210, 211, 500, 5000, 9999, 10000])],
+        "pt_id long, sec long",
+    )
+    got = sorted(
+        (r.iv_id, r.pt_id)
+        for r in bucketed_range_join(points, intervals, bucket_sec=100).collect()
+    )
+    naive = sorted(
+        (r.iv_id, r.pt_id)
+        for r in intervals.crossJoin(points)
+        .where((F.col("sec") >= F.col("start_sec")) & (F.col("sec") <= F.col("end_sec")))
+        .collect()
+    )
+    assert got == naive and len(got) == len(set(got))
