@@ -441,9 +441,12 @@ def session_event_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal non-equi join DuckDB executes directly — same semantics,
     different physical strategy per engine."""
     events = read_table(spark, sf_dir, "events")
+    # filter BEFORE sessionize: the session window partitions by user, so
+    # pre-filtering the 10 interval users is plan-equivalent and keeps the
+    # window sort off the other 99.99% of a 100 TB stream (Catalyst can't
+    # push a filter below a window it can't prove partition-aligned)
     intervals = (
-        windows.sessionize(events, 1800)
-        .where(F.col("user_id") < 10)
+        windows.sessionize(events.where(F.col("user_id") < 10), 1800)
         .select(
             F.col("user_id").alias("sess_user"),
             "session_id",
