@@ -161,6 +161,32 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Hive-layout partitioned parquet write — the partition-PRUNING
+    strategy (complement of ``write_bucketed``'s co-location).
+
+    At 100 TB the first question any scan answers is "which files can I
+    skip": a date/hour/type-partitioned layout lets a filter on the
+    partition column prune whole directories BEFORE listing their files
+    (``PartitionFilters`` in the FileScan — asserted in
+    tests/test_scale.py, vs ``PushedFilters`` which still opens files).
+    Partition columns must be low-cardinality (date, hour, type, lang);
+    high-cardinality partitioning produces the classic
+    millions-of-tiny-files failure. ``max_records_per_file`` caps file
+    size for downstream split friendliness.
+    """
+    writer = df.write.mode(mode).partitionBy(*partition_cols)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+
+
 def write_single_file(df: DataFrame, path: str, fmt: str = "csv", mode: str = "overwrite") -> None:
     """Single-file sink (S4).
 

@@ -100,3 +100,31 @@ def test_bucketed_range_join_exactly_once(spark):
         .collect()
     )
     assert got == naive and len(got) == len(set(got))
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-layout events (partitioned by event_type): a filter on the
+    partition column must appear as PartitionFilters in the FileScan
+    (directories pruned before file listing) and read only the matching
+    partition's rows; a same-shape filter on an unpartitioned copy is
+    only a PushedFilter (every file still listed/opened)."""
+    from nlp_with_pyspark_spark.sources.io import write_partitioned
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    out = str(tmp_path / "events_by_type")
+    write_partitioned(events, out, ["event_type"])
+
+    part = spark.read.parquet(out).where(F.col("event_type") == "click")
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_type" in seg, seg
+    want = events.where(F.col("event_type") == "click").count()
+    assert part.count() == want and want > 0
+
+    flat = events.where(F.col("event_type") == "click")
+    flat_plan = flat._jdf.queryExecution().executedPlan().toString()
+    flat_seg = flat_plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_type" not in flat_seg, flat_seg
