@@ -280,3 +280,38 @@ def test_stateful_idle_keys_evicted(spark, tmp_path):
         assert (2, 2, 12.0, 7.0) in rows
     finally:
         q.stop()
+
+
+def test_stream_static_enrichment_join(spark, events_stream, events_batch):
+    """Stream-static broadcast join: a streaming fact enriched with a
+    static dimension (the production shape for slowly-changing lookup
+    tables — no state store involved, the dim is just re-broadcast per
+    micro-batch). Converged result must equal the batch join."""
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"), ("purchase", "revenue")],
+        "event_type string, category string",
+    )
+    enriched = (
+        events_stream.join(F.broadcast(dim), "event_type")
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    q = run_to_memory(enriched, "t_enrich", output_mode="complete")
+    try:
+        got = {tuple(r) for r in spark.table("t_enrich").collect()}
+        want = {
+            tuple(r)
+            for r in events_batch.join(F.broadcast(dim), "event_type")
+            .groupBy("category")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            )
+            .collect()
+        }
+        assert got == want and got
+    finally:
+        q.stop()
