@@ -128,3 +128,36 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     flat_plan = flat._jdf.queryExecution().executedPlan().toString()
     flat_seg = flat_plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "event_type" not in flat_seg, flat_seg
+
+
+def test_bucketed_range_join_randomized(spark):
+    """Randomized cross-check (seeded): 300 random intervals × 500
+    random points, three bucket widths (smaller, comparable, larger than
+    typical interval length) — each must equal the naive all-pairs join
+    exactly. Guards the exactly-once argument against width-dependent
+    edge cases the handpicked examples miss."""
+    import random
+
+    from nlp_with_pyspark_spark.operators.windows import bucketed_range_join
+
+    rng = random.Random(20260813)
+    intervals = []
+    for i in range(300):
+        s = rng.randrange(0, 100_000)
+        intervals.append((i, s, s + rng.randrange(0, 5_000)))
+    points = [(i, rng.randrange(0, 110_000)) for i in range(500)]
+    iv = spark.createDataFrame(intervals, "iv_id long, start_sec long, end_sec long")
+    pt = spark.createDataFrame(points, "pt_id long, sec long")
+    naive = sorted(
+        (r.iv_id, r.pt_id)
+        for r in iv.crossJoin(pt)
+        .where((F.col("sec") >= F.col("start_sec")) & (F.col("sec") <= F.col("end_sec")))
+        .collect()
+    )
+    assert naive  # non-degenerate fixture
+    for width in (100, 1_000, 60_000):
+        got = sorted(
+            (r.iv_id, r.pt_id)
+            for r in bucketed_range_join(pt, iv, bucket_sec=width).collect()
+        )
+        assert got == naive, f"width={width}: {len(got)} vs {len(naive)}"
