@@ -48,6 +48,7 @@ HEADLINE = [
     "events_json_stats",
     "dedup_exact_groups",
     "dedup_minhash_pairs",
+    "dedup_components",
     "simhash_fingerprints",
     "simhash_near_pairs",
     "ann_brute_force_topk",

@@ -1,0 +1,152 @@
+"""Distributed connected components — near-dup pairs → duplicate clusters.
+
+The dedup operators in :mod:`.dedup` emit *pairs* (doc_a, doc_b). A real
+corpus-dedup pipeline needs *clusters*: every document labelled with a
+canonical component id so one survivor per cluster can be kept. Pairs →
+clusters is a connected-components problem, and at 100 TB the edge list
+does not fit anywhere, so this is the alternating **large-star /
+small-star** algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14): O(log² n) synchronous rounds in the
+worst case, 2–4 rounds on the shallow clique-ish graphs dedup actually
+produces, every round a pair of key-partitioned shuffles — no driver
+collect of anything but a 2-value convergence signature.
+
+Why not label propagation? Min-label propagation needs O(diameter)
+rounds; an adversarial chain of near-dups (doc_i ~ doc_{i+1}) makes the
+diameter — and the round count — linear. Star contraction shortcuts
+paths, so round count stays logarithmic regardless of graph shape.
+
+Per-round plan shape (grading for 1000 executors):
+  * large-star: symmetrized edges partitioned by node (one Exchange),
+    per-node min via a window — no collect_list, so a degree-10⁷ hub
+    node is a wide partition, never a driver-sized array;
+  * small-star: canonical edges partitioned by the larger endpoint,
+    same window-min shape;
+  * each round ends in ``distinct()`` (hash-agg on the edge key) and a
+    ``localCheckpoint`` so round r+1's lineage starts from materialized
+    partitions instead of replaying all previous rounds (the iterative-
+    algorithm analogue of the fan-out rule in operators/features.py).
+
+Reference note: the reference engine has no graph surface at all; this
+is engine-extension territory (SURVEY §2 "beyond the reference" /
+LLM-pipeline dedup), cited against the published algorithm rather than
+a reference file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Undirected edge list → distinct (u < v) rows, self-loops dropped."""
+    return (
+        edges.select(
+            F.least("u", "v").alias("u"),
+            F.greatest("u", "v").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of each node to the
+    minimum of its closed neighborhood (Kiveris et al. §3, map phase
+    expressed as a window-min instead of a reduce over collect_list)."""
+    sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    w = Window.partitionBy("u")
+    m = F.least(F.col("u"), F.min("v").over(w))
+    return (
+        sym.select("u", "v", m.alias("m"))
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("m").alias("u"), F.col("v").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Attach each canonical edge to its larger endpoint; link all of
+    that node's smaller neighbors (and the node itself) to the group
+    minimum. Emission is one edge per input row: the row holding the
+    minimum stands in for the (node → min) edge, so no explode and no
+    per-group array is ever built."""
+    w = Window.partitionBy("v")
+    m = F.min("u").over(w)
+    return (
+        edges.select("u", "v", m.alias("m"))
+        .select(
+            F.col("m").alias("u"),
+            F.when(F.col("u") == F.col("m"), F.col("v")).otherwise(F.col("u")).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node in ``edges``; component = the
+    minimum node id reachable from it.
+
+    Convergence is detected with a 2-value signature — edge count +
+    ``sum(xxhash64(u, v))`` — one tiny driver row per round instead of
+    an ``exceptAll`` anti-join over the full edge set. A hash-sum
+    collision masking a real change needs two edge multisets with equal
+    count and colliding 64-bit sums mid-contraction; ``max_iter`` backs
+    the loop regardless.
+
+    Raises after ``max_iter`` rounds without convergence rather than
+    returning a partially contracted labelling.
+    """
+    e = _canonical(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    e = e.localCheckpoint()
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) sum: overflow-free under ANSI mode for any
+            # edge count the planet has disks for (2^63 · 10^18 ≪ 10^38)
+            F.coalesce(F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+
+    # Fixpoint edges form stars (component_min, member).
+    members = e.select(F.col("v").alias("node"), F.col("u").alias("component"))
+    roots = e.select(F.col("u").alias("node"), F.col("u").alias("component")).distinct()
+    return members.unionByName(roots)
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup pairs → (doc_id, component_id, n_members).
+
+    component_id = min doc_id of the cluster — the survivor under the
+    keep-first rule, making ``WHERE doc_id != component_id`` the set of
+    rows to drop. ``n_members`` counts cluster size (window count over
+    the assignment — one extra shuffle on component_id, dwarfed by the
+    pair-generation cost upstream).
+    """
+    asg = connected_components(pairs, src=id_a, dst=id_b, max_iter=max_iter)
+    w = Window.partitionBy("component")
+    return asg.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("component_id"),
+        F.count(F.lit(1)).over(w).alias("n_members"),
+    )

@@ -575,10 +575,10 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicate_groups(read_table(spark, sf_dir, "documents"))
 
 
-@query(
-    "dedup_minhash_pairs",
-    f"""
-    WITH {_SHINGLES_SQL},
+#: Full DuckDB CTE chain shingles → minhash sig → LSH bands → verified
+#: near-dup pairs at jaccard ≥ 0.2 — shared by the pair query and the
+#: connected-components query built on top of it.
+_MINHASH_PAIR_CTES = f"""{_SHINGLES_SQL},
     sig AS (
         SELECT doc_id, shingles,
                [{", ".join(f"list_aggregate(list_transform(shingles, s -> md5('{i}~' || s)), 'min')" for i in range(12))}] AS sig
@@ -606,8 +606,15 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cands
         JOIN sig a ON doc_a = a.doc_id
         JOIN sig b ON doc_b = b.doc_id
-    )
-    SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.2
+    ),
+    pairs AS (SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.2)"""
+
+
+@query(
+    "dedup_minhash_pairs",
+    f"""
+    WITH {_MINHASH_PAIR_CTES}
+    SELECT doc_a, doc_b, jaccard FROM pairs
     """,
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -621,6 +628,41 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _tokenized_documents(spark, sf_dir)
     return minhash_dedup_pairs(docs, n=3, k=12, bands=4, threshold=0.2)
+
+
+@query(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIR_CTES},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+        SELECT node, node AS comp FROM nodes
+        UNION
+        SELECT e.dst AS node, r.comp FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    asg AS (SELECT node, min(comp) AS component_id FROM reach GROUP BY node)
+    SELECT node AS doc_id, component_id,
+           CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT) AS n_members
+    FROM asg
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate clusters via large-star/small-star
+    connected components (operators/graph.py). The oracle is min-label
+    reachability as a DuckDB recursive CTE — O(n·diameter) state, fine
+    at sf0.01; the Spark side is the O(log n)-round star-contraction
+    that survives 100 TB edge lists."""
+    from .operators.dedup import minhash_dedup_pairs
+    from .operators.graph import duplicate_clusters
+
+    docs = _tokenized_documents(spark, sf_dir)
+    pairs = minhash_dedup_pairs(docs, n=3, k=12, bands=4, threshold=0.2)
+    return duplicate_clusters(pairs)
 
 
 @query(
