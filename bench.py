@@ -47,6 +47,8 @@ HEADLINE = [
     "events_session_stats",
     "events_json_stats",
     "dedup_exact_groups",
+    "stratified_sample_by_lang",
+    "corpus_train_split",
     "dedup_minhash_pairs",
     "dedup_components",
     "simhash_fingerprints",

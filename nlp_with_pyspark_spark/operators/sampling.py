@@ -1,0 +1,134 @@
+"""Deterministic hash-threshold sampling — reproducible corpus slices.
+
+``df.sample()`` draws from a per-partition RNG: re-running the job, or
+changing the partition count, changes the sample. A 100 TB training-data
+pipeline needs the opposite — *membership decided by the row itself*, so
+the same document lands in the same split on every run, on any cluster
+layout, and samples can be grown without resampling. The standard trick:
+hash a stable key to a uniform value and keep rows under a threshold.
+
+Engine-independence (same rule as :mod:`.dedup`): the oracle-checkable
+family compares the lowercase-hex ``md5`` digest *lexicographically*
+against an 8-hex-digit threshold — both engines agree bit-for-bit, and
+no hex→int conversion is needed. Because the digest is longer than the
+threshold, ``md5(key) < thr`` holds exactly when the digest's first
+8 digits are below it, so the keep-probability is exactly
+``round(rate · 16⁸) / 16⁸`` (resolution ≈ 2.3e-10 — the quantization is
+documented, not hidden). A ``hash_fn='xxhash64'`` production family
+avoids the md5 cost where oracle parity isn't needed.
+
+Properties the tests pin:
+  * deterministic: same key + salt ⇒ same decision, any partitioning;
+  * nested: ``sample(r1) ⊆ sample(r2)`` for ``r1 ≤ r2`` under one salt —
+    thresholds grow monotonically, so a 1 % pilot extends to 10 %
+    without churn;
+  * independent across salts (different salt ⇒ fresh coin);
+  * splits partition: every row lands in exactly one split.
+
+All pure Catalyst projections/filters — sampling runs at scan speed and
+Parquet sees the pushed filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_SPACE = 16**8
+
+
+def _threshold_hex(rate: float) -> str:
+    """rate ∈ [0, 1] → 8-hex-digit threshold (clamped).
+
+    rate = 1 maps to ``'g'``: every hex digit sorts below ``'g'``, so
+    ``md5(...) < 'g'`` keeps all rows — an 8-digit all-f threshold would
+    wrongly drop digests starting ``ffffffff``."""
+    q = min(max(int(round(rate * _HEX_SPACE)), 0), _HEX_SPACE)
+    return "g" if q == _HEX_SPACE else format(q, "08x")
+
+
+def _uniform_hex(key: Column, salt: str) -> Column:
+    """Lowercase md5 digest of ``salt~key`` — the row's uniform draw."""
+    return F.md5(F.concat(F.lit(f"{salt}~"), key.cast("string")))
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float,
+    key_col: str = "doc_id",
+    salt: str = "sample",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose hashed key falls
+    under the rate threshold.
+
+    ``hash_fn='md5'`` is the oracle family (lexicographic hex compare,
+    DuckDB-identical). ``'xxhash64'`` keeps membership via
+    ``pmod(xxhash64(salt, key), 2³²)/2³²`` — cheaper at scale, same
+    determinism/nesting properties, no SQL oracle.
+    """
+    if rate >= 1.0:
+        return df
+    if rate <= 0.0:
+        return df.where(F.lit(False))
+    if hash_fn == "xxhash64":
+        q = int(round(rate * (1 << 32)))
+        u = F.pmod(F.xxhash64(F.lit(salt), F.col(key_col)), F.lit(1 << 32))
+        return df.where(u < F.lit(q))
+    if hash_fn != "md5":
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+    return df.where(_uniform_hex(F.col(key_col), salt) < F.lit(_threshold_hex(rate)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str,
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — e.g. downsample dominant
+    languages while keeping the tail intact (the standard corpus
+    rebalancing move). ``rates`` maps stratum value → keep rate; strata
+    not listed get ``default_rate``.
+
+    One scan, one filter, no shuffle: the per-row threshold is a CASE
+    over the stratum column compared against the row's hash draw.
+    """
+    thr: Column = F.lit(_threshold_hex(default_rate))
+    for value, rate in rates.items():
+        thr = F.when(F.col(strata_col) == value, F.lit(_threshold_hex(rate))).otherwise(thr)
+    return df.where(_uniform_hex(F.col(key_col), salt) < thr)
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint splits (train/valid/test) as a ``split``
+    label column: the hash draw is binned by cumulative thresholds, so
+    every row gets exactly one label and the assignment is stable under
+    any re-run or repartition — the scale-safe ``randomSplit``.
+
+    Fractions must sum to 1 (±1e-9); thresholds are quantized to 16⁻⁸
+    like :func:`hash_sample`, with the last bin absorbing the remainder
+    so no row is ever unlabelled.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    u = _uniform_hex(F.col(key_col), salt)
+    names = list(fractions)
+    cum = 0.0
+    bounds = []  # (name, cumulative threshold), increasing
+    for name in names[:-1]:
+        cum += fractions[name]
+        bounds.append((name, _threshold_hex(cum)))
+    # chain lowest-threshold-first; the last bin absorbs the remainder
+    expr: Column = F.lit(names[-1])
+    for name, b in reversed(bounds):
+        expr = F.when(u < F.lit(b), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

@@ -1701,3 +1701,70 @@ def tfidf_smoothed_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = top_k_vocabulary(docs, k=100)
     out = tf_idf(docs, vocab, smoothed=True)
     return out.select("doc_id", "word", "idx", F.round("tfidf", 8).alias("tfidf"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splits (LLM-pipeline: reproducible corpus slices)
+# ---------------------------------------------------------------------------
+
+from .operators.sampling import _threshold_hex as _thr  # noqa: E402
+
+#: shared by the Spark operator and the oracle SQL by construction
+_STRAT_RATES = {"en": 0.25, "es": 0.5, "zh": 1.0}
+_STRAT_DEFAULT = 0.125
+_SPLIT_FRACTIONS = {"train": 0.8, "valid": 0.1, "test": 0.1}
+
+
+def _strat_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{v}' THEN '{_thr(r)}'" for v, r in _STRAT_RATES.items()
+    )
+    return f"CASE lang {whens} ELSE '{_thr(_STRAT_DEFAULT)}' END"
+
+
+@query(
+    "stratified_sample_by_lang",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE md5('strat~' || CAST(doc_id AS VARCHAR)) < {_strat_case_sql()}
+    """,
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsampling (operators/sampling.py):
+    dominant 'en' kept at 25%, 'zh' fully, tail languages at 12.5% —
+    the corpus-rebalancing move, decided row-locally by an md5 draw so
+    membership is stable under re-runs and repartitioning. Scan-speed:
+    one filter, zero shuffles."""
+    from .operators.sampling import stratified_hash_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        docs, rates=_STRAT_RATES, strata_col="lang", default_rate=_STRAT_DEFAULT
+    ).select("doc_id", "lang")
+
+
+def _split_case_sql() -> str:
+    names = list(_SPLIT_FRACTIONS)
+    u = "md5('split~' || CAST(doc_id AS VARCHAR))"
+    cum, whens = 0.0, []
+    for name in names[:-1]:
+        cum += _SPLIT_FRACTIONS[name]
+        whens.append(f"WHEN {u} < '{_thr(cum)}' THEN '{name}'")
+    return f"CASE {' '.join(whens)} ELSE '{names[-1]}' END"
+
+
+@query(
+    "corpus_train_split",
+    f"""
+    SELECT doc_id, {_split_case_sql()} AS split FROM documents
+    """,
+)
+def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test assignment — the
+    scale-safe randomSplit: the hash draw is binned by cumulative
+    thresholds, so the same doc lands in the same split on every run
+    and every cluster layout (operators/sampling.hash_split)."""
+    from .operators.sampling import hash_split
+
+    docs = read_table(spark, sf_dir, "documents")
+    return hash_split(docs, _SPLIT_FRACTIONS).select("doc_id", "split")

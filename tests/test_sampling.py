@@ -1,0 +1,114 @@
+"""Deterministic hash-threshold sampling (operators/sampling.py).
+
+Oracle parity (test_oracle_parity) already pins exact membership for
+the registered queries; these tests pin the *operator contract* — the
+properties a pipeline relies on, across both hash families:
+
+  * partitioning-invariance (same rows kept under any repartition);
+  * nesting (a 10 % sample contains the 5 % sample, same salt);
+  * salt independence;
+  * rate accuracy within binomial tolerance;
+  * splits partition the input exactly;
+  * stratified rate-1.0 keeps every row of the stratum (the 'g'
+    threshold edge: an all-f 8-digit threshold would drop digests
+    starting ffffffff).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nlp_with_pyspark_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    stratified_hash_sample,
+)
+from nlp_with_pyspark_spark.sources.io import read_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def _ids(df):
+    return {r[0] for r in df.select("doc_id").collect()}
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return read_table(spark, SF, "documents")
+
+
+@pytest.mark.parametrize("hash_fn", ["md5", "xxhash64"])
+def test_partitioning_invariance(docs, hash_fn):
+    a = _ids(hash_sample(docs.repartition(3), 0.3, hash_fn=hash_fn))
+    b = _ids(hash_sample(docs.repartition(17), 0.3, hash_fn=hash_fn))
+    assert a == b and a
+
+
+@pytest.mark.parametrize("hash_fn", ["md5", "xxhash64"])
+def test_nesting(docs, hash_fn):
+    small = _ids(hash_sample(docs, 0.05, hash_fn=hash_fn))
+    big = _ids(hash_sample(docs, 0.10, hash_fn=hash_fn))
+    assert small <= big
+
+
+@pytest.mark.parametrize("hash_fn", ["md5", "xxhash64"])
+def test_rate_accuracy(docs, hash_fn):
+    n = docs.count()
+    p = 0.25
+    kept = hash_sample(docs, p, hash_fn=hash_fn).count()
+    tol = 4 * math.sqrt(n * p * (1 - p))  # ±4σ binomial
+    assert abs(kept - n * p) <= tol, (kept, n * p, tol)
+
+
+def test_salt_independence(docs):
+    a = _ids(hash_sample(docs, 0.3, salt="a"))
+    b = _ids(hash_sample(docs, 0.3, salt="b"))
+    assert a != b  # different coins
+    # overlap ≈ 9% of corpus, not 0 and not 30%
+    n = docs.count()
+    assert 0 < len(a & b) < 0.2 * n
+
+
+def test_rate_edges(docs):
+    n = docs.count()
+    assert hash_sample(docs, 1.0).count() == n
+    assert hash_sample(docs, 0.0).count() == 0
+    with pytest.raises(ValueError):
+        hash_sample(docs, 0.5, hash_fn="sha999")
+
+
+def test_split_partitions_input(docs):
+    out = hash_split(docs, {"train": 0.8, "valid": 0.1, "test": 0.1})
+    n = docs.count()
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == n
+    assert set(counts) == {"train", "valid", "test"}
+    assert abs(counts["train"] - 0.8 * n) <= 4 * math.sqrt(n * 0.16)
+    # stable under repartition
+    a = {(r["doc_id"], r["split"]) for r in out.collect()}
+    b = {
+        (r["doc_id"], r["split"])
+        for r in hash_split(docs.repartition(7), {"train": 0.8, "valid": 0.1, "test": 0.1}).collect()
+    }
+    assert a == b
+
+
+def test_split_fractions_must_sum(docs):
+    with pytest.raises(ValueError):
+        hash_split(docs, {"train": 0.8, "test": 0.1})
+
+
+def test_stratified_rate_one_keeps_all(docs):
+    out = stratified_hash_sample(docs, rates={"zh": 1.0}, strata_col="lang", default_rate=0.0)
+    assert out.count() == docs.where("lang = 'zh'").count()
+    assert out.where("lang <> 'zh'").count() == 0
+
+
+def test_sampling_filter_reaches_scan(docs):
+    """The md5 threshold filter must sit in the scan stage — no shuffle
+    anywhere in the sampled plan (scan-speed at 100 TB)."""
+    plan = hash_sample(docs, 0.25)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
