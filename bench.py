@@ -66,6 +66,8 @@ HEADLINE = [
     "events_asof_click_purchase",
     "session_event_overlap",
     "supplier_nation_revenue",
+    "local_supplier_volume",
+    "dormant_customers",
     "price_percentiles",
     "corpus_clean_stats",
     "sql_top_unshipped_orders",

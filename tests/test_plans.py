@@ -118,3 +118,23 @@ def test_multimodal_stats_prunes_payload(spark, sf_dir):
     # modality-only rollup: drop the byte aggregates so only doc_id feeds it
     q = assets.groupBy("modality").count()
     assert "text" not in scan_columns(q)
+
+
+def test_q5_shape_broadcasts_and_pushdown(tables, spark, sf_dir):
+    supp = read_table(spark, sf_dir, "supplier")
+    q = relational.local_supplier_volume(
+        tables["lineitem"], tables["orders"], tables["customer"],
+        supp, tables["nation"], tables["region"],
+    )
+    # date range reaches the orders parquet scan
+    pf = pushed_filters(q)
+    assert "GreaterThanOrEqual(o_orderdate" in pf and "LessThan(o_orderdate" in pf, pf
+    # supplier/nation/region all broadcast (region semi-join reduction)
+    assert count_occurrences(q, "BroadcastHashJoin") >= 2
+
+
+def test_anti_join_stays_anti(tables):
+    q = relational.dormant_customers(tables["customer"], tables["orders"])
+    assert count_occurrences(q, "LeftAnti") >= 1
+    pf = pushed_filters(q)
+    assert "GreaterThanOrEqual(o_orderdate" in pf, pf
