@@ -58,6 +58,8 @@ HEADLINE = [
     "lang_id_counts",
     "quality_scores",
     "token_budget",
+    "doc_token_chunks",
+    "token_pack_assignments",
     "doc_fingerprints",
     "multimodal_asset_stats",
     "multimodal_decode_features",

@@ -1822,3 +1822,62 @@ def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.dormant_customers(
         read_table(spark, sf_dir, "customer"), read_table(spark, sf_dir, "orders")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunking / packing (LLM-pipeline: context windows, token-budget batches)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_token_chunks",
+    f"""
+    WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents),
+    sized AS (SELECT doc_id, tokens, len(tokens) AS n FROM toks WHERE len(tokens) > 0),
+    idx AS (
+        SELECT doc_id, tokens,
+               unnest(range(0, greatest(1, CAST(ceil((n - 4) / 12.0) AS BIGINT)))) AS chunk_idx
+        FROM sized
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(tokens[chunk_idx * 12 + 1 : chunk_idx * 12 + 16]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(tokens[chunk_idx * 12 + 1 : chunk_idx * 12 + 16], ' ') AS chunk_text
+    FROM idx
+    """,
+)
+def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 16-token windows, 4-token overlap
+    (operators/chunking.chunk_tokens) — scan-speed explode, the row
+    fan-out is the real output size."""
+    from .operators.chunking import chunk_tokens
+
+    return chunk_tokens(_tokenized_documents(spark, sf_dir), chunk_size=16, overlap=4)
+
+
+@query(
+    "token_pack_assignments",
+    """
+    WITH counts AS (
+        SELECT doc_id, doc_id % 8 AS bucket,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, bucket, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                   PARTITION BY bucket ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        FROM counts
+    )
+    SELECT doc_id, bucket, cum_before // 256 AS pack_id, n_tokens FROM cum
+    """,
+)
+def token_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (operators/chunking.pack_chunks):
+    deterministic bucketing + per-bucket running-sum pack boundaries at
+    budget=256 whitespace tokens. One window shuffle, no driver loop."""
+    from .operators.chunking import pack_chunks
+    from .operators.textstats import token_counts
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pack_chunks(token_counts(docs), count_col="ws_tokens", budget=256, n_buckets=8)
