@@ -66,6 +66,8 @@ HEADLINE = [
     "multimodal_resize",
     "multimodal_frame_sample",
     "events_asof_click_purchase",
+    "click_purchase_attribution",
+    "customer_rolling_7d_revenue",
     "session_event_overlap",
     "supplier_nation_revenue",
     "local_supplier_volume",

@@ -1881,3 +1881,65 @@ def token_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return pack_chunks(token_counts(docs), count_col="ws_tokens", budget=256, n_buckets=8)
+
+
+@query(
+    "customer_rolling_7d_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                      RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS revenue_7d,
+           CAST(count(*)
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                      RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_orders_7d
+    FROM orders
+    """,
+)
+def customer_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (vs the ROWS frame in
+    customer_running_revenue): per customer, exact-decimal revenue and
+    order count over the trailing 7 days *by event time* — ties on the
+    same date all see the same frame, which a ROWS frame cannot express.
+    Spark's range frame needs a numeric ORDER BY: order dates are
+    day-resolution (asserted in testdata; TIMESTAMP_NTZ→long is an ANSI
+    error anyway), so the ordering key is days-since-epoch via datediff
+    and the bound is ±7 — identical to the oracle's INTERVAL 7 DAYS on
+    midnight timestamps. One shuffle on the partition key serves both
+    window functions."""
+    orders = read_table(spark, sf_dir, "orders")
+    order_day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    w = Window.partitionBy("o_custkey").orderBy(order_day).rangeBetween(-7, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("revenue_7d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_7d"),
+    )
+
+
+@query(
+    "click_purchase_attribution",
+    """
+    WITH e AS (
+        SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+        FROM events
+    ),
+    c AS (SELECT * FROM e WHERE event_type = 'click'),
+    p AS (SELECT * FROM e WHERE event_type = 'purchase')
+    SELECT c.event_id AS left_id, p.event_id AS right_id, c.user_id AS user_id,
+           CAST((p.ts_us - c.ts_us) // 1000000 AS BIGINT) AS gap_sec
+    FROM c JOIN p ON c.user_id = p.user_id
+     AND p.ts_us >= c.ts_us AND p.ts_us <= c.ts_us + 300000000
+    """,
+)
+def click_purchase_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (all purchases within 5 min after a click, per
+    user) — the batch face of streaming/joins.interval_join_streams;
+    the identical code path runs as a watermarked stream-stream join
+    (stream-vs-batch equality tested in test_streaming)."""
+    from .streaming.joins import click_purchase_attribution
+
+    return click_purchase_attribution(read_table(spark, sf_dir, "events"))

@@ -315,3 +315,20 @@ def test_stream_static_enrichment_join(spark, events_stream, events_batch):
         assert got == want and got
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_stream, events_batch):
+    """Stream-stream interval join (streaming/joins.py): both sides
+    watermarked, gap bounded both ways → bounded state. The same code
+    path run on the static table is the semantic oracle."""
+    from nlp_with_pyspark_spark.streaming.joins import click_purchase_attribution
+
+    q = run_to_memory(
+        click_purchase_attribution(events_stream), "t_ssjoin", output_mode="append"
+    )
+    try:
+        got = _rows(spark, "t_ssjoin")
+        want = {tuple(r) for r in click_purchase_attribution(events_batch).collect()}
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()
