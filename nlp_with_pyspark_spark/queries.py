@@ -575,10 +575,9 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicate_groups(read_table(spark, sf_dir, "documents"))
 
 
-#: Full DuckDB CTE chain shingles → minhash sig → LSH bands → verified
-#: near-dup pairs at jaccard ≥ 0.2 — shared by the pair query and the
-#: connected-components query built on top of it.
-_MINHASH_PAIR_CTES = f"""{_SHINGLES_SQL},
+#: DuckDB CTE prefix shingles → minhash sig → LSH band hashes — shared
+#: by the self-pair chain below and the incremental-dedup oracle.
+_MINHASH_SIG_CTES = f"""{_SHINGLES_SQL},
     sig AS (
         SELECT doc_id, shingles,
                [{", ".join(f"list_aggregate(list_transform(shingles, s -> md5('{i}~' || s)), 'min')" for i in range(12))}] AS sig
@@ -586,7 +585,11 @@ _MINHASH_PAIR_CTES = f"""{_SHINGLES_SQL},
     ),
     bands AS (
         {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_id, md5(array_to_string(sig[{b * 3 + 1}:{b * 3 + 3}], '|')) AS band_hash FROM sig" for b in range(4))}
-    ),
+    )"""
+
+#: Full chain → verified near-dup pairs at jaccard ≥ 0.2 — shared by the
+#: pair query and the connected-components query built on top of it.
+_MINHASH_PAIR_CTES = f"""{_MINHASH_SIG_CTES},
     bsz AS (  -- mirror of _bucket_pairs.max_docs_per_bucket: hot buckets drop
         SELECT band_id, band_hash FROM bands GROUP BY 1, 2 HAVING count(*) <= 1000
     ),
