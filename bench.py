@@ -115,16 +115,25 @@ def main() -> None:
         times[name] = sorted(samples)[len(samples) // 2]
         spread[name] = samples
 
+    # The driver captures only the LAST 2000 chars of stdout and parses
+    # the final line as JSON: the printed line must stay compact (round
+    # 3's inline per-query "spread" arrays pushed it past the buffer and
+    # the round recorded parsed=null). Full samples go to stderr instead.
+    print(
+        json.dumps({"runs": runs, "spread": spread}, separators=(",", ":")),
+        file=sys.stderr,
+    )
     out = {
-        "metric": "headline-suite wall-clock (median of runs)",
+        "metric": "headline-suite median-of-%d wall-clock" % runs,
         "value": round(sum(times.values()), 3),
         "unit": "sec",
-        "queries": times,
-        "runs": runs,
-        "spread": spread,
+        "queries": {k: round(v, 2) for k, v in times.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(out))
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:  # keep headroom under the 2000-char tail capture
+        print("bench: line %d chars nears tail buffer" % len(line), file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":
