@@ -84,6 +84,12 @@ HEADLINE = [
     "doc_length_histogram",
     "doc_token_stats",
     "tfidf_smoothed_long",
+    "small_qty_part_revenue",
+    "high_balance_inactive",
+    "promo_revenue_share",
+    "latest_event_per_user",
+    "bigram_top50",
+    "embedding_centroid_topk",
 ]
 # Excluded on purpose: dedup_ngram_jaccard / embedding_near_dups are the
 # exact all-pairs VERIFIERS for the LSH/minhash scale paths (quadratic by

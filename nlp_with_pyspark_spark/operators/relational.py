@@ -268,3 +268,111 @@ def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
+
+
+def small_qty_part_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#23", qty_factor: float = 0.5
+) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    ``qty_factor``× the part's own average quantity — a correlated
+    scalar aggregate subquery, decorrelated the way Catalyst itself
+    would: the correlated ``AVG(l_quantity) WHERE l_partkey = p_partkey``
+    becomes one ``groupBy(l_partkey).avg`` over the (brand-restricted)
+    lineitems, joined back by part key.
+
+    Physical shape at 100 TB: the brand filter cuts part to ~1/25 →
+    broadcast; lineitem is scanned twice (once per side of the
+    decorrelation), each scan reduced fact-side by the same broadcast
+    hash before anything shuffles; the per-part average is a few rows
+    per surviving part, itself broadcast back onto the second scan —
+    so NO fact-table shuffle at all, only two pushed-filter scans.
+    (Materializing the reduced lineitems once instead would force a
+    full-size exchange or a checkpoint of a still-large intermediate;
+    re-scanning through a broadcast filter is the cheaper plan.)
+    """
+    brand_parts = F.broadcast(part.where(F.col("p_brand") == brand).select("p_partkey"))
+    li_brand = lineitem.join(brand_parts, lineitem.l_partkey == brand_parts.p_partkey)
+    per_part_avg = li_brand.groupBy("l_partkey").agg(
+        (F.lit(qty_factor) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    small = li_brand.join(
+        F.broadcast(per_part_avg).withColumnRenamed("l_partkey", "avg_partkey"),
+        F.col("l_partkey") == F.col("avg_partkey"),
+    ).where(F.col("l_quantity") < F.col("qty_cut"))
+    return small.agg(
+        F.round(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) / F.lit(7.0)).cast("double"), 2
+        ).alias("avg_yearly")
+    )
+
+
+def high_balance_inactive(
+    customer: DataFrame, orders: DataFrame, since: str = "2001-01-01"
+) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average (positive) account
+    balance and no order since ``since``, aggregated by market segment —
+    an uncorrelated scalar subquery feeding a filter, then an anti join.
+
+    The global average is a one-row aggregate cross-joined back in
+    (Catalyst turns the 1-row side into a broadcast nested loop with a
+    single build row — the declarative equivalent of collecting the
+    scalar, without a driver round-trip); the anti join ships only
+    ``o_custkey`` from the orders side.
+    """
+    # the threshold is rounded to 6dp on BOTH engines: a raw double avg
+    # differs in the last ulps by summation order, and a balance sitting
+    # exactly on the boundary would then flip in/out between engines
+    avg_bal = customer.where(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 6).alias("__avg_bal")
+    )
+    rich = customer.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("__avg_bal")
+    )
+    recent = orders.where(F.col("o_orderdate") >= F.lit(since)).select("o_custkey")
+    inactive = rich.join(recent, rich.c_custkey == F.col("o_custkey"), "left_anti")
+    return inactive.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        money_sum("c_acctbal", "total_acctbal"),
+    )
+
+
+def promo_revenue_share(
+    lineitem: DataFrame, part: DataFrame, year: str = "1996"
+) -> DataFrame:
+    """TPC-H Q14 shape: per ship month, the % of revenue from PROMO
+    parts — conditional aggregation (CASE inside SUM) over a broadcast
+    dimension join.
+
+    Both sums accumulate exactly in decimal, so the share is a ratio of
+    two exact numbers — order-independent, no float drift between
+    engines or partitionings; the only shuffle is the 12-group final
+    aggregate.
+    """
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(f"{year}-01-01"))
+        & (F.col("l_shipdate") < F.lit(f"{int(year) + 1}-01-01"))
+    )
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0))
+    return (
+        j.groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.sum(promo).alias("__promo"),
+            F.sum(rev).alias("__total"),
+        )
+        .select(
+            "ship_month",
+            F.col("__promo").cast("double").alias("promo_revenue"),
+            F.col("__total").cast("double").alias("total_revenue"),
+            F.round(
+                (F.lit(100.0) * F.col("__promo").cast("double") / F.col("__total").cast("double")),
+                6,
+            ).alias("promo_share"),
+        )
+    )

@@ -236,3 +236,40 @@ def ivf_query(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def centroid_topk(
+    embeddings: DataFrame, k: int = 20, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Top-k vectors closest (cosine) to the corpus centroid — the
+    "most-central documents" probe of an embedding set (and the
+    building block of the IVF coarse quantizer, one centroid at a time).
+
+    The centroid is computed declaratively: ``posexplode → groupBy(pos)
+    .avg → sort_array(collect_list(struct)) → transform`` reassembles a
+    single array row, then a broadcast cross join scores every vector
+    against it. At 100 TB the explode is dim× row fan-out but shuffles
+    only (pos, partial-sum) pairs — dim rows per partition after
+    map-side partials; the scoring pass is scan-speed with a 1-row
+    build side. The ``collect_list`` window is over exactly dim rows.
+
+    Cosine in double, rounded to 6dp before ranking (order-stable vs
+    the oracle); rank tie-break on id.
+    """
+    from ..functions.vector import cosine_similarity
+
+    exploded = embeddings.select(F.posexplode(vec_col).alias("pos", "v"))
+    centroid = (
+        exploded.groupBy("pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+    )
+    scored = embeddings.crossJoin(F.broadcast(centroid)).select(
+        F.col(id_col).alias("vec_id"),
+        F.round(cosine_similarity(F.col(vec_col), F.col("centroid")), 6).alias("cos_centroid"),
+    )
+    return scored.orderBy(F.desc("cos_centroid"), F.asc("vec_id")).limit(k)

@@ -47,3 +47,44 @@ def top_k_vocabulary(df: DataFrame, k: int, tokens_col: Column | str = "tokens")
     counts = word_counts(df, tokens_col).orderBy(F.desc("count"), F.asc("word")).limit(k)
     w = Window.orderBy(F.desc("count"), F.asc("word"))
     return counts.withColumn("idx", F.row_number().over(w) - F.lit(1))
+
+
+def ngram_counts(df: DataFrame, n: int = 2, tokens_col: Column | str = "tokens") -> DataFrame:
+    """Corpus n-gram counts → (ngram, count), space-joined tokens.
+
+    The n-gram build is a pure codegen projection: ``sequence(1, len-n+1)
+    → transform(window slice) → explode`` — no UDF, no shuffle until the
+    count. Rows with fewer than n tokens contribute nothing (the
+    ``when`` guard matters: ``sequence(1, 0)`` DESCENDS in Spark, so the
+    unguarded expression would fabricate a reversed window per short
+    row instead of an empty one).
+
+    Same scale shape as ``word_counts``: the only full-data shuffle is
+    the hash partition on the n-gram key, after map-side partials. The
+    explode fan-out is ~len(tokens) rows per doc per n — n-gram keys are
+    wider than words, so at 100 TB the shuffle payload is the cost to
+    watch; a frequency floor (HAVING count > t) belongs in the consumer,
+    pushed into the partial aggregate.
+    """
+    tokens = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    grams = F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def top_k_ngrams(
+    df: DataFrame, k: int, n: int = 2, tokens_col: Column | str = "tokens"
+) -> DataFrame:
+    """Top-k n-grams by corpus frequency, tie-break (count DESC, ngram
+    ASC) — TakeOrderedAndProject per task, driver merge, like
+    ``top_k_vocabulary``."""
+    return ngram_counts(df, n, tokens_col).orderBy(F.desc("count"), F.asc("ngram")).limit(k)

@@ -1946,3 +1946,187 @@ def click_purchase_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.joins import click_purchase_attribution
 
     return click_purchase_attribution(read_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Round 4: correlated/scalar subquery shapes, max_by, n-grams, centroid
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "small_qty_part_revenue",
+    """
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0 AS DOUBLE), 2)
+               AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+      AND l_quantity < (
+          SELECT 0.5 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+def small_qty_part_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar aggregate subquery,
+    decorrelated into a per-part average joined back by key; both fact
+    scans reduced by the broadcast brand filter before any shuffle
+    (operators/relational.small_qty_part_revenue)."""
+    return relational.small_qty_part_revenue(
+        read_table(spark, sf_dir, "lineitem"), read_table(spark, sf_dir, "part")
+    )
+
+
+@query(
+    "high_balance_inactive",
+    """
+    SELECT c_mktsegment, count(*) AS n_custs,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer
+    WHERE c_acctbal > (
+          SELECT round(avg(c_acctbal), 6) FROM customer WHERE c_acctbal > 0
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01'
+      )
+    GROUP BY c_mktsegment
+    """,
+)
+def high_balance_inactive_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — uncorrelated scalar subquery (global avg
+    balance) as a 1-row broadcast, then anti join + segment rollup
+    (operators/relational.high_balance_inactive)."""
+    return relational.high_balance_inactive(
+        read_table(spark, sf_dir, "customer"), read_table(spark, sf_dir, "orders")
+    )
+
+
+@query(
+    "promo_revenue_share",
+    """
+    SELECT date_trunc('month', l_shipdate) AS ship_month,
+           CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                         ELSE 0 END) AS DOUBLE) AS promo_revenue,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS total_revenue,
+           round(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                         ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6)
+               AS promo_share
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY ship_month
+    """,
+)
+def promo_revenue_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — conditional aggregation (CASE inside SUM) over
+    a broadcast dim join; the share is a ratio of two exact decimal
+    sums (operators/relational.promo_revenue_share)."""
+    return relational.promo_revenue_share(
+        read_table(spark, sf_dir, "lineitem"), read_table(spark, sf_dir, "part")
+    )
+
+
+def _lastkey_spark():
+    """Zero-padded (ts_us, event_id) sort key — a single string both
+    engines order identically, because arg_max/max_by take one scalar
+    key (no struct keys in DuckDB 1.0); both parts are non-negative.
+    MICROsecond resolution on purpose: DuckDB TIMESTAMP truncates the
+    parquet nanos, so a nanosecond key would order ties differently
+    across engines — event_id breaks any same-microsecond tie
+    identically on both. Integer ``div``, not ``/``: epoch-nanos exceed
+    a double's 53-bit mantissa, so float division is off by ±1 µs.
+    Built lazily: Column construction needs an active SparkContext."""
+    return F.concat(
+        F.lpad(F.expr("ts_ns div 1000").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+
+
+_LASTKEY_SQL = (
+    "lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')"
+    " || lpad(CAST(event_id AS VARCHAR), 12, '0')"
+)
+
+
+@query(
+    "latest_event_per_user",
+    f"""
+    SELECT user_id,
+           arg_max(event_type, {_LASTKEY_SQL}) AS last_type,
+           arg_max(value, {_LASTKEY_SQL}) AS last_value,
+           max(epoch_us(ts)) AS last_ts_us
+    FROM events GROUP BY user_id
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/arg_max aggregate: each user's most recent event without a
+    ranking window — one hash aggregate with map-side partials (each
+    partial keeps a single champion row per key), vs row_number's full
+    shuffle+sort of every event. The right shape for "latest state per
+    key" at 100 TB; tie-break pinned via the (ts_ns, event_id) key."""
+    ev = read_table(spark, sf_dir, "events")
+    key = _lastkey_spark()
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", key).alias("last_type"),
+        F.max_by("value", key).alias("last_value"),
+        F.max(F.expr("ts_ns div 1000")).alias("last_ts_us"),
+    )
+
+
+@query(
+    "bigram_top50",
+    """
+    WITH toks AS (
+        SELECT list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tokens
+        FROM documents
+    )
+    SELECT tokens[i] || ' ' || tokens[i+1] AS ngram, count(*) AS count
+    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tokens)-1)) AS i) g
+    GROUP BY ngram ORDER BY count DESC, ngram LIMIT 50
+    """,
+)
+def bigram_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus bigrams over raw lowercased whitespace tokens (the
+    n-gram-LM counting shape; stopwords kept — a bigram model needs
+    them). Pure codegen window-slice + explode, one shuffle on the
+    n-gram key (operators/vocab.ngram_counts)."""
+    from .operators.vocab import top_k_ngrams
+
+    docs = read_table(spark, sf_dir, "documents")
+    raw_tokens = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    return top_k_ngrams(docs.withColumn("tokens", raw_tokens), k=50, n=2)
+
+
+@query(
+    "embedding_centroid_topk",
+    """
+    WITH exploded AS (
+        SELECT unnest(embedding::DOUBLE[]) AS v,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings
+    ),
+    centroid AS (
+        SELECT list(m ORDER BY i) AS c
+        FROM (SELECT i, avg(v) AS m FROM exploded GROUP BY i)
+    )
+    SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], c), 6) AS cos_centroid
+    FROM embeddings, centroid
+    ORDER BY cos_centroid DESC, vec_id LIMIT 20
+    """,
+)
+def embedding_centroid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global embedding centroid (posexplode → per-dim avg → reassemble)
+    broadcast against every vector for cosine ranking — the
+    most-central-documents probe (operators/similarity.centroid_topk)."""
+    from .operators.similarity import centroid_topk
+
+    return centroid_topk(read_table(spark, sf_dir, "embeddings"), k=20)

@@ -1,6 +1,7 @@
 from .io import (
     ensure_parallelism,
     read_csv,
+    read_jsonl,
     read_parquet,
     read_table,
     read_tables,
@@ -12,6 +13,7 @@ from .io import (
 __all__ = [
     "ensure_parallelism",
     "read_csv",
+    "read_jsonl",
     "read_parquet",
     "read_table",
     "read_tables",

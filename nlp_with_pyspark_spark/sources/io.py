@@ -101,6 +101,27 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Newline-delimited JSON scan — the interchange format of most
+    LLM-corpus drops (one document object per line).
+
+    Pass a schema in production: without one, Spark runs a FULL extra
+    pass over the data just to infer types — at 100 TB that doubles the
+    read. Inference is allowed here for ad-hoc exploration only.
+    Corrupt lines land in ``_corrupt_record`` (PERMISSIVE default)
+    instead of failing the job — a 10-billion-line crawl drop always
+    has a few bad lines, and one of them must not kill the pipeline.
+    """
+    reader = spark.read.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One driver-testdata table (TESTDATA.md) by name.
 

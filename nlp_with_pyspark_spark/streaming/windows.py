@@ -168,3 +168,21 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     )
     q.awaitTermination()
     return q
+
+
+def streaming_dedup_within_watermark(
+    events: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Dedup for at-least-once sources where RETRIES CARRY A NEW
+    TIMESTAMP (producer re-stamps on resend): ``dropDuplicatesWithinWatermark``
+    matches on event_id alone and keeps state until the watermark passes
+    the FIRST sighting + delay.
+
+    Contrast ``streaming_dedup``: plain ``dropDuplicates([id])`` treats
+    (id, ts) rows with different ts as distinct only if ts is in the key;
+    with just [event_id] its state never expires without a watermark
+    column in the key — this variant is the one whose state is bounded
+    AND catches re-stamped duplicates. Spark 3.5+ semantics."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

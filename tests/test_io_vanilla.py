@@ -40,3 +40,30 @@ def test_events_query_without_engine_defaults(vanilla_conf):
     spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     df = queries.events_tumbling_5m(spark, SF_DIR)
     assert df.count() > 0
+
+
+def test_jsonl_roundtrip_with_schema(spark, tmp_path):
+    """Schema'd NDJSON read (no inference pass) roundtrips values and
+    routes corrupt lines to _corrupt_record instead of failing."""
+    import pyspark.sql.types as T
+
+    from nlp_with_pyspark_spark.sources.io import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        '{"doc_id": 2, "text": "seconde ligne"}\n'
+        "this is not json\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = read_jsonl(spark, str(p), schema)
+    rows = df.collect()
+    good = {(r.doc_id, r.text) for r in rows if r._corrupt_record is None}
+    assert good == {(1, "hello world"), (2, "seconde ligne")}
+    assert sum(1 for r in rows if r._corrupt_record is not None) == 1

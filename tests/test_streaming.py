@@ -332,3 +332,38 @@ def test_stream_stream_interval_join_matches_batch(spark, events_stream, events_
         assert got == want and len(want) > 0
     finally:
         q.stop()
+
+
+def test_dedup_within_watermark_catches_restamped_dupes(spark, tmp_path):
+    """At-least-once delivery where the retry carries a NEW timestamp:
+    plain dropDuplicates([id, ts]) would pass both copies through;
+    dropDuplicatesWithinWatermark([id]) must emit exactly one."""
+    from nlp_with_pyspark_spark.streaming.windows import (
+        EVENTS_RAW_SCHEMA,
+        streaming_dedup_within_watermark,
+    )
+
+    base_ns = 1_700_000_000_000_000_000
+    rows = [
+        # (event_id, ts_nanos, user, type, value, props) — id 1 sent twice,
+        # the retry re-stamped 90s later (inside the 30min watermark delay)
+        (1, base_ns, 10, "click", 1.0, "{}"),
+        (1, base_ns + 90_000_000_000, 10, "click", 1.0, "{}"),
+        (2, base_ns + 5_000_000_000, 11, "view", 2.0, "{}"),
+    ]
+    src = tmp_path / "restamped_src"
+    src.mkdir()
+    spark.createDataFrame(rows, EVENTS_RAW_SCHEMA).coalesce(1).write.parquet(
+        str(src / "batch")
+    )
+    stream = events_stream_from_dir(spark, str(src / "batch"), max_files_per_trigger=16)
+    q = run_to_memory(
+        streaming_dedup_within_watermark(stream).select("event_id"),
+        "t_dedup_wm",
+        output_mode="append",
+    )
+    try:
+        got = sorted(r.event_id for r in spark.table("t_dedup_wm").collect())
+        assert got == [1, 2]
+    finally:
+        q.stop()
