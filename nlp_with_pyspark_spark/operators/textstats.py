@@ -102,6 +102,92 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def _raw_tokens(text: Column) -> Column:
+    """Raw lowercased whitespace tokens, empties dropped (stopwords KEPT —
+    repetition of function words is exactly what the filter looks for)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+
+
+def _max_run_length(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent values in a sorted array == the max
+    multiplicity of any element — a linear Catalyst fold, so the top-token
+    frequency costs O(L log L) per row (the sort) with NO explode/shuffle.
+    The distributed explode→groupBy formulation computes the same number
+    (the DuckDB oracle uses it); this one keeps the operator a pure
+    projection that runs at scan speed on 100 TB."""
+    step = lambda acc, t: F.struct(  # noqa: E731
+        t.alias("prev"),
+        F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+        F.greatest(
+            acc["best"],
+            F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+        ).alias("best"),
+    )
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_token_max: float = 0.10,
+    distinct_min: float = 0.25,
+    top_bigram_max: float = 0.05,
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1: "fraction
+    of characters in the most common n-gram" family), per document:
+
+      * ``top_token_ratio``  — most frequent token's share of all tokens;
+      * ``distinct_ratio``   — type/token ratio;
+      * ``top_bigram_ratio`` — most frequent bigram's share of all bigrams;
+      * ``is_repetitive``    — any threshold tripped (the drop flag).
+
+    All pure Catalyst: per-row array sort + linear fold (see
+    ``_max_run_length``), zero shuffles, zero Python — scan speed at
+    100 TB, and each doc's state is bounded by its own length (no
+    corpus-wide frequency table needed for these ratios).
+    """
+    c = F.col(text_col)
+    toks = _raw_tokens(c)
+    n = F.size(toks)
+    top_tok = _max_run_length(F.array_sort(toks))
+    # positional bigrams; sequence(1, n-1) DESCENDS when n < 2 → guard
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_bi = _max_run_length(F.array_sort(bigrams))
+    nd = n.cast("double")
+    top_token_ratio = F.when(n > 0, top_tok.cast("double") / nd).otherwise(F.lit(0.0))
+    distinct_ratio = F.when(
+        n > 0, F.size(F.array_distinct(toks)).cast("double") / nd
+    ).otherwise(F.lit(0.0))
+    top_bigram_ratio = F.when(
+        n >= 2, top_bi.cast("double") / (nd - 1.0)
+    ).otherwise(F.lit(0.0))
+    flag = (
+        (top_token_ratio > top_token_max)
+        | (distinct_ratio < distinct_min)
+        | (top_bigram_ratio > top_bigram_max)
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_tokens"),
+        F.round(top_token_ratio, 6).alias("top_token_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(top_bigram_ratio, 6).alias("top_bigram_ratio"),
+        flag.cast("int").alias("is_repetitive"),
+    )
+
+
 def fingerprints(
     docs: DataFrame,
     text_col: str = "text",
