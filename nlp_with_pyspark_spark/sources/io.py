@@ -49,6 +49,10 @@ TESTDATA_TABLES = (
 )
 
 
+#: scan-partition-count memo for ensure_parallelism, keyed by input files
+_PARTITION_PROBE_CACHE: dict[tuple, int] = {}
+
+
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Repartition iff the plan would run on fewer partitions than the
     cluster has cores.
@@ -65,7 +69,23 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     """
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # The probe (`df.rdd.getNumPartitions`) forces physical planning on
+    # the driver, so cache it per input-file set: callers invoke this on
+    # fresh scans (or narrow projections of them, which preserve the
+    # scan's partitioning), and repeated query builds over the same
+    # files — the bench loop, the test session — should pay planning
+    # once. `inputFiles()` itself is a metadata lookup served by the
+    # (already cached) file index.
+    try:
+        key = tuple(sorted(df.inputFiles()))
+    except Exception:
+        key = ()
+    n = _PARTITION_PROBE_CACHE.get(key) if key else None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if key:
+            _PARTITION_PROBE_CACHE[key] = n
+    if n < target:
         return df.repartition(target)
     return df
 
@@ -122,17 +142,56 @@ def read_jsonl(
     return reader.json(path)
 
 
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Normalize any physical layout of the events table to the engine's
+    canonical pair of time columns:
+
+    * ``ts``   — proper ``timestamp`` (session tz is pinned UTC), for
+      humans, streaming watermarks, and native window functions;
+    * ``ts_ns`` — exact epoch-nanos ``long``, for all ordering/bucketing
+      integer arithmetic (nanos-since-epoch overflow double's 53-bit
+      mantissa, so derivations must never round-trip through float).
+
+    Handles every layout the driver testdata has shipped so far:
+
+    * ``bigint``        — parquet TIMESTAMP(NANOS) read with
+      ``nanosAsLong``: it IS the nanos value; ``ts`` is derived by
+      micro-truncation.
+    * ``timestamp``     — plain micros timestamp: ``ts_ns`` =
+      ``unix_micros(ts) * 1000`` (exact — no sub-micro information
+      exists to lose).
+    * ``timestamp_ntz`` — same, after a cast to ``timestamp``; the UTC
+      session timezone makes the NTZ→TZ cast value-preserving, so the
+      DuckDB oracle's ``epoch_ns(ts)`` equals ``ts_ns`` bit-for-bit.
+
+    A testdata layout flip between rounds must not take out the event
+    stack again (it broke 7 queries in round 4); this normalization is
+    the single seam where the physical type is allowed to matter.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    if dt in ("timestamp", "timestamp_ntz"):
+        ts = F.col("ts").cast("timestamp")
+        return df.withColumn("ts", ts).withColumn(
+            "ts_ns", (F.unix_micros(ts) * F.lit(1000)).cast("long")
+        )
+    raise TypeError(f"unsupported events.ts physical type: {dt}")
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One driver-testdata table (TESTDATA.md) by name.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark reads only as
-    long nanos (``spark.sql.legacy.parquet.nanosAsLong``). That flag is a
-    *runtime* SQL conf, so we set it here rather than depending on the
+    ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) (rounds ≤3) and
+    TIMESTAMP(MICROS) (round 4+). ``nanosAsLong`` is set so a nanos file
+    arrives as exact long nanos instead of failing the read; that flag is
+    a *runtime* SQL conf, so we set it here rather than depending on the
     session builder (session.py also sets it, but callers may hand us a
-    vanilla ``SparkSession`` — the read must not care). We surface BOTH:
-    ``ts_ns`` (exact long — nanos don't fit a double, so all
-    ordering/bucketing math uses integer arithmetic on this) and ``ts``
-    (micro-truncated proper timestamp for humans and streaming APIs).
+    vanilla ``SparkSession`` — the read must not care). Either way the
+    result is normalized to the canonical (``ts`` timestamp, ``ts_ns``
+    long) pair — see :func:`normalize_events`.
 
     The conf deliberately STAYS set on the session afterwards: Spark
     re-reads it when the (lazy) scan actually executes, so restoring it
@@ -143,10 +202,8 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    if name == "events":
+        df = normalize_events(df)
     return df
 
 

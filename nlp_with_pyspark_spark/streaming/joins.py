@@ -45,7 +45,10 @@ def interval_join_streams(
     """
     l = left.withWatermark(ts_col, watermark).alias("l")
     r = right.withWatermark(ts_col, watermark).alias("r")
-    lts, rts = F.col(f"l.{ts_col}"), F.col(f"r.{ts_col}")
+    # cast: unix_micros requires TimestampType and rejects timestamp_ntz;
+    # the UTC session tz makes the cast value-preserving for either input
+    lts = F.col(f"l.{ts_col}").cast("timestamp")
+    rts = F.col(f"r.{ts_col}").cast("timestamp")
     cond = (
         (F.col(f"l.{key}") == F.col(f"r.{key}"))
         & (rts >= lts)

@@ -17,20 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-#: schema of the events parquet as Spark reads it with nanosAsLong
-#: (sources/io.py): ts arrives as long nanos, converted here.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (legacy nanosAsLong read)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from ..sources.io import normalize_events
 
 
 def events_stream_from_dir(
@@ -38,18 +26,29 @@ def events_stream_from_dir(
 ) -> DataFrame:
     """File-based streaming source over an events parquet directory.
 
+    ``readStream`` needs the schema up front; rather than hard-coding one
+    physical layout (a pinned long-nanos ``ts`` broke every streaming test
+    when the testdata flipped to TIMESTAMP(MICROS) in round 4), read it
+    from the parquet footers — a metadata-only batch read, no data scan —
+    so nanos and micros files both stream. The raw stream is then
+    normalized to the canonical (``ts`` timestamp, ``ts_ns`` long) pair
+    by the same seam the batch reader uses
+    (:func:`..sources.io.normalize_events`): stream and batch plans stay
+    bit-identical downstream, which is what the stream-vs-batch equality
+    tests assert.
+
     ``maxFilesPerTrigger`` simulates incremental arrival when replaying
     static testdata; a production deployment swaps this one line for a
     Kafka source — every downstream operator is source-agnostic.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
-    return raw.withColumn("ts_ns", F.col("ts")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    return normalize_events(raw)
 
 
 def tumbling_stream(

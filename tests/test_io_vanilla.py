@@ -42,6 +42,50 @@ def test_events_query_without_engine_defaults(vanilla_conf):
     assert df.count() > 0
 
 
+@pytest.mark.parametrize("unit", ["ns", "us"])
+def test_events_read_survives_either_timestamp_layout(spark, tmp_path, unit):
+    """Regression for the round-4 breakage: the driver testdata flipped
+    events.ts from parquet TIMESTAMP(NANOS) to TIMESTAMP(MICROS) and
+    every ts_ns consumer died. read_table must normalize BOTH physical
+    layouts to the same (ts timestamp, ts_ns long) pair with identical
+    values, so the next flip is a no-op."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base_us = 1_700_000_000_123_456  # epoch micros with sub-second part
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([base_us, base_us + 7_000_000], pa.timestamp(unit)
+                           if unit == "us" else pa.timestamp("ns")),
+            "user_id": pa.array([10, 11], pa.int64()),
+            "event_type": pa.array(["click", "view"]),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    if unit == "ns":
+        # pyarrow interprets the ints in the declared unit; rebuild in ns
+        tbl = tbl.set_column(
+            1, "ts", pa.array([base_us * 1000, (base_us + 7_000_000) * 1000],
+                              pa.timestamp("ns")),
+        )
+    d = tmp_path / f"sf_{unit}"
+    d.mkdir()
+    # version 2.6 is what allows a true TIMESTAMP(NANOS) physical type
+    pq.write_table(tbl, d / "events.parquet", store_schema=False, version="2.6")
+
+    df = read_table(spark, str(d), "events")
+    dtypes = dict(df.dtypes)
+    assert dtypes["ts"] == "timestamp"
+    assert dtypes["ts_ns"] == "bigint"
+    got = sorted((r.event_id, r.ts_ns) for r in df.collect())
+    assert got == [
+        (1, base_us * 1000),
+        (2, (base_us + 7_000_000) * 1000),
+    ]
+
+
 def test_jsonl_roundtrip_with_schema(spark, tmp_path):
     """Schema'd NDJSON read (no inference pass) roundtrips values and
     routes corrupt lines to _corrupt_record instead of failing."""

@@ -338,11 +338,24 @@ def test_dedup_within_watermark_catches_restamped_dupes(spark, tmp_path):
     """At-least-once delivery where the retry carries a NEW timestamp:
     plain dropDuplicates([id, ts]) would pass both copies through;
     dropDuplicatesWithinWatermark([id]) must emit exactly one."""
+    import pyspark.sql.types as T
+
     from nlp_with_pyspark_spark.streaming.windows import (
-        EVENTS_RAW_SCHEMA,
         streaming_dedup_within_watermark,
     )
 
+    # legacy long-nanos layout: also exercises the normalize_events
+    # bigint branch through the stream source
+    nanos_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
     base_ns = 1_700_000_000_000_000_000
     rows = [
         # (event_id, ts_nanos, user, type, value, props) — id 1 sent twice,
@@ -353,7 +366,7 @@ def test_dedup_within_watermark_catches_restamped_dupes(spark, tmp_path):
     ]
     src = tmp_path / "restamped_src"
     src.mkdir()
-    spark.createDataFrame(rows, EVENTS_RAW_SCHEMA).coalesce(1).write.parquet(
+    spark.createDataFrame(rows, nanos_schema).coalesce(1).write.parquet(
         str(src / "batch")
     )
     stream = events_stream_from_dir(spark, str(src / "batch"), max_files_per_trigger=16)
