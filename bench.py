@@ -106,20 +106,32 @@ def main() -> None:
     names = [n for n in HEADLINE if n in QUERIES]
     # warm the JVM/codegen path once with the cheapest query so the
     # first measured query doesn't pay session startup costs
-    QUERIES["vocab_top100"](spark, sf_dir).count()
+    try:
+        QUERIES["vocab_top100"](spark, sf_dir).count()
+    except Exception as exc:  # noqa: BLE001 — warm-up must not kill the run
+        print(f"bench: warm-up FAILED: {exc}", file=sys.stderr)
 
     runs = int(os.environ.get("BENCH_RUNS", "3"))
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    failed: list[str] = []
     for name in names:
-        samples = []
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            df = QUERIES[name](spark, sf_dir)
-            df.count()  # full materialization of the query result
-            samples.append(round(time.perf_counter() - t0, 3))
-        times[name] = sorted(samples)[len(samples) // 2]
-        spread[name] = samples
+        # per-query isolation: one broken query must not erase the whole
+        # round's bench record (round 4 recorded NOTHING because query 11
+        # threw and the uncaught exception killed the run before the JSON
+        # line printed). Failures are reported in the JSON instead.
+        try:
+            samples = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                df = QUERIES[name](spark, sf_dir)
+                df.count()  # full materialization of the query result
+                samples.append(round(time.perf_counter() - t0, 3))
+            times[name] = sorted(samples)[len(samples) // 2]
+            spread[name] = samples
+        except Exception as exc:  # noqa: BLE001 — keep benching
+            failed.append(name)
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
 
     # The driver captures only the LAST 2000 chars of stdout and parses
     # the final line as JSON: the printed line must stay compact (round
@@ -136,6 +148,8 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in times.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if failed:
+        out["failed"] = failed
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:  # keep headroom under the 2000-char tail capture
         print("bench: line %d chars nears tail buffer" % len(line), file=sys.stderr)
