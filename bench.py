@@ -90,11 +90,12 @@ HEADLINE = [
     "latest_event_per_user",
     "bigram_top50",
     "embedding_centroid_topk",
+    "repetition_features",
+    "ann_ivf_topk",
 ]
 # Excluded on purpose: dedup_ngram_jaccard / embedding_near_dups are the
 # exact all-pairs VERIFIERS for the LSH/minhash scale paths (quadratic by
-# definition), and ann_ivf_topk's inline k-means index build dominates its
-# query time — its scale deployment persists the index once.
+# definition).
 
 
 def main() -> None:

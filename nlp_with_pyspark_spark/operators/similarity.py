@@ -238,6 +238,86 @@ def ivf_query(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _d2_literal(vec: Column, centroid: list[float]) -> Column:
+    """Squared euclidean distance of ``vec`` to a literal centroid —
+    strict left-to-right fold so the DuckDB oracle's ``list_sum`` over
+    the same terms produces bit-identical doubles."""
+    arr = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def fixed_centroid_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN with a FIXED coarse quantizer, compiled into the plan.
+
+    The quantizer (``centroids``: (list_id, vector) pairs — e.g. a
+    deterministic sample of corpus vectors, or the persisted output of a
+    k-means index build) is inlined as literal arrays, so BOTH phases
+    that k-means makes iterative become single projections:
+
+      * assignment — per-row argmin over the centroid structs via
+        ``array_min`` (lexicographic (d2, list_id): nearest list, ties
+        to the lowest id). Zero shuffle, scan speed: at 100 TB the
+        quantizer rides inside whole-stage codegen instead of a join.
+      * probing — per-query ``array_sort`` of the same structs, slice
+        ``n_probe``, explode.
+
+    The only exchanges left are the bucket join (corpus side broadcast-
+    joined against the tiny probe set) and the final top-k rank window —
+    identical to :func:`ivf_query`. Deterministic end-to-end, so the
+    whole operator is DuckDB-oracle-able (queries.py inlines the same
+    centroid literals into SQL).
+    """
+    def entries(vec: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    _d2_literal(vec, c).alias("d2"),
+                    F.lit(int(lid)).alias("list_id"),
+                )
+                for lid, c in centroids
+            ]
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.array_min(entries(F.col(vec_col)))["list_id"].alias("list_id"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(entries(F.col(vec_col))), 1, n_probe),
+                lambda s: s["list_id"],
+            )
+        ).alias("list_id"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def centroid_topk(
     embeddings: DataFrame, k: int = 20, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
