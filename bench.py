@@ -92,6 +92,10 @@ HEADLINE = [
     "embedding_centroid_topk",
     "repetition_features",
     "ann_ivf_topk",
+    "decontamination_overlap",
+    "pii_scrub_stats",
+    "embedding_quantization_stats",
+    "dedup_canonical_corpus",
 ]
 # Excluded on purpose: dedup_ngram_jaccard / embedding_near_dups are the
 # exact all-pairs VERIFIERS for the LSH/minhash scale paths (quadratic by

@@ -47,6 +47,48 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return F.when(den == 0.0, F.lit(0.0)).otherwise(num / den)
 
 
+def quantize_int8(vec: Column | str) -> Column:
+    """Symmetric per-vector int8 quantization: q_i = clamp(⌊x_i/s + ½⌋)
+    with s = max|x|/127 — the standard embedding-compression step (4×
+    smaller than float32 in storage and shuffle, the difference between
+    a broadcastable index and one that isn't at 100 TB).
+
+    Returns a struct (scale double, q array<int>). ``floor(x + 0.5)``
+    instead of round() pins the half-mode explicitly so the DuckDB
+    oracle reproduces every code bit-for-bit. Zero vectors get scale 0
+    and all-zero codes (guarded division).
+    """
+    c = _c(vec)
+    max_abs = F.aggregate(
+        c, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    scale = max_abs / F.lit(127.0)
+    q = F.when(scale == 0.0, F.transform(c, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            c,
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int")),
+            ),
+        )
+    )
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def dequantize_error(vec: Column | str, quant: Column) -> Column:
+    """Struct (mse double, max_abs_err double) of reconstructing
+    ``quant`` (from :func:`quantize_int8`) against the original vector —
+    the quality audit that decides whether int8 is safe for a corpus."""
+    c = _c(vec)
+    err = F.zip_with(
+        c, quant["q"], lambda x, qi: x.cast("double") - qi.cast("double") * quant["scale"]
+    )
+    n = F.size(c).cast("double")
+    mse = F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e * e) / n
+    mx = F.aggregate(err, F.lit(0.0), lambda acc, e: F.greatest(acc, F.abs(e)))
+    return F.struct(mse.alias("mse"), mx.alias("max_abs_err"))
+
+
 def unit_normalized(df, vec_col: str, out_col: str):
     """DataFrame with ``out_col`` = vec/‖vec‖ (array<double>); zero
     vectors pass through unchanged (their dot with anything is 0,

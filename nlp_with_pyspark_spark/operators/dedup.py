@@ -73,14 +73,26 @@ def word_shingles(tokens: Column | str, n: int = 3) -> Column:
     transform(sequence(0, size-n)) — pure Catalyst, no explode needed at
     this stage; arrays stay row-local until the LSH bucketing explodes
     bands (k·bands rows/doc, not |shingles| rows/doc).
+
+    The token array is ``flet``-bound before the per-position slicing:
+    when callers pass a derived expression (regex tokenization, not a
+    materialized column), Catalyst would otherwise inline it into the
+    transform lambda and re-tokenize once PER SHINGLE — O(tokens²·regex)
+    per row, a scale-killer on long documents (functions/expr.py).
     """
+    from ..functions.expr import flet
+
     t = F.col(tokens) if isinstance(tokens, str) else tokens
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(t) - n),
-        lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
-    )
-    # guard: docs shorter than n tokens have no shingles (empty array)
-    return F.array_distinct(F.when(F.size(t) >= n, grams).otherwise(F.array()))
+
+    def build(tt: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(tt) - n),
+            lambda i: F.concat_ws(" ", F.slice(tt, i + 1, n)),
+        )
+        # guard: docs shorter than n tokens have no shingles (empty array)
+        return F.array_distinct(F.when(F.size(tt) >= n, grams).otherwise(F.array()))
+
+    return flet(t, build)
 
 
 def minhash_signature(shingles: Column | str, k: int = 12, hash_fn: str = "md5") -> Column:
@@ -288,6 +300,33 @@ def minhash_dedup_pairs(
         joined.select("doc_a", "doc_b", F.round(jac, 8).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def canonical_corpus(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The deduplicated corpus itself: rows of ``docs`` that survive
+    near-dup clustering under the keep-first rule.
+
+    ``pairs`` is any (doc_a, doc_b, …) near-dup pair table (minhash,
+    simhash, embedding — they all fit); clusters come from the
+    star-contraction connected components (operators/graph.py), whose
+    ``component_id`` is already the min doc id, so the drop set is
+    simply members with ``doc_id != component_id``. The final join is a
+    LEFT ANTI against that drop list of bare ids — deliberately
+    hint-free: at a few-percent duplicate rate the list broadcasts (AQE
+    picks that up from its runtime size), while a pathological corpus
+    with billions of duplicates degrades to a shuffled anti join of
+    8-byte keys instead of OOMing the driver on a forced broadcast.
+    """
+    from .graph import duplicate_clusters
+
+    drop = (
+        duplicate_clusters(pairs)
+        .where(F.col("doc_id") != F.col("component_id"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return docs.join(drop, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------

@@ -152,39 +152,92 @@ def repetition_features(
     100 TB, and each doc's state is bounded by its own length (no
     corpus-wide frequency table needed for these ratios).
     """
-    c = F.col(text_col)
-    toks = _raw_tokens(c)
-    n = F.size(toks)
-    top_tok = _max_run_length(F.array_sort(toks))
-    # positional bigrams; sequence(1, n-1) DESCENDS when n < 2 → guard
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    top_bi = _max_run_length(F.array_sort(bigrams))
-    nd = n.cast("double")
-    top_token_ratio = F.when(n > 0, top_tok.cast("double") / nd).otherwise(F.lit(0.0))
-    distinct_ratio = F.when(
-        n > 0, F.size(F.array_distinct(toks)).cast("double") / nd
-    ).otherwise(F.lit(0.0))
-    top_bigram_ratio = F.when(
-        n >= 2, top_bi.cast("double") / (nd - 1.0)
-    ).otherwise(F.lit(0.0))
-    flag = (
-        (top_token_ratio > top_token_max)
-        | (distinct_ratio < distinct_min)
-        | (top_bigram_ratio > top_bigram_max)
-    )
+    from ..functions.expr import flet
+
+    def features(toks: Column) -> Column:
+        # toks is flet-bound: every reference below hits the bound
+        # variable, so the regex tokenization runs once per row — an
+        # element_at(toks, i) inside the bigram lambda would otherwise
+        # re-tokenize per position (O(tokens²) on long docs)
+        n = F.size(toks)
+        top_tok = _max_run_length(F.array_sort(toks))
+        # positional bigrams; sequence(1, n-1) DESCENDS when n < 2 → guard
+        bigrams = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        top_bi = _max_run_length(F.array_sort(bigrams))
+        nd = n.cast("double")
+        top_token_ratio = F.when(n > 0, top_tok.cast("double") / nd).otherwise(F.lit(0.0))
+        distinct_ratio = F.when(
+            n > 0, F.size(F.array_distinct(toks)).cast("double") / nd
+        ).otherwise(F.lit(0.0))
+        top_bigram_ratio = F.when(
+            n >= 2, top_bi.cast("double") / (nd - 1.0)
+        ).otherwise(F.lit(0.0))
+        flag = (
+            (top_token_ratio > top_token_max)
+            | (distinct_ratio < distinct_min)
+            | (top_bigram_ratio > top_bigram_max)
+        )
+        return F.struct(
+            n.cast("long").alias("n_tokens"),
+            F.round(top_token_ratio, 6).alias("top_token_ratio"),
+            F.round(distinct_ratio, 6).alias("distinct_ratio"),
+            F.round(top_bigram_ratio, 6).alias("top_bigram_ratio"),
+            flag.cast("int").alias("is_repetitive"),
+        )
+
+    feats = flet(_raw_tokens(F.col(text_col)), features)
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        n.cast("long").alias("n_tokens"),
-        F.round(top_token_ratio, 6).alias("top_token_ratio"),
-        F.round(distinct_ratio, 6).alias("distinct_ratio"),
-        F.round(top_bigram_ratio, 6).alias("top_bigram_ratio"),
-        flag.cast("int").alias("is_repetitive"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["top_token_ratio"].alias("top_token_ratio"),
+        feats["distinct_ratio"].alias("distinct_ratio"),
+        feats["top_bigram_ratio"].alias("top_bigram_ratio"),
+        feats["is_repetitive"].alias("is_repetitive"),
+    )
+
+
+#: PII patterns — RE2-compatible (no lookarounds), so the DuckDB oracle
+#: runs the IDENTICAL regex strings. Deliberately simple/auditable; a
+#: production deployment swaps in its compliance team's patterns at the
+#: same three seams.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9() .-]{6,}[0-9]"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_scrub(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII redaction pass: per-doc counts of emails / IPv4 literals /
+    phone-ish numbers, plus the md5 of the scrubbed text. Scrub order is
+    load-bearing: emails first (a digit run inside an address counts
+    once, as the email), then IPv4 (dotted digit quads would otherwise
+    match the looser phone pattern), phones last.
+
+    Pure projection — three regexp_extract_all + three regexp_replace
+    per row, zero shuffles, scan speed at 100 TB. Emitting the scrubbed
+    hash rather than the scrubbed body keeps the audit output narrow;
+    the production sink selects the scrubbed column itself.
+    """
+    c = F.col(text_col)
+    scrub1 = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    scrub2 = F.regexp_replace(scrub1, IPV4_RE, "<IP>")
+    scrub3 = F.regexp_replace(scrub2, PHONE_RE, "<PHONE>")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(scrub1, F.lit(IPV4_RE), 0)).cast("long").alias("n_ipv4"),
+        F.size(F.regexp_extract_all(scrub2, F.lit(PHONE_RE), 0)).cast("long").alias("n_phones"),
+        F.length(scrub3).cast("long").alias("scrubbed_chars"),
+        F.md5(scrub3).alias("scrubbed_md5"),
     )
 
 

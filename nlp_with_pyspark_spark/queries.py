@@ -2259,6 +2259,208 @@ def embedding_centroid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus hygiene: decontamination, PII scrub, quantization, canonical dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "decontamination_overlap",
+    f"""
+    WITH {_SHINGLES_SQL},
+    c_inv AS (
+        SELECT doc_id, unnest(shingles) AS shingle
+        FROM sh WHERE doc_id % 10 != 0 AND len(shingles) > 0
+    ),
+    b_sets AS (
+        SELECT doc_id AS bench_id, shingles, len(shingles) AS n_bench
+        FROM sh WHERE doc_id % 10 = 0 AND len(shingles) > 0
+    ),
+    b_inv0 AS (SELECT bench_id, unnest(shingles) AS shingle FROM b_sets),
+    b_freq AS (SELECT shingle, count(*) AS df FROM b_inv0 GROUP BY shingle),
+    b_inv AS (
+        SELECT bench_id, b.shingle FROM b_inv0 b JOIN b_freq USING (shingle)
+        WHERE df <= 1000
+    ),
+    common AS (
+        SELECT doc_id, bench_id, count(*) AS n_common
+        FROM c_inv JOIN b_inv USING (shingle)
+        GROUP BY doc_id, bench_id
+    )
+    SELECT doc_id, bench_id,
+           CAST(n_common AS BIGINT) AS n_common,
+           round(CAST(n_common AS DOUBLE) / n_bench, 8) AS contamination
+    FROM common JOIN b_sets USING (bench_id)
+    WHERE round(CAST(n_common AS DOUBLE) / n_bench, 8) >= 0.1
+    """,
+)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination (operators/decontam.py): every tenth
+    document plays the benchmark set; flag corpus docs whose 3-gram
+    shingles cover ≥10% of a benchmark doc's shingles. Benchmark
+    inverted index is broadcast — the corpus side never shuffles its
+    shingles."""
+    from .operators.decontam import benchmark_overlap
+
+    docs = _tokenized_documents(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return benchmark_overlap(corpus, bench, n=3, threshold=0.1)
+
+
+@query(
+    "pii_scrub_stats",
+    """
+    WITH aug AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0 THEN ' call +1 (555) 010-9876' ELSE '' END
+               || CASE WHEN doc_id % 11 = 0 THEN ' from 10.1.2.34' ELSE '' END
+               AS text
+        FROM documents
+    ),
+    s1 AS (
+        SELECT doc_id, text,
+               len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        FROM aug
+    ),
+    s2 AS (
+        SELECT doc_id, n_emails,
+               len(regexp_extract_all(t1, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ipv4,
+               regexp_replace(t1, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') AS t2
+        FROM s1
+    ),
+    s3 AS (
+        SELECT doc_id, n_emails, n_ipv4,
+               len(regexp_extract_all(t2, '\\+?[0-9][0-9() .-]{6,}[0-9]')) AS n_phones,
+               regexp_replace(t2, '\\+?[0-9][0-9() .-]{6,}[0-9]', '<PHONE>', 'g') AS t3
+        FROM s2
+    )
+    SELECT doc_id,
+           CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+           CAST(n_phones AS BIGINT) AS n_phones,
+           CAST(length(t3) AS BIGINT) AS scrubbed_chars,
+           md5(t3) AS scrubbed_md5
+    FROM s3
+    """,
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/textstats.pii_scrub) over the documents
+    table with deterministic synthetic PII appended (the raw corpus has
+    none — the augmentation, identical in the oracle, gives the regexes
+    real work): per-doc email/IP/phone counts + scrubbed-text hash."""
+    from .operators.textstats import pii_scrub
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit(" call +1 (555) 010-9876")).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit(" from 10.1.2.34")).otherwise(F.lit("")),
+    )
+    return pii_scrub(docs.withColumn("text", aug))
+
+
+@query(
+    "embedding_quantization_stats",
+    """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sc AS (
+        SELECT vec_id, v,
+               list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS scale
+        FROM base
+    ),
+    q AS (
+        SELECT vec_id, v, scale,
+               CASE WHEN scale = 0.0 THEN list_transform(v, x -> 0)
+                    ELSE list_transform(v, x -> greatest(-127, least(127,
+                             CAST(floor(x / scale + 0.5) AS INT)))) END AS qv
+        FROM sc
+    ),
+    err AS (
+        SELECT vec_id, scale, qv,
+               list_transform(list_zip(v, qv), p -> p[1] - p[2] * scale) AS e,
+               len(v) AS dim
+        FROM q
+    )
+    SELECT vec_id,
+           round(scale, 8) AS scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_checksum,
+           round(list_sum(list_transform(e, x -> x * x)) / dim, 8) AS mse,
+           round(list_aggregate(list_transform(e, x -> abs(x)), 'max'), 8) AS max_abs_err
+    FROM err
+    """,
+)
+def embedding_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization audit (functions/vector.quantize_int8):
+    per-vector scale, code checksum, reconstruction MSE and max error —
+    the numbers that decide whether a 4×-smaller int8 index is safe.
+    Pure projection, scan speed."""
+    from .functions.vector import dequantize_error, quantize_int8
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qz = quantize_int8(F.col("embedding"))
+    out = emb.select(
+        "vec_id",
+        qz.alias("qz"),
+        F.size("embedding").cast("double").alias("dim"),
+        F.col("embedding").alias("v"),
+    )
+    er = dequantize_error(F.col("v"), F.col("qz"))
+    return out.select(
+        "vec_id",
+        F.round(F.col("qz")["scale"], 8).alias("scale"),
+        F.aggregate(F.col("qz")["q"], F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "q_checksum"
+        ),
+        F.round(er["mse"], 8).alias("mse"),
+        F.round(er["max_abs_err"], 8).alias("max_abs_err"),
+    )
+
+
+@query(
+    "dedup_canonical_corpus",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIR_CTES},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+        SELECT node, node AS comp FROM nodes
+        UNION
+        SELECT e.dst AS node, r.comp FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    asg AS (SELECT node, min(comp) AS component_id FROM reach GROUP BY node)
+    SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM asg WHERE node != component_id)
+    """,
+)
+def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup deliverable: the surviving corpus after
+    MinHash-LSH pair generation → connected components → keep-first
+    (operators/dedup.canonical_corpus). The corpus side is a LEFT ANTI
+    join against the drop list — no corpus shuffle."""
+    from .operators.dedup import canonical_corpus, minhash_dedup_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = _tokenized_documents(spark, sf_dir)
+    pairs = minhash_dedup_pairs(toks, n=3, k=12, bands=4, threshold=0.2)
+    return canonical_corpus(docs, pairs).select("doc_id", "lang", "n_chars")
+
+
+# ---------------------------------------------------------------------------
 # Driver-check curation
 # ---------------------------------------------------------------------------
 
@@ -2286,6 +2488,13 @@ def embedding_centroid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #:   dormant_customers        — anti-join, covered by high_balance_inactive
 #:   supplier_nation_revenue  — 3-way dim join, covered by
 #:                              customer_nation_revenue + local_supplier_volume
+#:   order_status_cube        — CUBE grouping-set variant of revenue_rollup
+#:   customer_running_revenue — running-sum window, covered by
+#:                              customer_rolling_7d_revenue (range frame)
+#:   token_budget             — token-count projection, covered by
+#:                              doc_token_stats + repetition_features
+#:   dedup_canonical_corpus   — components pipeline (dedup_components) +
+#:                              an anti join (high_balance_inactive)
 _DEMOTED_PAST_CHECK_WINDOW = [
     "salted_nation_revenue",
     "tfidf_smoothed_long",
@@ -2299,6 +2508,10 @@ _DEMOTED_PAST_CHECK_WINDOW = [
     "doc_length_histogram",
     "dormant_customers",
     "supplier_nation_revenue",
+    "order_status_cube",
+    "customer_running_revenue",
+    "token_budget",
+    "dedup_canonical_corpus",
 ]
 
 

@@ -15,9 +15,9 @@ from nlp_with_pyspark_spark.queries import (
 REQUIRED_IN_WINDOW = {
     # relational / TPC-H-ish
     "pricing_summary", "customer_nation_revenue", "top_orders_per_customer",
-    "revenue_rollup", "order_status_cube", "order_priority_pivot",
+    "revenue_rollup", "order_priority_pivot",
     "customer_order_setops", "sql_top_unshipped_orders", "price_percentiles",
-    "customer_running_revenue", "customer_rolling_7d_revenue",
+    "customer_rolling_7d_revenue",
     "small_qty_part_revenue", "high_balance_inactive", "promo_revenue_share",
     "local_supplier_volume",
     # event-time
@@ -27,15 +27,17 @@ REQUIRED_IN_WINDOW = {
     "events_json_stats", "events_distinct_users",
     # text / NLP
     "vocab_top100", "tfidf_long", "doc_token_stats", "corpus_clean_stats",
-    "bigram_top50", "lang_id_counts", "quality_scores", "token_budget",
+    "bigram_top50", "lang_id_counts", "quality_scores",
     "doc_fingerprints", "repetition_features", "confusion_metrics",
     # dedup / similarity
     "dedup_exact_groups", "dedup_minhash_pairs", "dedup_components",
     "simhash_near_pairs", "ann_brute_force_topk", "ann_lsh_topk",
     "ann_ivf_topk", "embedding_centroid_topk",
-    # pipeline ops
+    # pipeline / corpus hygiene
     "stratified_sample_by_lang", "doc_token_chunks", "token_pack_assignments",
     "multimodal_asset_stats", "multimodal_decode_features",
+    "decontamination_overlap", "pii_scrub_stats",
+    "embedding_quantization_stats",
 }
 
 

@@ -1,0 +1,105 @@
+"""Unit tests for the corpus-hygiene operators added in round 5:
+decontamination, PII scrub, int8 quantization, canonical dedup output.
+The registered queries are additionally hash-checked against DuckDB in
+test_oracle_parity; these pin semantics on hand-built edge cases."""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "tokens", F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
+    )
+
+
+def test_benchmark_overlap_full_containment(spark):
+    from nlp_with_pyspark_spark.operators.decontam import benchmark_overlap
+
+    bench = _docs(spark, [(100, "the quick brown fox jumps")])
+    corpus = _docs(
+        spark,
+        [
+            # contains every benchmark 3-gram => contamination 1.0
+            (1, "prefix words the quick brown fox jumps suffix words"),
+            # shares exactly one of the three benchmark 3-grams
+            (2, "unrelated stuff the quick brown nothing else here"),
+            # no overlap at all
+            (3, "completely different text with no shared phrases"),
+        ],
+    )
+    got = {
+        (r.doc_id, r.bench_id): (r.n_common, r.contamination)
+        for r in benchmark_overlap(corpus, bench, n=3, threshold=0.0).collect()
+    }
+    # benchmark has 3 shingles: "the quick brown", "quick brown fox", "brown fox jumps"
+    assert got[(1, 100)] == (3, 1.0)
+    assert got[(2, 100)][0] == 1
+    assert got[(2, 100)][1] == pytest.approx(1 / 3, abs=1e-8)
+    assert (3, 100) not in got
+
+
+def test_benchmark_overlap_threshold_filters(spark):
+    from nlp_with_pyspark_spark.operators.decontam import benchmark_overlap
+
+    bench = _docs(spark, [(100, "the quick brown fox jumps")])
+    corpus = _docs(spark, [(2, "unrelated stuff the quick brown nothing else")])
+    assert benchmark_overlap(corpus, bench, n=3, threshold=0.5).count() == 0
+
+
+def test_pii_scrub_golden(spark):
+    from nlp_with_pyspark_spark.operators.textstats import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@corp.example.org today"),
+            (2, "server 10.0.255.7 answered, call +1 (555) 010-9876 now"),
+            (3, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert (got[1].n_emails, got[1].n_ipv4, got[1].n_phones) == (1, 0, 0)
+    assert (got[2].n_emails, got[2].n_ipv4, got[2].n_phones) == (0, 1, 1)
+    assert (got[3].n_emails, got[3].n_ipv4, got[3].n_phones) == (0, 0, 0)
+    # scrubbed hash changes only when something was scrubbed
+    import hashlib
+
+    assert got[3].scrubbed_md5 == hashlib.md5(b"no pii here at all").hexdigest()
+    assert got[2].scrubbed_chars == len("server <IP> answered, call <PHONE> now")
+
+
+def test_quantize_int8_roundtrip_and_zero_vector(spark):
+    from nlp_with_pyspark_spark.functions.vector import dequantize_error, quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    qz = quantize_int8(F.col("embedding"))
+    out = df.select(
+        "vec_id", qz.alias("qz"), dequantize_error(F.col("embedding"), qz).alias("er")
+    ).collect()
+    by_id = {r.vec_id: r for r in out}
+    # scale = 1.0/127; codes = floor(x*127 + 0.5) clamped
+    assert by_id[1].qz.q == [127, -63, 32, 0]
+    assert by_id[1].qz.scale == pytest.approx(1 / 127)
+    # max reconstruction error bounded by half a quantization step
+    assert by_id[1].er.max_abs_err <= (1 / 127) * 0.5 + 1e-12
+    assert by_id[2].qz.scale == 0.0
+    assert by_id[2].qz.q == [0, 0, 0, 0]
+    assert by_id[2].er.mse == 0.0
+
+
+def test_canonical_corpus_keeps_representatives(spark):
+    from nlp_with_pyspark_spark.operators.dedup import canonical_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 4)], "doc_a long, doc_b long"
+    )
+    kept = sorted(r.doc_id for r in canonical_corpus(docs, pairs).collect())
+    # clusters {1,3,5} -> keep 1; {2,4} -> keep 2; 0 untouched
+    assert kept == [0, 1, 2]
