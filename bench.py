@@ -96,6 +96,7 @@ HEADLINE = [
     "pii_scrub_stats",
     "embedding_quantization_stats",
     "dedup_canonical_corpus",
+    "click_purchase_funnel",
 ]
 # Excluded on purpose: dedup_ngram_jaccard / embedding_near_dups are the
 # exact all-pairs VERIFIERS for the LSH/minhash scale paths (quadratic by
@@ -147,7 +148,7 @@ def main() -> None:
         file=sys.stderr,
     )
     out = {
-        "metric": "headline-suite median-of-%d wall-clock" % runs,
+        "metric": "suite-median-of-%d" % runs,
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in times.items()},

@@ -2460,6 +2460,35 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_corpus(docs, pairs).select("doc_id", "lang", "n_chars")
 
 
+@query(
+    "click_purchase_funnel",
+    """
+    SELECT c.event_id AS left_id,
+           p.event_id AS right_id,
+           c.user_id,
+           (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_sec
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 300 SECOND
+    """,
+)
+def click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: every click with its in-window purchases OR a
+    NULL row — the batch run of the streaming LEFT OUTER interval join
+    (streaming/joins.interval_join_streams_outer; withWatermark is a
+    no-op on batch, so this is literally the streaming plan's code)."""
+    from .streaming.joins import interval_join_streams_outer
+
+    events = read_table(spark, sf_dir, "events")
+    return interval_join_streams_outer(
+        events.where(F.col("event_type") == "click"),
+        events.where(F.col("event_type") == "purchase"),
+        max_gap_sec=300,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check curation
 # ---------------------------------------------------------------------------
@@ -2495,7 +2524,10 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 #:                              doc_token_stats + repetition_features
 #:   dedup_canonical_corpus   — components pipeline (dedup_components) +
 #:                              an anti join (high_balance_inactive)
+#:   click_purchase_funnel    — left-outer variant of the checked
+#:                              click_purchase_attribution interval join
 _DEMOTED_PAST_CHECK_WINDOW = [
+    "click_purchase_funnel",
     "salted_nation_revenue",
     "tfidf_smoothed_long",
     "simhash_fingerprints",

@@ -1,15 +1,31 @@
+from .joins import (
+    click_purchase_attribution,
+    interval_join_streams,
+    interval_join_streams_outer,
+)
+from .sinks import incremental_dedup_sink
 from .stateful import user_running_stats
 from .windows import (
     events_stream_from_dir,
     sessionized_stream,
+    sliding_stream,
+    stream_to_parquet,
     streaming_dedup,
+    streaming_dedup_within_watermark,
     tumbling_stream,
 )
 
 __all__ = [
+    "click_purchase_attribution",
     "events_stream_from_dir",
+    "incremental_dedup_sink",
+    "interval_join_streams",
+    "interval_join_streams_outer",
     "sessionized_stream",
+    "sliding_stream",
+    "stream_to_parquet",
     "streaming_dedup",
+    "streaming_dedup_within_watermark",
     "tumbling_stream",
     "user_running_stats",
 ]

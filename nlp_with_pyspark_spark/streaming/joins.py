@@ -64,6 +64,47 @@ def interval_join_streams(
     )
 
 
+def interval_join_streams_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    max_gap_sec: int = 300,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """LEFT OUTER interval join: every left event, with its matching
+    right events where they exist and NULL ``right_id``/``gap_sec``
+    where they don't — "which clicks converted, and which didn't", the
+    question the inner join can't answer.
+
+    Streaming semantics (the published state-cleanup rule again): an
+    unmatched left row is emitted with NULLs only once the watermark
+    passes its last possible match time (left.ts + max_gap), because
+    until then a matching right event could still arrive. Both
+    watermarks and both range bounds are therefore mandatory, exactly as
+    in :func:`interval_join_streams`. On a batch DataFrame the same call
+    degrades to a plain left outer join (withWatermark is a no-op) —
+    tests replay both and assert agreement.
+    """
+    l = left.withWatermark(ts_col, watermark).alias("l")
+    r = right.withWatermark(ts_col, watermark).alias("r")
+    lts = F.col(f"l.{ts_col}").cast("timestamp")
+    rts = F.col(f"r.{ts_col}").cast("timestamp")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rts >= lts)
+        & (rts <= lts + F.expr(f"INTERVAL {max_gap_sec} SECONDS"))
+    )
+    return l.join(r, cond, "leftOuter").select(
+        F.col("l.event_id").alias("left_id"),
+        F.col("r.event_id").alias("right_id"),
+        F.col(f"l.{key}").alias(key),
+        ((F.unix_micros(rts) - F.unix_micros(lts)) / F.lit(1_000_000))
+        .cast("long")
+        .alias("gap_sec"),
+    )
+
+
 def click_purchase_attribution(events: DataFrame, max_gap_sec: int = 300) -> DataFrame:
     """Attribution pairs: purchases within ``max_gap_sec`` of a click by
     the same user. One call serves the streaming plan (pass the events
