@@ -97,6 +97,7 @@ HEADLINE = [
     "embedding_quantization_stats",
     "dedup_canonical_corpus",
     "click_purchase_funnel",
+    "corpus_pipeline_funnel",
 ]
 # Excluded on purpose: dedup_ngram_jaccard / embedding_near_dups are the
 # exact all-pairs VERIFIERS for the LSH/minhash scale paths (quadratic by
@@ -157,7 +158,10 @@ def main() -> None:
     if failed:
         out["failed"] = failed
     line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1900:  # keep headroom under the 2000-char tail capture
+    if len(line) > 1850:  # keep headroom under the 2000-char tail capture
+        out["queries"] = {k: round(v, 1) for k, v in times.items()}
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
         print("bench: line %d chars nears tail buffer" % len(line), file=sys.stderr)
     print(line)
 

@@ -1,0 +1,102 @@
+"""End-to-end training-data pipeline composition.
+
+The individual corpus-hygiene operators (quality scoring, repetition
+filters, near-dup dedup, decontamination) are each oracle-checked on
+their own; this module composes them into the funnel a real ingestion
+pipeline runs, with the yield report every data team watches: how many
+documents survive each stage.
+
+Composition is where a declarative engine pays off: each stage is a
+DataFrame transformation, so Catalyst sees the WHOLE pipeline as one
+plan — the quality/repetition projections fuse into the scan, the drop
+lists stay on the join side, and nothing materializes between stages
+unless an operator itself demands a barrier (the minhash checkpoint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .decontam import benchmark_overlap
+from .dedup import minhash_dedup_pairs
+from .graph import duplicate_clusters
+from .textstats import quality_features, repetition_features
+
+#: (index, name) of the funnel stages, in order
+FUNNEL_STAGES = (
+    (0, "raw"),
+    (1, "quality"),
+    (2, "non_repetitive"),
+    (3, "deduped"),
+    (4, "decontaminated"),
+)
+
+
+def corpus_funnel(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    quality_min: float = 0.5,
+    jaccard_threshold: float = 0.2,
+    contamination_max: float = 0.5,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """(stage_idx, stage, n_docs): documents surviving each cumulative
+    pipeline stage — quality filter, then repetition filter, then
+    keep-first near-dup dedup, then benchmark decontamination.
+
+    Both inputs carry text + ``tokens_col``. Thresholds compare against
+    the ROUNDED scores the stage operators emit, so the funnel is
+    bit-reproducible against the DuckDB oracle (float-boundary docs land
+    the same way in both engines).
+
+    Scale shape: two full-corpus projections (quality, repetition), the
+    minhash pair pipeline (its own documented shuffles), and two id-only
+    drop lists joined back LEFT — the corpus body itself is never
+    shuffled by the funnel; the stage explode emits ≤ 5 rows per doc of
+    (int, bool) pairs into one final hash agg.
+    """
+    q = quality_features(corpus).select("doc_id", "quality_score")
+    r = repetition_features(corpus).select("doc_id", "is_repetitive")
+    pairs = minhash_dedup_pairs(corpus, tokens_col=tokens_col, threshold=jaccard_threshold)
+    dropped = (
+        duplicate_clusters(pairs)
+        .where(F.col("doc_id") != F.col("component_id"))
+        .select("doc_id", F.lit(1).alias("is_dropped"))
+    )
+    contaminated = (
+        benchmark_overlap(corpus, benchmark, threshold=contamination_max)
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contaminated", F.lit(1))
+    )
+    flags = (
+        corpus.select("doc_id")
+        .join(q, "doc_id")
+        .join(r, "doc_id")
+        .join(dropped, "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
+    )
+    c1 = F.col("quality_score") >= quality_min
+    c2 = c1 & (F.col("is_repetitive") == 0)
+    c3 = c2 & F.col("is_dropped").isNull()
+    c4 = c3 & F.col("is_contaminated").isNull()
+    conds = {0: F.lit(True), 1: c1, 2: c2, 3: c3, 4: c4}
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                conds[i].alias("ok"),
+            )
+            for i, name in FUNNEL_STAGES
+        ]
+    )
+    return (
+        flags.select(F.explode(stages).alias("s"))
+        .where(F.col("s.ok"))
+        .groupBy(
+            F.col("s.stage_idx").alias("stage_idx"), F.col("s.stage").alias("stage")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

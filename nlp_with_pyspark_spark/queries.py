@@ -575,21 +575,31 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicate_groups(read_table(spark, sf_dir, "documents"))
 
 
-#: DuckDB CTE prefix shingles → minhash sig → LSH band hashes — shared
-#: by the self-pair chain below and the incremental-dedup oracle.
-_MINHASH_SIG_CTES = f"""{_SHINGLES_SQL},
+def _minhash_sig_ctes(doc_filter: str = "") -> str:
+    """DuckDB CTE prefix shingles → minhash sig → LSH band hashes —
+    shared by the self-pair chain below and the pipeline-funnel oracle.
+    ``doc_filter`` (e.g. ``" AND doc_id % 10 != 0"``) restricts which
+    docs enter the signature stage; shingling is per-doc independent, so
+    filtering at the sig CTE equals shingling the subset."""
+    return f"""{_SHINGLES_SQL},
     sig AS (
         SELECT doc_id, shingles,
                [{", ".join(f"list_aggregate(list_transform(shingles, s -> md5('{i}~' || s)), 'min')" for i in range(12))}] AS sig
-        FROM sh WHERE len(shingles) > 0
+        FROM sh WHERE len(shingles) > 0{doc_filter}
     ),
     bands AS (
         {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_id, md5(array_to_string(sig[{b * 3 + 1}:{b * 3 + 3}], '|')) AS band_hash FROM sig" for b in range(4))}
     )"""
 
-#: Full chain → verified near-dup pairs at jaccard ≥ 0.2 — shared by the
-#: pair query and the connected-components query built on top of it.
-_MINHASH_PAIR_CTES = f"""{_MINHASH_SIG_CTES},
+
+_MINHASH_SIG_CTES = _minhash_sig_ctes()
+
+
+def _minhash_pair_ctes(doc_filter: str = "") -> str:
+    """Full chain → verified near-dup pairs at jaccard ≥ 0.2 — shared by
+    the pair query, the connected-components query, and the canonical /
+    funnel oracles built on top."""
+    return f"""{_minhash_sig_ctes(doc_filter)},
     bsz AS (  -- mirror of _bucket_pairs.max_docs_per_bucket: hot buckets drop
         SELECT band_id, band_hash FROM bands GROUP BY 1, 2 HAVING count(*) <= 1000
     ),
@@ -611,6 +621,9 @@ _MINHASH_PAIR_CTES = f"""{_MINHASH_SIG_CTES},
         JOIN sig b ON doc_b = b.doc_id
     ),
     pairs AS (SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.2)"""
+
+
+_MINHASH_PAIR_CTES = _minhash_pair_ctes()
 
 
 @query(
@@ -2489,6 +2502,132 @@ def click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_pipeline_funnel",
+    f"""
+    WITH RECURSIVE {_minhash_pair_ctes(" AND doc_id % 10 != 0")},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+        SELECT node, node AS comp FROM nodes
+        UNION
+        SELECT e.dst AS node, r.comp FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    asg AS (SELECT node, min(comp) AS component_id FROM reach GROUP BY node),
+    dropped AS (SELECT node AS doc_id FROM asg WHERE node != component_id),
+    qbase AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len({_WS_TOKS_SQL}) AS BIGINT) AS n_tokens,
+               CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+               CASE WHEN len({_WS_TOKS_SQL}) > 0
+                    THEN CAST(list_sum(list_transform({_WS_TOKS_SQL}, t -> length(t))) AS DOUBLE)
+                         / len({_WS_TOKS_SQL})
+                    ELSE 0.0 END AS mwl,
+               {_EN_RATIO_SQL} AS swr
+        FROM documents WHERE doc_id % 10 != 0
+    ),
+    quality AS (
+        SELECT doc_id,
+               round(least((CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END) / 0.7, 1.0) * 0.4
+                     + least(swr / 0.3, 1.0) * 0.3
+                     + (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.0 END) * 0.2
+                     + (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END) * 0.1,
+                 6) AS qs
+        FROM qbase
+    ),
+    rbase AS (
+        SELECT doc_id, {_WS_TOKS_SQL} AS ts, len({_WS_TOKS_SQL}) AS n
+        FROM documents WHERE doc_id % 10 != 0
+    ),
+    rtok AS (
+        SELECT doc_id, MAX(cnt) AS top_tok, COUNT(*) AS n_distinct FROM (
+            SELECT doc_id, t, COUNT(*) AS cnt
+            FROM rbase, UNNEST(ts) AS u(t) GROUP BY doc_id, t
+        ) GROUP BY doc_id
+    ),
+    rbi AS (
+        SELECT doc_id, MAX(cnt) AS top_bi FROM (
+            SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS bg, COUNT(*) AS cnt
+            FROM rbase, UNNEST(range(1, n)) AS rr(i)
+            GROUP BY doc_id, bg
+        ) GROUP BY doc_id
+    ),
+    rep AS (
+        SELECT b.doc_id,
+               CAST(
+                 (CASE WHEN b.n > 0 THEN coalesce(top_tok, 0) / CAST(b.n AS DOUBLE) ELSE 0.0 END) > 0.10
+                 OR (CASE WHEN b.n > 0 THEN coalesce(n_distinct, 0) / CAST(b.n AS DOUBLE) ELSE 0.0 END) < 0.25
+                 OR (CASE WHEN b.n >= 2 THEN coalesce(top_bi, 0) / CAST(b.n - 1 AS DOUBLE) ELSE 0.0 END) > 0.05
+               AS INT) AS is_rep
+        FROM rbase b LEFT JOIN rtok USING (doc_id) LEFT JOIN rbi USING (doc_id)
+    ),
+    c_inv AS (
+        SELECT doc_id, unnest(shingles) AS shingle
+        FROM sh WHERE doc_id % 10 != 0 AND len(shingles) > 0
+    ),
+    b_sets AS (
+        SELECT doc_id AS bench_id, shingles, len(shingles) AS n_bench
+        FROM sh WHERE doc_id % 10 = 0 AND len(shingles) > 0
+    ),
+    b_inv0 AS (SELECT bench_id, unnest(shingles) AS shingle FROM b_sets),
+    b_freq AS (SELECT shingle, count(*) AS df FROM b_inv0 GROUP BY shingle),
+    b_inv AS (
+        SELECT bench_id, b.shingle FROM b_inv0 b JOIN b_freq USING (shingle)
+        WHERE df <= 1000
+    ),
+    contaminated AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_id, bench_id, count(*) AS n_common
+            FROM c_inv JOIN b_inv USING (shingle)
+            GROUP BY doc_id, bench_id
+        ) JOIN b_sets USING (bench_id)
+        WHERE round(CAST(n_common AS DOUBLE) / n_bench, 8) >= 0.5
+    ),
+    flags AS (
+        SELECT d.doc_id, q.qs, r.is_rep,
+               CASE WHEN dr.doc_id IS NULL THEN 0 ELSE 1 END AS is_drop,
+               CASE WHEN ct.doc_id IS NULL THEN 0 ELSE 1 END AS is_cont
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 10 != 0) d
+        JOIN quality q USING (doc_id)
+        JOIN rep r USING (doc_id)
+        LEFT JOIN dropped dr USING (doc_id)
+        LEFT JOIN contaminated ct USING (doc_id)
+    )
+    SELECT 0 AS stage_idx, 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM flags
+    UNION ALL
+    SELECT 1, 'quality', CAST(count(*) AS BIGINT) FROM flags WHERE qs >= 0.72
+    UNION ALL
+    SELECT 2, 'non_repetitive', CAST(count(*) AS BIGINT) FROM flags
+    WHERE qs >= 0.72 AND is_rep = 0
+    UNION ALL
+    SELECT 3, 'deduped', CAST(count(*) AS BIGINT) FROM flags
+    WHERE qs >= 0.72 AND is_rep = 0 AND is_drop = 0
+    UNION ALL
+    SELECT 4, 'decontaminated', CAST(count(*) AS BIGINT) FROM flags
+    WHERE qs >= 0.72 AND is_rep = 0 AND is_drop = 0 AND is_cont = 0
+    """,
+)
+def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline yield report
+    (operators/pipeline.corpus_funnel): documents surviving quality →
+    repetition → near-dup dedup → decontamination, composed from the
+    individually-checked stage operators into ONE Catalyst plan. Every
+    tenth doc plays the held-out benchmark set."""
+    from .operators.pipeline import corpus_funnel
+
+    docs = _tokenized_documents(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    # 0.72 sits just below the synthetic corpus median (≈0.76): the
+    # quality stage does real work instead of passing everything
+    return corpus_funnel(corpus, bench, quality_min=0.72)
+
+
 # ---------------------------------------------------------------------------
 # Driver-check curation
 # ---------------------------------------------------------------------------
@@ -2528,6 +2667,7 @@ def click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 #:                              click_purchase_attribution interval join
 _DEMOTED_PAST_CHECK_WINDOW = [
     "click_purchase_funnel",
+    "corpus_pipeline_funnel",
     "salted_nation_revenue",
     "tfidf_smoothed_long",
     "simhash_fingerprints",
