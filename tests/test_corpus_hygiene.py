@@ -103,3 +103,31 @@ def test_canonical_corpus_keeps_representatives(spark):
     kept = sorted(r.doc_id for r in canonical_corpus(docs, pairs).collect())
     # clusters {1,3,5} -> keep 1; {2,4} -> keep 2; 0 untouched
     assert kept == [0, 1, 2]
+
+
+def test_quantize_int8_property(spark):
+    """Property (hypothesis-style grid): for any float32 vector, every
+    reconstruction error is ≤ scale/2 + float eps, and codes stay in
+    [-127, 127]."""
+    import numpy as np
+
+    from nlp_with_pyspark_spark.functions.vector import dequantize_error, quantize_int8
+
+    rng = np.random.RandomState(7)
+    vecs = [
+        rng.uniform(-m, m, size=16).astype("float32").tolist()
+        for m in (1e-3, 1.0, 50.0, 1e4)
+    ] + [[0.0] * 16, [1e-30] * 16, [-5.0] + [0.0] * 15]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    qz = quantize_int8(F.col("embedding"))
+    rows = df.select(
+        "vec_id", qz.alias("qz"), dequantize_error(F.col("embedding"), qz).alias("er")
+    ).collect()
+    for r in rows:
+        scale = r.qz.scale
+        assert all(-127 <= c <= 127 for c in r.qz.q)
+        assert r.er.max_abs_err <= scale / 2 + 1e-9 * max(1.0, scale), (
+            r.vec_id, scale, r.er.max_abs_err,
+        )

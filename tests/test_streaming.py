@@ -516,3 +516,55 @@ def test_interval_join_outer_stream_matches_batch(spark, tmp_path):
         if r.user_id != -1
     }
     assert got == want and (2, None, None) in want
+
+
+def test_late_event_dropped_by_watermark(spark, tmp_path):
+    """Event-time correctness under late data: an event arriving in a
+    later micro-batch with a timestamp already behind the watermark must
+    NOT be counted into its (finalized) window. This is the semantics
+    that makes streaming state bounded — late rows are dropped, not
+    buffered forever."""
+    from nlp_with_pyspark_spark.streaming.windows import (
+        events_stream_from_dir,
+        run_to_memory,
+        tumbling_stream,
+    )
+
+    base = 1_700_000_000_000_000  # epoch micros
+    hour = 3_600_000_000
+    src = tmp_path / "late_src"
+    src.mkdir()
+    # batch 1: two events in window W0, plus one far ahead that drags the
+    # watermark (10 min delay) way past W0
+    _write_events_file(
+        spark,
+        src / "f1",
+        [
+            (1, base, 10, "click", 1.0, "{}"),
+            (2, base + 1_000_000, 10, "click", 1.0, "{}"),
+            (3, base + 2 * hour, 11, "click", 1.0, "{}"),
+        ],
+    )
+    # batch 2: absorbs the one-trigger watermark propagation lag (the
+    # watermark computed from batch 1 takes effect from the NEXT batch)
+    _write_events_file(spark, src / "f2", [(6, base + 2 * hour + 1_000_000, 11, "view", 1.0, "{}")])
+    # batch 3: a LATE event for W0 — the in-effect watermark is now
+    # (base+2h) - 10min, far past W0's end, so this row must be dropped
+    _write_events_file(spark, src / "f3", [(4, base + 2_000_000, 12, "click", 1.0, "{}")])
+    # batch 4: advance the watermark further so W0's finalized emission
+    # reaches the sink
+    _write_events_file(spark, src / "f4", [(5, base + 3 * hour, 11, "click", 1.0, "{}")])
+
+    stream = events_stream_from_dir(spark, str(src / "f*"), max_files_per_trigger=1)
+    q = run_to_memory(
+        tumbling_stream(stream, width_sec=300, watermark="10 minutes"),
+        "t_late",
+        output_mode="append",
+    )
+    try:
+        w0 = (base // 1_000_000 // 300) * 300  # aligned window start
+        rows = {r.bucket_start_epoch: r.n_events for r in spark.table("t_late").collect()}
+        # the late event (id 4) must not be in W0's count
+        assert rows.get(w0) == 2, rows
+    finally:
+        q.stop()
