@@ -201,6 +201,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the NTZ→timestamp cast in normalize_events reads the session
+        # timezone at EXECUTION time; pin it here so a caller-owned
+        # session on a non-UTC machine can't shift every ts_ns by the
+        # local offset (engine sessions already pin UTC in session.py —
+        # this covers the driver's vanilla session, same rationale as
+        # the nanosAsLong conf above)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = normalize_events(df)

@@ -42,6 +42,9 @@ def events_stream_from_dir(
     Kafka source — every downstream operator is source-agnostic.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # same seam-enforcement as sources/io.read_table: the NTZ cast in
+    # normalize_events must not depend on the caller session's timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(path).schema
     raw = (
         spark.readStream.schema(raw_schema)

@@ -86,6 +86,24 @@ def test_events_read_survives_either_timestamp_layout(spark, tmp_path, unit):
     ]
 
 
+def test_events_ts_ns_immune_to_session_timezone(spark):
+    """The micros/NTZ branch of normalize_events casts through the
+    session timezone at execution time: under a non-UTC session that
+    cast would shift every ts_ns by the local offset unless read_table
+    pins UTC. Simulate a driver session configured elsewhere."""
+    tz_key = "spark.sql.session.timeZone"
+    spark.conf.set(tz_key, "America/New_York")
+    try:
+        df = read_table(spark, SF_DIR, "events")
+        got = df.selectExpr("min(ts_ns) AS lo", "max(ts_ns) AS hi").first()
+    finally:
+        spark.conf.set(tz_key, "UTC")
+    ref = read_table(spark, SF_DIR, "events").selectExpr(
+        "min(ts_ns) AS lo", "max(ts_ns) AS hi"
+    ).first()
+    assert (got.lo, got.hi) == (ref.lo, ref.hi)
+
+
 def test_jsonl_roundtrip_with_schema(spark, tmp_path):
     """Schema'd NDJSON read (no inference pass) roundtrips values and
     routes corrupt lines to _corrupt_record instead of failing."""
