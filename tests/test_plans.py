@@ -138,3 +138,65 @@ def test_anti_join_stays_anti(tables):
     assert count_occurrences(q, "LeftAnti") >= 1
     pf = pushed_filters(q)
     assert "GreaterThanOrEqual(o_orderdate" in pf, pf
+
+
+def test_pure_projection_ops_have_zero_exchanges(spark, sf_dir):
+    """The scan-speed corpus-hygiene operators (PII scrub, quantization,
+    repetition, quality) must stay single-stage: zero Exchange nodes,
+    pruned read schema. An accidental shuffle here is the difference
+    between scan speed and a corpus-wide repartition at 100 TB."""
+    from nlp_with_pyspark_spark.functions.vector import dequantize_error, quantize_int8
+    from nlp_with_pyspark_spark.operators.textstats import (
+        pii_scrub,
+        quality_features,
+        repetition_features,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    qz = quantize_int8(F.col("embedding"))
+    cases = {
+        "pii_scrub": pii_scrub(docs),
+        "repetition": repetition_features(docs),
+        "quality": quality_features(docs),
+        "quantization": emb.select("vec_id", qz.alias("qz")),
+    }
+    for name, df in cases.items():
+        plan = final_plan_string(df)
+        assert "Exchange" not in plan, f"{name} plan shuffles:\n{plan}"
+
+
+def test_decontamination_broadcasts_benchmark_side(spark, sf_dir):
+    """The benchmark inverted index must ride a broadcast: the corpus
+    side of the decontamination join may never shuffle its shingles."""
+    from nlp_with_pyspark_spark.operators.decontam import benchmark_overlap
+    from nlp_with_pyspark_spark.queries import _tokenized_documents
+
+    docs = _tokenized_documents(spark, sf_dir)
+    q = benchmark_overlap(
+        docs.where(F.col("doc_id") % 10 != 0),
+        docs.where(F.col("doc_id") % 10 == 0),
+    )
+    plan = final_plan_string(q)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_ivf_fixed_centroid_assignment_is_projection(spark, sf_dir):
+    """fixed_centroid_ivf_topk compiles the quantizer into literals:
+    corpus-side list assignment must be a projection (no join, no
+    shuffle below the final bucket join + rank window)."""
+    from nlp_with_pyspark_spark.operators.similarity import fixed_centroid_ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 4).select("vec_id", "embedding").collect()
+    ]
+    q = fixed_centroid_ivf_topk(emb, emb.where(F.col("vec_id") < 2), cents, k=5, n_probe=2)
+    plan = final_plan_string(q)
+    # the probe join broadcasts (AQE explain may render the node in both
+    # the final and cached trees — assert presence, and that no join
+    # shuffles); the only exchange is the rank window's partitionBy
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
