@@ -98,6 +98,8 @@ HEADLINE = [
     "dedup_canonical_corpus",
     "click_purchase_funnel",
     "corpus_pipeline_funnel",
+    "doc_lm_scores",
+    "embedding_rp_project",
 ]
 # Excluded on purpose: dedup_ngram_jaccard / embedding_near_dups are the
 # exact all-pairs VERIFIERS for the LSH/minhash scale paths (quadratic by

@@ -238,6 +238,45 @@ def ivf_query(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def rp_project(
+    embeddings: DataFrame,
+    out_dim: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "rp-seed",
+) -> DataFrame:
+    """Random-projection dimensionality reduction: out[j] = x · plane_j
+    for ``out_dim`` deterministic md5-derived planes (the same
+    construction sign-LSH thresholds — here the raw projections are
+    kept, Johnson–Lindenstrauss style).
+
+    The reduction matrix is compiled into the plan as literals, so the
+    operator is a pure projection: 4× (64→16) smaller vectors at scan
+    speed, no shuffle, no model artifact to distribute — the seed IS
+    the model. Output long-form (vec_id, dim_idx, value) with values
+    rounded 6dp for engine-stable comparison.
+    """
+    planes = [_hyperplane(dim, j, seed) for j in range(out_dim)]
+    comps = []
+    for p in planes:
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        comps.append(
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            )
+        )
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.array(*comps)).alias("dim_idx", "value"),
+    )
+
+
 def _d2_literal(vec: Column, centroid: list[float]) -> Column:
     """Squared euclidean distance of ``vec`` to a literal centroid —
     strict left-to-right fold so the DuckDB oracle's ``list_sum`` over

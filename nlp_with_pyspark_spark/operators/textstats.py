@@ -204,6 +204,66 @@ def repetition_features(
     )
 
 
+def unigram_lm_scores(
+    docs: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    vocab_k: int = 1000,
+) -> DataFrame:
+    """CCNet-style language-model quality score: per-doc unigram
+    cross-entropy against the corpus's own top-``vocab_k`` distribution
+    (Wenzek et al. 2020 filter by LM perplexity; the unigram model is
+    the degenerate-but-scaleable member of that family).
+
+    Model: p(w) = count(w)/total for the top-k vocabulary; every
+    out-of-vocabulary token shares one OOV bucket whose mass is the
+    remaining count (max'd with 1 so the log is finite when the corpus
+    IS the vocabulary). Score = −mean log p over the doc's tokens —
+    LOWER is more typical of the corpus. Empty docs score 0.
+
+    Scale shape: one explode+groupBy builds the counts (the vocab_top100
+    shuffle); the k-row model (plus its two scalars) is broadcast back
+    against the exploded tokens, so scoring is a broadcast join + one
+    hash agg on doc_id — the corpus is never shuffled by value. Vocab
+    rank ties are pinned (count desc, word asc) for engine-stable
+    truncation.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col).alias("word"))
+    counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("word"))
+    topk = counts.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= vocab_k)
+    # two scalars (corpus total, in-vocab total) ride a 1-row broadcast
+    totals = counts.agg(F.sum("cnt").alias("total")).crossJoin(
+        topk.agg(F.sum("cnt").alias("in_vocab"))
+    )
+    oov_logp = F.log(
+        F.greatest(F.col("total") - F.col("in_vocab"), F.lit(1)).cast("double")
+        / F.col("total").cast("double")
+    )
+    logp = F.when(
+        F.col("cnt").isNotNull(),
+        F.log(F.col("cnt").cast("double") / F.col("total").cast("double")),
+    ).otherwise(oov_logp)
+    scored = (
+        toks.crossJoin(F.broadcast(totals))
+        .join(F.broadcast(topk.select("word", "cnt")), "word", "left")
+        .select("doc_id", logp.alias("logp"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(-F.avg("logp"), 6).alias("lm_score"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    empty = docs.where(F.size(tokens_col) == 0).select(
+        F.col(id_col).alias("doc_id"),
+        F.lit(0.0).alias("lm_score"),
+        F.lit(0).cast("long").alias("n_tokens"),
+    )
+    return scored.unionByName(empty)
+
+
 #: PII patterns — RE2-compatible (no lookarounds), so the DuckDB oracle
 #: runs the IDENTICAL regex strings. Deliberately simple/auditable; a
 #: production deployment swaps in its compliance team's patterns at the

@@ -2628,6 +2628,81 @@ def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_funnel(corpus, bench, quality_min=0.72)
 
 
+@query(
+    "doc_lm_scores",
+    f"""
+    WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents),
+    tk AS (SELECT doc_id, unnest(tokens) AS word FROM toks),
+    counts AS (SELECT word, count(*) AS cnt FROM tk GROUP BY word),
+    topk AS (
+        SELECT word, cnt FROM (
+            SELECT word, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, word ASC) AS rk
+            FROM counts
+        ) WHERE rk <= 1000
+    ),
+    tot AS (
+        SELECT (SELECT sum(cnt) FROM counts) AS total,
+               (SELECT sum(cnt) FROM topk) AS in_vocab
+    ),
+    scored AS (
+        SELECT doc_id,
+               CASE WHEN c.cnt IS NOT NULL
+                    THEN ln(c.cnt / CAST(t.total AS DOUBLE))
+                    ELSE ln(greatest(t.total - t.in_vocab, 1)
+                            / CAST(t.total AS DOUBLE)) END AS logp
+        FROM tk CROSS JOIN tot t LEFT JOIN topk c USING (word)
+    )
+    SELECT doc_id, round(-avg(logp), 6) AS lm_score,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM scored GROUP BY doc_id
+    UNION ALL
+    SELECT doc_id, 0.0 AS lm_score, CAST(0 AS BIGINT) AS n_tokens
+    FROM toks WHERE len(tokens) = 0
+    """,
+)
+def doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM quality score: per-doc cross-entropy
+    against the corpus's own top-1000 unigram distribution with a single
+    OOV bucket (operators/textstats.unigram_lm_scores). The k-row model
+    rides a broadcast; the corpus is never shuffled by value."""
+    from .operators.textstats import unigram_lm_scores
+
+    return unigram_lm_scores(_tokenized_documents(spark, sf_dir))
+
+
+def _rp_project_sql(out_dim: int = 16, dim: int = 64) -> str:
+    """Mirror of similarity.rp_project: the SAME md5-derived planes
+    inlined as literals, dot products in the same fold order."""
+    from .operators.similarity import _hyperplane
+
+    dots = []
+    for j in range(out_dim):
+        plane = _hyperplane(dim, j, "rp-seed")
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        dots.append(
+            f"round(list_sum(list_transform(list_zip(embedding, {arr}),"
+            " p -> CAST(p[1] AS DOUBLE) * p[2])), 6)"
+        )
+    idxs = ", ".join(str(j) for j in range(out_dim))
+    return f"""
+    SELECT vec_id,
+           unnest([{idxs}]) AS dim_idx,
+           unnest([{", ".join(dots)}]) AS value
+    FROM embeddings
+    """
+
+
+@query("embedding_rp_project", _rp_project_sql())
+def embedding_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection 64→16 reduction (similarity.rp_project):
+    deterministic md5 planes compiled to literals — a pure projection,
+    the seed is the model."""
+    from .operators.similarity import rp_project
+
+    return rp_project(read_table(spark, sf_dir, "embeddings"), out_dim=16, dim=64)
+
+
 # ---------------------------------------------------------------------------
 # Driver-check curation
 # ---------------------------------------------------------------------------
@@ -2668,6 +2743,8 @@ def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEMOTED_PAST_CHECK_WINDOW = [
     "click_purchase_funnel",
     "corpus_pipeline_funnel",
+    "doc_lm_scores",
+    "embedding_rp_project",
     "salted_nation_revenue",
     "tfidf_smoothed_long",
     "simhash_fingerprints",
