@@ -228,12 +228,12 @@ def unigram_lm_scores(
     rank ties are pinned (count desc, word asc) for engine-stable
     truncation.
     """
-    from pyspark.sql import Window
-
     toks = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col).alias("word"))
     counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.desc("cnt"), F.asc("word"))
-    topk = counts.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= vocab_k)
+    # top-k via orderBy+limit → TakeOrderedAndProject (per-partition
+    # partial top-k, merged on the driver) — NOT a global row_number
+    # window, which would funnel the whole vocabulary through one task
+    topk = counts.orderBy(F.desc("cnt"), F.asc("word")).limit(vocab_k)
     # two scalars (corpus total, in-vocab total) ride a 1-row broadcast
     totals = counts.agg(F.sum("cnt").alias("total")).crossJoin(
         topk.agg(F.sum("cnt").alias("in_vocab"))
