@@ -58,35 +58,58 @@ def quantize_int8(vec: Column | str) -> Column:
     oracle reproduces every code bit-for-bit. Zero vectors get scale 0
     and all-zero codes (guarded division).
     """
+    from .expr import flet
+
     c = _c(vec)
     max_abs = F.aggregate(
         c, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
     )
-    scale = max_abs / F.lit(127.0)
-    q = F.when(scale == 0.0, F.transform(c, lambda x: F.lit(0))).otherwise(
-        F.transform(
-            c,
-            lambda x: F.greatest(
-                F.lit(-127),
-                F.least(F.lit(127), F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int")),
-            ),
+
+    # flet-bind the scale: referencing the O(dim) max-abs fold inside the
+    # per-element transform lambda would re-run it per element (the
+    # documented O(dim²) lambda-inlining foot-gun, functions/expr.py)
+    def build(s: Column) -> Column:
+        q = F.when(s == 0.0, F.transform(c, lambda x: F.lit(0))).otherwise(
+            F.transform(
+                c,
+                lambda x: F.greatest(
+                    F.lit(-127),
+                    F.least(F.lit(127), F.floor(x.cast("double") / s + F.lit(0.5)).cast("int")),
+                ),
+            )
         )
-    )
-    return F.struct(scale.alias("scale"), q.alias("q"))
+        return F.struct(s.alias("scale"), q.alias("q"))
+
+    return flet(max_abs / F.lit(127.0), build)
 
 
 def dequantize_error(vec: Column | str, quant: Column) -> Column:
     """Struct (mse double, max_abs_err double) of reconstructing
     ``quant`` (from :func:`quantize_int8`) against the original vector —
-    the quality audit that decides whether int8 is safe for a corpus."""
+    the quality audit that decides whether int8 is safe for a corpus.
+
+    ``quant`` is flet-bound before use: callers may pass the
+    ``quantize_int8(...)`` EXPRESSION directly (not a materialized
+    column), and referencing its fields inside the error lambda would
+    otherwise re-run the whole quantization per element."""
+    from .expr import flet
+
     c = _c(vec)
-    err = F.zip_with(
-        c, quant["q"], lambda x, qi: x.cast("double") - qi.cast("double") * quant["scale"]
-    )
-    n = F.size(c).cast("double")
-    mse = F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e * e) / n
-    mx = F.aggregate(err, F.lit(0.0), lambda acc, e: F.greatest(acc, F.abs(e)))
-    return F.struct(mse.alias("mse"), mx.alias("max_abs_err"))
+
+    def stats(err: Column) -> Column:
+        n = F.size(c).cast("double")
+        mse = F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e * e) / n
+        mx = F.aggregate(err, F.lit(0.0), lambda acc, e: F.greatest(acc, F.abs(e)))
+        return F.struct(mse.alias("mse"), mx.alias("max_abs_err"))
+
+    def build(qt: Column) -> Column:
+        err = F.zip_with(
+            c, qt["q"], lambda x, qi: x.cast("double") - qi.cast("double") * qt["scale"]
+        )
+        # err feeds two folds — bind it so zip_with runs once
+        return flet(err, stats)
+
+    return flet(quant, build)
 
 
 def unit_normalized(df, vec_col: str, out_col: str):

@@ -193,14 +193,22 @@ def repetition_features(
             flag.cast("int").alias("is_repetitive"),
         )
 
+    # materialize the struct in its own projection before expanding the
+    # five fields: lambda-containing expressions are excluded from
+    # Spark's subexpression elimination, so expanding feats[...] five
+    # times in ONE select would run the whole tokenize/sort/fold
+    # pipeline 5× per row (CollapseProject keeps a multi-referenced
+    # non-trivial alias in its own project, so the two-step select
+    # evaluates it once)
     feats = flet(_raw_tokens(F.col(text_col)), features)
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        feats["n_tokens"].alias("n_tokens"),
-        feats["top_token_ratio"].alias("top_token_ratio"),
-        feats["distinct_ratio"].alias("distinct_ratio"),
-        feats["top_bigram_ratio"].alias("top_bigram_ratio"),
-        feats["is_repetitive"].alias("is_repetitive"),
+    staged = docs.select(F.col(id_col).alias("doc_id"), feats.alias("_feats"))
+    return staged.select(
+        "doc_id",
+        F.col("_feats")["n_tokens"].alias("n_tokens"),
+        F.col("_feats")["top_token_ratio"].alias("top_token_ratio"),
+        F.col("_feats")["distinct_ratio"].alias("distinct_ratio"),
+        F.col("_feats")["top_bigram_ratio"].alias("top_bigram_ratio"),
+        F.col("_feats")["is_repetitive"].alias("is_repetitive"),
     )
 
 

@@ -70,16 +70,19 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
     # The probe (`df.rdd.getNumPartitions`) forces physical planning on
-    # the driver, so cache it per input-file set: callers invoke this on
-    # fresh scans (or narrow projections of them, which preserve the
-    # scan's partitioning), and repeated query builds over the same
-    # files — the bench loop, the test session — should pay planning
-    # once. `inputFiles()` itself is a metadata lookup served by the
-    # (already cached) file index.
+    # the driver, so cache it per (application, file set): callers must
+    # invoke this on fresh scans (or narrow projections of them, which
+    # preserve the scan's partitioning — anything post-shuffle would
+    # poison the cache), and repeated query builds over the same files —
+    # the bench loop, the test session — pay planning once. The
+    # applicationId in the key stops one session's split decision (a
+    # function of its maxPartitionBytes/parallelism confs) leaking into
+    # another session in the same process.
     try:
-        key = tuple(sorted(df.inputFiles()))
+        files = tuple(sorted(df.inputFiles()))
+        key = (df.sparkSession.sparkContext.applicationId, files) if files else None
     except Exception:
-        key = ()
+        key = None
     n = _PARTITION_PROBE_CACHE.get(key) if key else None
     if n is None:
         n = df.rdd.getNumPartitions()
@@ -160,9 +163,13 @@ def normalize_events(df: DataFrame) -> DataFrame:
     * ``timestamp``     — plain micros timestamp: ``ts_ns`` =
       ``unix_micros(ts) * 1000`` (exact — no sub-micro information
       exists to lose).
-    * ``timestamp_ntz`` — same, after a cast to ``timestamp``; the UTC
-      session timezone makes the NTZ→TZ cast value-preserving, so the
-      DuckDB oracle's ``epoch_ns(ts)`` equals ``ts_ns`` bit-for-bit.
+    * ``timestamp_ntz`` — same, after a cast to ``timestamp``. NOTE:
+      this cast reads the SESSION timezone at execution time, so it is
+      exact only under a UTC session (engine sessions pin UTC;
+      ``read_table`` avoids this branch entirely by reading parquet
+      NTZ micros as plain timestamps via
+      ``inferTimestampNTZ.enabled=false``). The branch remains for
+      caller-constructed NTZ frames.
 
     A testdata layout flip between rounds must not take out the event
     stack again (it broke 7 queries in round 4); this normalization is
@@ -201,13 +208,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # the NTZ→timestamp cast in normalize_events reads the session
-        # timezone at EXECUTION time; pin it here so a caller-owned
-        # session on a non-UTC machine can't shift every ts_ns by the
-        # local offset (engine sessions already pin UTC in session.py —
-        # this covers the driver's vanilla session, same rationale as
-        # the nanosAsLong conf above)
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # read unadjusted-UTC micros as plain TimestampType whose epoch
+        # equals the stored value: this makes ts_ns independent of the
+        # caller session's timezone WITHOUT mutating global session
+        # state (an NTZ read + session-tz cast would shift ts_ns by the
+        # local offset on non-UTC machines — tested in
+        # tests/test_io_vanilla.py under America/New_York)
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = normalize_events(df)

@@ -52,8 +52,15 @@ def incremental_dedup_sink(
         try:
             existing = spark.read.parquet(path).select(*keys)
             fresh = fresh.join(existing, keys, "left_anti")
-        except AnalysisException:
-            pass  # first batch: store doesn't exist yet
+        except AnalysisException as exc:
+            # ONLY a missing store means "first batch". Any other
+            # analysis error (key column absent from an existing store,
+            # corrupt footer) must fail the batch — treating it as
+            # first-batch would skip the anti-join and append duplicates
+            # silently, voiding the sink's one guarantee.
+            cond = getattr(exc, "getErrorClass", lambda: None)() or str(exc)
+            if "PATH_NOT_FOUND" not in cond and "UNABLE_TO_INFER_SCHEMA" not in cond:
+                raise
         fresh.write.mode("append").parquet(path)
 
     q = (

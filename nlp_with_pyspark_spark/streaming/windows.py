@@ -41,11 +41,31 @@ def events_stream_from_dir(
     static testdata; a production deployment swaps this one line for a
     Kafka source — every downstream operator is source-agnostic.
     """
+    from pyspark.sql import types as T
+    from pyspark.sql.utils import AnalysisException
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # same seam-enforcement as sources/io.read_table: the NTZ cast in
-    # normalize_events must not depend on the caller session's timezone
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw_schema = spark.read.parquet(path).schema
+    # same seam choice as sources/io.read_table: read unadjusted micros
+    # as plain timestamps (epoch == stored value, independent of the
+    # session timezone) instead of NTZ + session-tz cast
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    try:
+        raw_schema = spark.read.parquet(path).schema
+    except AnalysisException:
+        # consumer-first cold start: no files yet, nothing to infer
+        # from — assume the current producer layout (micros timestamp);
+        # a nanos producer's first file would need the stream restarted,
+        # which the checkpoint makes cheap
+        raw_schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        )
     raw = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

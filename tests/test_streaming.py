@@ -568,3 +568,25 @@ def test_late_event_dropped_by_watermark(spark, tmp_path):
         assert rows.get(w0) == 2, rows
     finally:
         q.stop()
+
+
+def test_stream_source_cold_start_on_empty_dir(spark, tmp_path):
+    """Consumer-first pattern: the stream must start (and later pick up
+    files) when the source directory is empty at start — schema
+    inference falls back to the canonical micros layout."""
+    from nlp_with_pyspark_spark.streaming.windows import (
+        events_stream_from_dir,
+        run_to_memory,
+        tumbling_stream,
+    )
+
+    src = tmp_path / "cold_src"
+    src.mkdir()
+    stream = events_stream_from_dir(spark, str(src / "f*"), max_files_per_trigger=4)
+    q = run_to_memory(
+        tumbling_stream(stream, width_sec=300), "t_cold", output_mode="append"
+    )
+    try:
+        assert spark.table("t_cold").count() == 0
+    finally:
+        q.stop()
