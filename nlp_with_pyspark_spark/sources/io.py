@@ -165,11 +165,9 @@ def normalize_events(df: DataFrame) -> DataFrame:
       exists to lose).
     * ``timestamp_ntz`` — same, after a cast to ``timestamp``. NOTE:
       this cast reads the SESSION timezone at execution time, so it is
-      exact only under a UTC session (engine sessions pin UTC;
-      ``read_table`` avoids this branch entirely by reading parquet
-      NTZ micros as plain timestamps via
-      ``inferTimestampNTZ.enabled=false``). The branch remains for
-      caller-constructed NTZ frames.
+      exact only under a UTC session — which ``read_table`` and the
+      streaming source enforce by pinning the session timezone at the
+      read seam (engine-built sessions already pin it in session.py).
 
     A testdata layout flip between rounds must not take out the event
     stack again (it broke 7 queries in round 4); this normalization is
@@ -206,19 +204,23 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Callers reading other nano-timestamp parquet in the same session get
     long nanos there too; reset it explicitly if that's unwanted.
     """
+    path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # read unadjusted-UTC micros as plain TimestampType whose epoch
-        # equals the stored value: this makes ts_ns independent of the
-        # caller session's timezone WITHOUT mutating global session
-        # state (an NTZ read + session-tz cast would shift ts_ns by the
-        # local offset on non-UTC machines — tested in
-        # tests/test_io_vanilla.py under America/New_York)
-        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        df = normalize_events(df)
-    return df
+        # Pin the session timezone: the NTZ→timestamp cast in
+        # normalize_events reads it at EXECUTION time, and a non-UTC
+        # caller session would shift every ts_ns by the local offset
+        # (tested under America/New_York). This is a DELIBERATE global
+        # set — the engine's oracle-parity contract is UTC sessions
+        # (session.py pins it for engine-built sessions; this enforces
+        # it for caller-owned ones). Alternatives were measured and
+        # rejected: the per-read `inferTimestampNTZ=false` option and
+        # `to_utc_timestamp` both still interpret the stored micros in
+        # the session timezone, and the session-level conf silently
+        # flips OTHER tables' NTZ columns to TimestampType.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return normalize_events(spark.read.parquet(path))
+    return spark.read.parquet(path)
 
 
 def read_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

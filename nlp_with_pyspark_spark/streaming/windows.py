@@ -45,10 +45,9 @@ def events_stream_from_dir(
     from pyspark.sql.utils import AnalysisException
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # same seam choice as sources/io.read_table: read unadjusted micros
-    # as plain timestamps (epoch == stored value, independent of the
-    # session timezone) instead of NTZ + session-tz cast
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # same seam-enforcement as sources/io.read_table: the NTZ cast in
+    # normalize_events must not depend on the caller session's timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         raw_schema = spark.read.parquet(path).schema
     except AnalysisException:
