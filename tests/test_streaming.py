@@ -590,3 +590,27 @@ def test_stream_source_cold_start_on_empty_dir(spark, tmp_path):
         assert spark.table("t_cold").count() == 0
     finally:
         q.stop()
+
+
+def test_incremental_dedup_sink_fails_on_store_schema_mismatch(spark, tmp_path):
+    """The review-hardened error path: an EXISTING store that cannot
+    resolve the key columns must fail the batch loudly — treating it as
+    'first batch' would skip the anti-join and append duplicates
+    silently."""
+    import pyspark.sql.functions as F
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from nlp_with_pyspark_spark.streaming.sinks import incremental_dedup_sink
+    from nlp_with_pyspark_spark.streaming.windows import events_stream_from_dir
+
+    base = 1_700_000_000_000_000
+    src = tmp_path / "mm_src"
+    src.mkdir()
+    _write_events_file(spark, src / "f1", [(1, base, 10, "click", 1.0, "{}")])
+    store = str(tmp_path / "mm_store")
+    # pre-existing store WITHOUT the key column
+    spark.createDataFrame([(99,)], "other_id long").write.parquet(store)
+    stream = events_stream_from_dir(spark, str(src / "f*"))
+    with pytest.raises(StreamingQueryException):
+        incremental_dedup_sink(stream, store, str(tmp_path / "mm_ckpt"))
