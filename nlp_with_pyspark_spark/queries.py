@@ -2716,6 +2716,13 @@ def embedding_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (tests/test_oracle_parity.py and friends) and, where headline-
 #: relevant, by bench.py:
 #:
+#: Round-6 rotation: the six queries that had NEVER received a driver
+#: correctness row in any round (corpus_pipeline_funnel,
+#: dedup_canonical_corpus, doc_lm_scores, embedding_rp_project,
+#: click_purchase_funnel, dormant_customers) are promoted into the
+#: window; six formula/parameter variants that already carry green
+#: r4/r5 driver rows take their place here.
+#:
 #:   salted_nation_revenue    — skew-salted variant of customer_nation_revenue
 #:                              (identical oracle by construction)
 #:   tfidf_smoothed_long      — one-line IDF-formula variant of tfidf_long
@@ -2728,8 +2735,6 @@ def embedding_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 #:   corpus_train_split       — hash-threshold split; same operator as
 #:                              stratified_sample_by_lang
 #:   doc_length_histogram     — binning groupBy, covered by doc_token_stats
-#:                              + price_percentiles
-#:   dormant_customers        — anti-join, covered by high_balance_inactive
 #:   supplier_nation_revenue  — 3-way dim join, covered by
 #:                              customer_nation_revenue + local_supplier_volume
 #:   order_status_cube        — CUBE grouping-set variant of revenue_rollup
@@ -2737,23 +2742,19 @@ def embedding_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 #:                              customer_rolling_7d_revenue (range frame)
 #:   token_budget             — token-count projection, covered by
 #:                              doc_token_stats + repetition_features
-#:   dedup_canonical_corpus   — components pipeline (dedup_components) +
-#:                              an anti join (high_balance_inactive)
-#:   click_purchase_funnel    — left-outer variant of the checked
-#:                              click_purchase_attribution interval join
-#:   corpus_pipeline_funnel   — composition of quality_scores +
-#:                              repetition_features + dedup_components +
-#:                              decontamination_overlap, each checked
-#:   doc_lm_scores            — vocab build (vocab_top100 family) +
-#:                              broadcast score join; formula-level twin
-#:                              of the checked quality/text scorers
-#:   embedding_rp_project     — literal-plane dot products, the exact
-#:                              machinery the checked ann_lsh_topk uses
+#:   events_sliding_10m       — sliding variant of events_tumbling_5m
+#:                              (green r4/r5)
+#:   order_priority_pivot     — CASE-sum twin of order_priority_counts
+#:                              (green r4/r5)
+#:   small_qty_part_revenue   — TPC-H Q17 shape, join+agg covered by
+#:                              top_parts_by_revenue (green r5)
+#:   high_balance_inactive    — anti-join, covered by the promoted
+#:                              dormant_customers (green r5)
+#:   promo_revenue_share      — conditional-agg variant of
+#:                              pricing_summary (green r5)
+#:   price_percentiles        — percentile_approx agg, binning covered by
+#:                              doc_token_stats (green r4/r5)
 _DEMOTED_PAST_CHECK_WINDOW = [
-    "click_purchase_funnel",
-    "corpus_pipeline_funnel",
-    "doc_lm_scores",
-    "embedding_rp_project",
     "salted_nation_revenue",
     "tfidf_smoothed_long",
     "simhash_fingerprints",
@@ -2764,12 +2765,16 @@ _DEMOTED_PAST_CHECK_WINDOW = [
     "multimodal_frame_sample",
     "corpus_train_split",
     "doc_length_histogram",
-    "dormant_customers",
     "supplier_nation_revenue",
     "order_status_cube",
     "customer_running_revenue",
     "token_budget",
-    "dedup_canonical_corpus",
+    "events_sliding_10m",
+    "order_priority_pivot",
+    "small_qty_part_revenue",
+    "high_balance_inactive",
+    "promo_revenue_share",
+    "price_percentiles",
 ]
 
 

@@ -15,16 +15,17 @@ from nlp_with_pyspark_spark.queries import (
 REQUIRED_IN_WINDOW = {
     # relational / TPC-H-ish
     "pricing_summary", "customer_nation_revenue", "top_orders_per_customer",
-    "revenue_rollup", "order_priority_pivot",
-    "customer_order_setops", "sql_top_unshipped_orders", "price_percentiles",
+    "revenue_rollup", "order_priority_counts",
+    "customer_order_setops", "sql_top_unshipped_orders",
     "customer_rolling_7d_revenue",
-    "small_qty_part_revenue", "high_balance_inactive", "promo_revenue_share",
+    "dormant_customers",
     "local_supplier_volume",
     # event-time
-    "events_tumbling_5m", "events_sliding_10m", "events_session_stats",
+    "events_tumbling_5m", "events_session_stats",
     "session_event_overlap", "events_asof_click_purchase",
     "click_purchase_attribution", "latest_event_per_user",
     "events_json_stats", "events_distinct_users",
+    "click_purchase_funnel",
     # text / NLP
     "vocab_top100", "tfidf_long", "doc_token_stats", "corpus_clean_stats",
     "bigram_top50", "lang_id_counts", "quality_scores",
@@ -38,6 +39,10 @@ REQUIRED_IN_WINDOW = {
     "multimodal_asset_stats", "multimodal_decode_features",
     "decontamination_overlap", "pii_scrub_stats",
     "embedding_quantization_stats",
+    # round-5 flagship compositions, promoted in round 6 — these six had
+    # never received a driver correctness row before the rotation
+    "corpus_pipeline_funnel", "dedup_canonical_corpus", "doc_lm_scores",
+    "embedding_rp_project",
 }
 
 
