@@ -43,12 +43,19 @@ def benchmark_overlap(
     tokens_col: str = "tokens",
     id_col: str = "doc_id",
     max_docs_per_shingle: int = 1000,
+    corpus_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, bench_id, n_common, contamination) for corpus docs whose
     shingle overlap covers ≥ ``threshold`` of a benchmark doc's shingles.
 
     Both inputs need a ``tokens_col`` array column (tokenize upstream
     once — the corpus side is typically already tokenized for dedup).
+
+    ``corpus_shingles``: optional pre-computed (doc_id, shingles) table
+    with ``_shingle_sets(corpus, tokens_col, id_col, n)`` semantics —
+    when a dedup stage in the same pipeline already materialized the
+    corpus shingles, pass them here and this operator reuses that scan
+    instead of re-deriving from text (operators/pipeline.corpus_funnel).
     """
     # The corpus side streams — no materialization barrier: shingle
     # arrays are flet-bound inside word_shingles (functions/expr.py), so
@@ -56,9 +63,12 @@ def benchmark_overlap(
     # and at 100 TB the corpus never hits disk. The BENCH side is
     # checkpointed: it is tiny, consumed twice (sizes + inverted index),
     # and the barrier stops the double shingle computation.
-    c_inv = _shingle_sets(corpus, tokens_col, id_col, n).select(
-        "doc_id", F.explode("shingles").alias("shingle")
+    c_sets = (
+        corpus_shingles
+        if corpus_shingles is not None
+        else _shingle_sets(corpus, tokens_col, id_col, n)
     )
+    c_inv = c_sets.select("doc_id", F.explode("shingles").alias("shingle"))
     b_sets = (
         _shingle_sets(benchmark, tokens_col, id_col, n)
         .localCheckpoint()

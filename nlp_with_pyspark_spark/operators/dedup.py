@@ -269,6 +269,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.7,
     max_docs_per_bucket: int = 1000,
     hash_fn: str = "md5",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard ≥ threshold.
 
@@ -278,11 +279,21 @@ def minhash_dedup_pairs(
     to the native-long production family (see ``minhash_signature``);
     the verify step is hash-independent, so results differ only where a
     borderline pair lands in a band under one family and not the other.
+
+    ``shingles``: optional pre-computed (doc_id, shingles) table — MUST
+    be ``_shingle_sets(docs, tokens_col, id_col, n)`` semantics and
+    already materialized (localCheckpoint) by the caller. Used by
+    pipeline composition (operators/pipeline.corpus_funnel) to pay for
+    the corpus shingle scan once across dedup + decontamination.
     """
     # ONE shingle computation feeds the signature/banding AND both verify
     # join sides (docs with <n tokens have no shingles and can never be
     # candidates, so the pre-filter does not change results)
-    shingle_sets = _shingle_sets(docs, tokens_col, id_col, n).localCheckpoint()
+    shingle_sets = (
+        shingles
+        if shingles is not None
+        else _shingle_sets(docs, tokens_col, id_col, n).localCheckpoint()
+    )
     cands = _bucket_pairs(
         _band_buckets_from_shingles(shingle_sets, k, bands, hash_fn), max_docs_per_bucket
     )

@@ -92,6 +92,63 @@ def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def quality_score_expr(text: Column | str) -> Column:
+    """The composite quality score ALONE, as one flet-bound expression —
+    numerically identical to the ``quality_score`` column
+    ``quality_features`` emits (same sub-expressions, same rounding).
+
+    Exists for pipeline composition (operators/pipeline.corpus_funnel):
+    a funnel stage that only gates on the score shouldn't pay a second
+    corpus scan + join against the full ``quality_features`` output.
+    Both token arrays are flet-bound (functions/expr.py) so the
+    whitespace tokenization runs once per row, not once per reference;
+    the raw-case and lowercased arrays stay SEPARATE because ``lower()``
+    is not length-preserving on all of Unicode (e.g. U+0130 → 2
+    codepoints) and ``quality_features`` measures word length on the
+    raw-case tokens.
+    """
+    from ..functions.expr import flet
+
+    c = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(c)
+    alpha_chars = F.length(F.regexp_replace(c, r"[^a-zA-Z]", ""))
+    alpha_ratio = F.when(
+        n_chars > 0, alpha_chars.cast("double") / n_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+    markers = F.array(*[F.lit(w) for w in EN_MARKERS])
+
+    def with_raw(toks: Column) -> Column:
+        n_tokens = F.size(toks)
+        mean_word_len = F.when(
+            n_tokens > 0,
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+            / n_tokens.cast("double"),
+        ).otherwise(F.lit(0.0))
+
+        def with_lower(ltoks: Column) -> Column:
+            hits = F.size(F.filter(ltoks, lambda x: F.array_contains(markers, x)))
+            sw_ratio = F.when(
+                F.size(ltoks) > 0, hits.cast("double") / F.size(ltoks).cast("double")
+            ).otherwise(F.lit(0.0))
+            score = (
+                F.least(alpha_ratio / 0.7, F.lit(1.0)) * 0.4
+                + F.least(sw_ratio / 0.3, F.lit(1.0)) * 0.3
+                + F.when(
+                    (mean_word_len >= 3) & (mean_word_len <= 10), F.lit(1.0)
+                ).otherwise(F.lit(0.0))
+                * 0.2
+                + F.when(
+                    (n_tokens >= 10) & (n_tokens <= 100000), F.lit(1.0)
+                ).otherwise(F.lit(0.0))
+                * 0.1
+            )
+            return F.round(score, 6)
+
+        return flet(tokenize(F.lower(c)), with_lower)
+
+    return flet(tokenize(c), with_raw)
+
+
 def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace + BPE-ish token counts per doc (budgeting pass)."""
     c = F.col(text_col)
@@ -155,43 +212,7 @@ def repetition_features(
     from ..functions.expr import flet
 
     def features(toks: Column) -> Column:
-        # toks is flet-bound: every reference below hits the bound
-        # variable, so the regex tokenization runs once per row — an
-        # element_at(toks, i) inside the bigram lambda would otherwise
-        # re-tokenize per position (O(tokens²) on long docs)
-        n = F.size(toks)
-        top_tok = _max_run_length(F.array_sort(toks))
-        # positional bigrams; sequence(1, n-1) DESCENDS when n < 2 → guard
-        bigrams = F.when(
-            n >= 2,
-            F.transform(
-                F.sequence(F.lit(1), n - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        top_bi = _max_run_length(F.array_sort(bigrams))
-        nd = n.cast("double")
-        top_token_ratio = F.when(n > 0, top_tok.cast("double") / nd).otherwise(F.lit(0.0))
-        distinct_ratio = F.when(
-            n > 0, F.size(F.array_distinct(toks)).cast("double") / nd
-        ).otherwise(F.lit(0.0))
-        top_bigram_ratio = F.when(
-            n >= 2, top_bi.cast("double") / (nd - 1.0)
-        ).otherwise(F.lit(0.0))
-        flag = (
-            (top_token_ratio > top_token_max)
-            | (distinct_ratio < distinct_min)
-            | (top_bigram_ratio > top_bigram_max)
-        )
-        return F.struct(
-            n.cast("long").alias("n_tokens"),
-            F.round(top_token_ratio, 6).alias("top_token_ratio"),
-            F.round(distinct_ratio, 6).alias("distinct_ratio"),
-            F.round(top_bigram_ratio, 6).alias("top_bigram_ratio"),
-            flag.cast("int").alias("is_repetitive"),
-        )
+        return _repetition_struct(toks, top_token_max, distinct_min, top_bigram_max)
 
     # materialize the struct in its own projection before expanding the
     # five fields: lambda-containing expressions are excluded from
@@ -209,6 +230,80 @@ def repetition_features(
         F.col("_feats")["distinct_ratio"].alias("distinct_ratio"),
         F.col("_feats")["top_bigram_ratio"].alias("top_bigram_ratio"),
         F.col("_feats")["is_repetitive"].alias("is_repetitive"),
+    )
+
+
+def _repetition_struct(
+    toks: Column,
+    top_token_max: float,
+    distinct_min: float,
+    top_bigram_max: float,
+) -> Column:
+    """The per-row Gopher-repetition struct over an ALREADY-BOUND token
+    array (callers flet-bind; see repetition_features /
+    is_repetitive_expr)."""
+    # toks is flet-bound: every reference below hits the bound
+    # variable, so the regex tokenization runs once per row — an
+    # element_at(toks, i) inside the bigram lambda would otherwise
+    # re-tokenize per position (O(tokens²) on long docs)
+    n = F.size(toks)
+    top_tok = _max_run_length(F.array_sort(toks))
+    # positional bigrams; sequence(1, n-1) DESCENDS when n < 2 → guard
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_bi = _max_run_length(F.array_sort(bigrams))
+    nd = n.cast("double")
+    top_token_ratio = F.when(n > 0, top_tok.cast("double") / nd).otherwise(F.lit(0.0))
+    distinct_ratio = F.when(
+        n > 0, F.size(F.array_distinct(toks)).cast("double") / nd
+    ).otherwise(F.lit(0.0))
+    top_bigram_ratio = F.when(
+        n >= 2, top_bi.cast("double") / (nd - 1.0)
+    ).otherwise(F.lit(0.0))
+    flag = (
+        (top_token_ratio > top_token_max)
+        | (distinct_ratio < distinct_min)
+        | (top_bigram_ratio > top_bigram_max)
+    )
+    return F.struct(
+        n.cast("long").alias("n_tokens"),
+        F.round(top_token_ratio, 6).alias("top_token_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(top_bigram_ratio, 6).alias("top_bigram_ratio"),
+        flag.cast("int").alias("is_repetitive"),
+    )
+
+
+def is_repetitive_expr(
+    text: Column | str,
+    top_token_max: float = 0.10,
+    distinct_min: float = 0.25,
+    top_bigram_max: float = 0.05,
+) -> Column:
+    """The repetition drop-flag ALONE (int 0/1), numerically identical
+    to the ``is_repetitive`` column of ``repetition_features`` —
+    same defaults, same bound token array, same struct (the single
+    field reference evaluates the struct once per row).
+
+    For pipeline composition (operators/pipeline.corpus_funnel): a
+    stage that only gates on the flag shouldn't pay a second corpus
+    scan + join against the full feature output.
+    """
+    from ..functions.expr import flet
+
+    c = F.col(text) if isinstance(text, str) else text
+    return flet(
+        _raw_tokens(c),
+        lambda toks: _repetition_struct(
+            toks, top_token_max, distinct_min, top_bigram_max
+        )["is_repetitive"],
     )
 
 
