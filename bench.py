@@ -41,14 +41,12 @@ HEADLINE = [
     "top_orders_per_customer",
     "order_priority_counts",
     "revenue_rollup",
-    "order_status_cube",
     "events_tumbling_5m",
     "events_sliding_10m",
     "events_session_stats",
     "events_json_stats",
     "dedup_exact_groups",
     "stratified_sample_by_lang",
-    "corpus_train_split",
     "dedup_minhash_pairs",
     "dedup_components",
     "simhash_fingerprints",
@@ -57,13 +55,11 @@ HEADLINE = [
     "ann_lsh_topk",
     "lang_id_counts",
     "quality_scores",
-    "token_budget",
     "doc_token_chunks",
     "token_pack_assignments",
     "doc_fingerprints",
     "multimodal_asset_stats",
     "multimodal_decode_features",
-    "multimodal_resize",
     "multimodal_frame_sample",
     "events_asof_click_purchase",
     "click_purchase_attribution",
@@ -77,11 +73,8 @@ HEADLINE = [
     "sql_top_unshipped_orders",
     "events_distinct_users",
     "order_priority_pivot",
-    "order_priority_melt",
-    "customer_running_revenue",
     "customer_order_setops",
     "confusion_metrics",
-    "doc_length_histogram",
     "doc_token_stats",
     "tfidf_smoothed_long",
     "small_qty_part_revenue",
@@ -103,7 +96,13 @@ HEADLINE = [
 ]
 # Excluded on purpose: dedup_ngram_jaccard / embedding_near_dups are the
 # exact all-pairs VERIFIERS for the LSH/minhash scale paths (quadratic by
-# definition).
+# definition). Round 6 also pruned seven sub-second near-duplicate
+# parameterizations of still-benched entries (order_status_cube,
+# corpus_train_split, token_budget, multimodal_resize,
+# order_priority_melt, customer_running_revenue, doc_length_histogram
+# — ~1.3 s of the round-5 total) so the printed JSON line keeps
+# headroom under the driver's 2000-char tail capture; the suite total
+# is accordingly not directly comparable to rounds ≤ 5 on those names.
 
 
 def main() -> None:
@@ -151,13 +150,18 @@ def main() -> None:
         file=sys.stderr,
     )
     out = {
-        "metric": "suite-median-of-%d" % runs,
+        "metric": "suite-med-of-%d" % runs,
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in times.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if failed:
+        # a partial suite total must not read as a full-suite speedup:
+        # a regression that CRASHES an expensive query would otherwise
+        # shrink "value". Null it and report the partial sum separately.
+        out["partial_sec"] = out["value"]
+        out["value"] = None
         out["failed"] = failed
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1850:  # keep headroom under the 2000-char tail capture
