@@ -49,8 +49,40 @@ TESTDATA_TABLES = (
 )
 
 
-#: scan-partition-count memo for ensure_parallelism, keyed by input files
+#: scan-partition-count memo for ensure_parallelism, keyed by input
+#: files + the split-size confs that determine a scan's partitioning
 _PARTITION_PROBE_CACHE: dict[tuple, int] = {}
+
+#: memo ceiling — a bench/test session touches tens of file sets, not
+#: thousands; clearing on overflow is always safe (it is only a memo)
+_PARTITION_PROBE_CACHE_MAX = 128
+
+#: analyzed-plan node names whose presence means the DataFrame's
+#: partitioning is NOT the scan's (post-shuffle / reordered) — such
+#: plans are probed directly and never cached, because the file-set key
+#: can't discriminate them from the bare scan over the same files
+_NON_SCAN_NODES = (
+    "Repartition",
+    "Aggregate",
+    "Join",
+    "Window",
+    "Deduplicate",
+    "Sort [",
+    "GlobalLimit",
+)
+
+
+def _scan_partitioned(df: DataFrame) -> bool:
+    """True iff the ANALYZED logical plan (cheap — no physical planning)
+    contains no shuffle-inducing/reordering node, i.e. the DataFrame
+    still carries its scan's partitioning and is safe to memoize by
+    file set. False on any doubt — a false negative only skips the
+    memo, never caches a wrong count."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    return not any(tok in plan for tok in _NON_SCAN_NODES)
 
 
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
@@ -70,23 +102,37 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
     # The probe (`df.rdd.getNumPartitions`) forces physical planning on
-    # the driver, so cache it per (application, file set): callers must
-    # invoke this on fresh scans (or narrow projections of them, which
-    # preserve the scan's partitioning — anything post-shuffle would
-    # poison the cache), and repeated query builds over the same files —
-    # the bench loop, the test session — pay planning once. The
-    # applicationId in the key stops one session's split decision (a
-    # function of its maxPartitionBytes/parallelism confs) leaking into
-    # another session in the same process.
-    try:
-        files = tuple(sorted(df.inputFiles()))
-        key = (df.sparkSession.sparkContext.applicationId, files) if files else None
-    except Exception:
-        key = None
+    # the driver, so memoize it — but only for plans that still carry
+    # their scan's partitioning (`_scan_partitioned`: a repartitioned /
+    # aggregated DataFrame over the same files must NOT hit the scan's
+    # memo). The key also carries the split-size confs, so a mid-session
+    # `maxPartitionBytes` change starts a fresh memo line instead of
+    # serving the stale count, and the applicationId stops one session's
+    # split decision leaking into another session in the same process.
+    key = None
+    if _scan_partitioned(df):
+        try:
+            files = tuple(sorted(df.inputFiles()))
+            if files:
+                conf = df.sparkSession.conf
+                # no fallback string: passing a default makes Spark 4
+                # type-validate IT, and both confs have SQLConf defaults
+                # that plain get() returns
+                key = (
+                    sc.applicationId,
+                    conf.get("spark.sql.files.maxPartitionBytes"),
+                    conf.get("spark.sql.files.openCostInBytes"),
+                    sc.defaultParallelism,
+                    files,
+                )
+        except Exception:
+            key = None
     n = _PARTITION_PROBE_CACHE.get(key) if key else None
     if n is None:
         n = df.rdd.getNumPartitions()
         if key:
+            if len(_PARTITION_PROBE_CACHE) >= _PARTITION_PROBE_CACHE_MAX:
+                _PARTITION_PROBE_CACHE.clear()
             _PARTITION_PROBE_CACHE[key] = n
     if n < target:
         return df.repartition(target)
@@ -186,6 +232,38 @@ def normalize_events(df: DataFrame) -> DataFrame:
     raise TypeError(f"unsupported events.ts physical type: {dt}")
 
 
+#: session-timezone spellings that already mean UTC — no warning needed
+_UTC_ALIASES = frozenset({"UTC", "Etc/UTC", "GMT", "Etc/GMT", "+00:00", "Z"})
+
+
+def pin_utc_session(spark: SparkSession) -> None:
+    """Set ``spark.sql.session.timeZone=UTC``, WARNING (not silently)
+    when that overwrites a caller-chosen non-UTC zone.
+
+    The engine's oracle-parity contract is UTC sessions: the NTZ→
+    timestamp cast in :func:`normalize_events` reads this conf at
+    execution time, so it must be pinned before any events scan runs
+    (see :func:`read_table` for the measured alternatives). A caller
+    that set another zone on purpose keeps their session working — but
+    their own timestamp rendering changes, hence the loud warning
+    instead of the previous silent overwrite.
+    """
+    import warnings
+
+    try:
+        prev = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        prev = None
+    if prev is not None and prev not in _UTC_ALIASES:
+        warnings.warn(
+            f"engine pinned spark.sql.session.timeZone=UTC (was {prev!r}): "
+            "events-table semantics require UTC; timestamp rendering of "
+            "other queries in this session changes accordingly",
+            stacklevel=3,
+        )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One driver-testdata table (TESTDATA.md) by name.
 
@@ -217,8 +295,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # rejected: the per-read `inferTimestampNTZ=false` option and
         # `to_utc_timestamp` both still interpret the stored micros in
         # the session timezone, and the session-level conf silently
-        # flips OTHER tables' NTZ columns to TimestampType.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # flips OTHER tables' NTZ columns to TimestampType. A caller
+        # session that had a DIFFERENT zone set gets a warning, not a
+        # silent overwrite (pin_utc_session).
+        pin_utc_session(spark)
         return normalize_events(spark.read.parquet(path))
     return spark.read.parquet(path)
 

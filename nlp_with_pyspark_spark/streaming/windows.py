@@ -47,7 +47,10 @@ def events_stream_from_dir(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # same seam-enforcement as sources/io.read_table: the NTZ cast in
     # normalize_events must not depend on the caller session's timezone
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # (warns instead of silently overwriting a caller-chosen zone)
+    from ..sources.io import pin_utc_session
+
+    pin_utc_session(spark)
     try:
         raw_schema = spark.read.parquet(path).schema
     except AnalysisException:

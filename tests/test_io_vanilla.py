@@ -129,3 +129,83 @@ def test_jsonl_roundtrip_with_schema(spark, tmp_path):
     good = {(r.doc_id, r.text) for r in rows if r._corrupt_record is None}
     assert good == {(1, "hello world"), (2, "seconde ligne")}
     assert sum(1 for r in rows if r._corrupt_record is not None) == 1
+
+
+class TestPartitionProbeCache:
+    """ensure_parallelism memoizes its planning probe ONLY for plans
+    that still carry the scan's partitioning; a repartitioned frame over
+    the same files must neither hit nor poison the scan's memo."""
+
+    def test_scan_is_memoized(self, spark):
+        from nlp_with_pyspark_spark.sources import io
+
+        io._PARTITION_PROBE_CACHE.clear()
+        df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        io.ensure_parallelism(df)
+        assert len(io._PARTITION_PROBE_CACHE) == 1
+        # second call over the same files serves the memo (no new entry)
+        io.ensure_parallelism(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+        assert len(io._PARTITION_PROBE_CACHE) == 1
+
+    def test_post_shuffle_frame_bypasses_memo(self, spark):
+        from nlp_with_pyspark_spark.sources import io
+
+        io._PARTITION_PROBE_CACHE.clear()
+        scan = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        io.ensure_parallelism(scan)
+        (memoed,) = io._PARTITION_PROBE_CACHE.values()
+        # a repartition(1) over the same files: must NOT be served the
+        # scan's count (which would wrongly skip the repartition guard),
+        # and must NOT overwrite the scan's memo with 1
+        out = io.ensure_parallelism(scan.repartition(1))
+        assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+        assert list(io._PARTITION_PROBE_CACHE.values()) == [memoed]
+
+    def test_split_conf_change_starts_fresh_memo_line(self, spark):
+        from nlp_with_pyspark_spark.sources import io
+
+        key = "spark.sql.files.maxPartitionBytes"
+        io._PARTITION_PROBE_CACHE.clear()
+        old = spark.conf.get(key)
+        df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        io.ensure_parallelism(df)
+        try:
+            spark.conf.set(key, "1048576")
+            io.ensure_parallelism(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+            assert len(io._PARTITION_PROBE_CACHE) == 2
+        finally:
+            spark.conf.set(key, old)
+
+    def test_overflow_clears_instead_of_growing(self, spark):
+        from nlp_with_pyspark_spark.sources import io
+
+        io._PARTITION_PROBE_CACHE.clear()
+        for i in range(io._PARTITION_PROBE_CACHE_MAX):
+            io._PARTITION_PROBE_CACHE[("fake", i)] = 1
+        io.ensure_parallelism(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+        assert len(io._PARTITION_PROBE_CACHE) == 1
+
+
+def test_utc_pin_warns_on_non_utc_session(spark):
+    """The UTC pin stays (documented contract) but must warn, not
+    silently overwrite, when the caller session had another zone."""
+    import warnings
+
+    from nlp_with_pyspark_spark.sources.io import pin_utc_session
+
+    key = "spark.sql.session.timeZone"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "America/New_York")
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            pin_utc_session(spark)
+        assert any("America/New_York" in str(w.message) for w in caught)
+        assert spark.conf.get(key) == "UTC"
+        # already-UTC session: no warning
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            pin_utc_session(spark)
+        assert not caught
+    finally:
+        spark.conf.set(key, old)
