@@ -614,3 +614,56 @@ def test_incremental_dedup_sink_fails_on_store_schema_mismatch(spark, tmp_path):
     stream = events_stream_from_dir(spark, str(src / "f*"))
     with pytest.raises(StreamingQueryException):
         incremental_dedup_sink(stream, store, str(tmp_path / "mm_ckpt"))
+
+
+def test_incremental_dedup_sink_replay_after_crash(spark, tmp_path):
+    """The at-least-once window foreachBatch actually has: a crash AFTER
+    the store append but BEFORE the checkpoint commit re-runs that batch
+    on restart. Simulate it by deleting the latest checkpoint commit
+    marker and rerunning — the replayed batch must find its keys in the
+    store and append nothing. Then the total-loss case: a FRESH
+    checkpoint replays the whole stream against the populated store."""
+    import os
+
+    from nlp_with_pyspark_spark.streaming.sinks import incremental_dedup_sink
+    from nlp_with_pyspark_spark.streaming.windows import events_stream_from_dir
+
+    base = 1_700_000_000_000_000
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_events_file(
+        spark,
+        src / "f1",
+        [(1, base, 10, "click", 1.0, "{}"), (2, base + 1_000_000, 11, "view", 2.0, "{}")],
+    )
+    _write_events_file(
+        spark,
+        src / "f2",
+        [(3, base + 2_000_000, 12, "click", 3.0, "{}")],
+    )
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    stream = events_stream_from_dir(spark, str(src / "f*"), max_files_per_trigger=1)
+    incremental_dedup_sink(stream, store, ckpt)
+    assert sorted(
+        r.event_id for r in spark.read.parquet(store).select("event_id").collect()
+    ) == [1, 2, 3]
+
+    # crash window: last batch appended to the store, commit marker lost
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ckpt, "commits")) if not f.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    stream2 = events_stream_from_dir(spark, str(src / "f*"), max_files_per_trigger=1)
+    incremental_dedup_sink(stream2, store, ckpt)
+    ids = [r.event_id for r in spark.read.parquet(store).select("event_id").collect()]
+    assert sorted(ids) == [1, 2, 3], f"replayed batch duplicated keys: {sorted(ids)}"
+
+    # total checkpoint loss: the WHOLE stream replays against the store
+    stream3 = events_stream_from_dir(spark, str(src / "f*"), max_files_per_trigger=1)
+    incremental_dedup_sink(stream3, store, str(tmp_path / "ckpt_fresh"))
+    ids = [r.event_id for r in spark.read.parquet(store).select("event_id").collect()]
+    assert sorted(ids) == [1, 2, 3], f"full replay duplicated keys: {sorted(ids)}"
