@@ -89,6 +89,8 @@ HEADLINE = [
     "pii_scrub_stats",
     "embedding_quantization_stats",
     "dedup_canonical_corpus",
+    "dup_ngram_coverage",
+    "domain_mixture_weights",
     "click_purchase_funnel",
     "corpus_pipeline_funnel",
     "doc_lm_scores",

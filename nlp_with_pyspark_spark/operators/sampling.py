@@ -132,3 +132,51 @@ def hash_split(
     for name, b in reversed(bounds):
         expr = F.when(u < F.lit(b), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def domain_mixture_weights(
+    docs: DataFrame,
+    group_col: str = "source",
+    tokens_col: str = "tokens",
+    weight_cap: float = 5.0,
+) -> DataFrame:
+    """Per-domain token shares and uniform-target resampling weights:
+    (group, n_docs, n_tokens, token_share, mixture_weight).
+
+    The sampling ops above answer "keep this row or not"; mixture
+    reweighting answers "at what RATE should each domain be sampled so
+    the training mixture hits a target" — the knob every published
+    pretraining recipe tunes (The Pile's per-set epochs, the
+    DoReMi-style domain weights). Target here is the uniform mixture;
+    ``mixture_weight`` is the multiplicative factor, capped at
+    ``weight_cap`` so a tiny domain is never upsampled into dominance
+    (repeating a small domain 100× degrades quality faster than the
+    mixture gain — cap and let curation fix the gap).
+
+    ``mixture_weight`` feeds straight into :func:`stratified_hash_sample`
+    (rates = weight · base_rate) — compute once, sample deterministically.
+
+    Scale shape: one map-side-combined hash agg over (group) — counts
+    and token sums only, no text moves — followed by a window over the
+    ≤|domains| aggregated rows (the single-partition window is on the
+    TINY post-agg side, never the corpus). Shares divide exact BIGINT
+    sums, so both engines agree bit-for-bit before rounding.
+    """
+    from pyspark.sql import Window
+
+    per = docs.groupBy(F.col(group_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens_col)).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    share_raw = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    target = F.lit(1.0) / F.count(F.lit(1)).over(w)
+    return per.select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        F.round(share_raw, 8).alias("token_share"),
+        F.round(F.least(F.lit(weight_cap), target / share_raw), 6).alias(
+            "mixture_weight"
+        ),
+    )

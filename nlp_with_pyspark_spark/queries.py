@@ -2474,6 +2474,86 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dup_ngram_coverage",
+    f"""
+    WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents),
+    pos AS (
+        SELECT doc_id, tokens, unnest(range(0, len(tokens) - 4)) AS start
+        FROM toks WHERE len(tokens) >= 5
+    ),
+    grams AS (
+        SELECT doc_id, start,
+               md5(array_to_string(tokens[start + 1:start + 5], chr(31))) AS g
+        FROM pos
+    ),
+    dup_keys AS (
+        SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ),
+    lagged AS (
+        SELECT doc_id, start,
+               lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev
+        FROM grams JOIN dup_keys USING (g)
+    ),
+    cov AS (
+        SELECT doc_id,
+               sum(CASE WHEN prev IS NULL THEN 5
+                        ELSE least(5, start - prev) END) AS n_dup_tokens,
+               count(*) AS n_dup_ngrams
+        FROM lagged GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.tokens) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(c.n_dup_ngrams, 0) AS BIGINT) AS n_dup_ngrams,
+           CASE WHEN len(t.tokens) > 0
+                THEN round(COALESCE(c.n_dup_tokens, 0) * 1.0 / len(t.tokens), 8)
+                END AS dup_coverage
+    FROM toks t LEFT JOIN cov c USING (doc_id)
+    """,
+)
+def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication signal (operators/dedup.
+    duplicated_ngram_coverage): fraction of each document's token
+    positions covered by 5-grams that occur in ≥2 distinct documents —
+    the Spark form of suffix-array substring dedup (Lee et al. 2022).
+    Document-level dedup misses shared boilerplate inside otherwise
+    distinct pages; this catches it."""
+    from .operators.dedup import duplicated_ngram_coverage
+
+    docs = _tokenized_documents(spark, sf_dir)
+    return duplicated_ngram_coverage(docs, n=5, min_df=2)
+
+
+@query(
+    "domain_mixture_weights",
+    f"""
+    WITH toks AS (SELECT source, {TOKENS_SQL} AS tokens FROM documents),
+    per AS (
+        SELECT source AS domain,
+               count(*) AS n_docs,
+               sum(len(tokens)) AS n_tokens
+        FROM toks GROUP BY source
+    )
+    SELECT domain,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(n_tokens * 1.0 / sum(n_tokens) OVER (), 8) AS token_share,
+           round(least(5.0, (1.0 / count(*) OVER ())
+                            / (n_tokens * 1.0 / sum(n_tokens) OVER ())), 6)
+               AS mixture_weight
+    FROM per
+    """,
+)
+def domain_mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting table (operators/sampling.
+    domain_mixture_weights): per-source token share and the capped
+    uniform-target resampling weight that feeds stratified_hash_sample."""
+    from .operators.sampling import domain_mixture_weights
+
+    docs = _tokenized_documents(spark, sf_dir)
+    return domain_mixture_weights(docs, group_col="source", weight_cap=5.0)
+
+
+@query(
     "click_purchase_funnel",
     """
     SELECT c.event_id AS left_id,
@@ -2775,6 +2855,11 @@ _DEMOTED_PAST_CHECK_WINDOW = [
     "high_balance_inactive",
     "promo_revenue_share",
     "price_percentiles",
+    # round 6: demoted (both carry green r5 driver rows; shapes covered by
+    # in-window kin) to open two slots for the new substring-dedup and
+    # mixture-weight queries, which have never been driver-checked
+    "local_supplier_volume",
+    "events_distinct_users",
 ]
 
 

@@ -19,12 +19,11 @@ REQUIRED_IN_WINDOW = {
     "customer_order_setops", "sql_top_unshipped_orders",
     "customer_rolling_7d_revenue",
     "dormant_customers",
-    "local_supplier_volume",
     # event-time
     "events_tumbling_5m", "events_session_stats",
     "session_event_overlap", "events_asof_click_purchase",
     "click_purchase_attribution", "latest_event_per_user",
-    "events_json_stats", "events_distinct_users",
+    "events_json_stats",
     "click_purchase_funnel",
     # text / NLP
     "vocab_top100", "tfidf_long", "doc_token_stats", "corpus_clean_stats",
@@ -43,6 +42,10 @@ REQUIRED_IN_WINDOW = {
     # never received a driver correctness row before the rotation
     "corpus_pipeline_funnel", "dedup_canonical_corpus", "doc_lm_scores",
     "embedding_rp_project",
+    # new in round 6 (never driver-checked — must be in the window;
+    # local_supplier_volume / events_distinct_users demoted to make room,
+    # both green in CORRECTNESS_r05)
+    "dup_ngram_coverage", "domain_mixture_weights",
 }
 
 

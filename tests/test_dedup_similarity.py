@@ -287,3 +287,85 @@ def test_xxhash64_families_interchangeable_at_driver_scale(spark):
     assert xx_hits >= md5_hits - 1, (
         f"production family lost real duplicates: md5={md5_hits} xx={xx_hits} of {len(truth)}"
     )
+
+
+def test_dup_ngram_coverage_interval_union(spark):
+    """Overlapping duplicated n-grams must be counted ONCE per position
+    (interval union), not once per n-gram — the operator's whole point
+    vs a naive per-gram sum."""
+    from nlp_with_pyspark_spark.operators.dedup import duplicated_ngram_coverage
+
+    shared = "alpha bravo charlie delta echo foxtrot"  # 6 tokens = two 5-grams
+    rows = [
+        (1, f"{shared} golf hotel india juliet"),        # 10 tokens
+        (2, f"kilo lima mike november {shared}"),        # 10 tokens
+        (3, "oscar papa quebec romeo sierra tango"),     # no dup grams
+        (4, "uniform victor whiskey"),                   # shorter than n
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "tokens", F.split("text", " ")
+    )
+    out = {
+        r.doc_id: r
+        for r in duplicated_ngram_coverage(docs, n=5, min_df=2).collect()
+    }
+    # both docs: 2 overlapping 5-grams covering 6 positions, not 10
+    for d in (1, 2):
+        assert out[d].n_dup_ngrams == 2
+        assert out[d].dup_coverage == pytest.approx(0.6)
+    assert out[3].n_dup_ngrams == 0 and out[3].dup_coverage == 0.0
+    assert out[4].n_tokens == 3 and out[4].n_dup_ngrams == 0
+
+
+def test_dup_ngram_coverage_gap_and_disjoint_spans(spark):
+    """Two DISJOINT duplicated spans in one doc sum their union lengths."""
+    from nlp_with_pyspark_spark.operators.dedup import duplicated_ngram_coverage
+
+    a = "a1 a2 a3 a4 a5"   # 5 tokens, one 5-gram
+    b = "b1 b2 b3 b4 b5"
+    rows = [
+        (1, f"{a} x1 x2 x3 {b}"),  # 13 tokens; dup spans at 0-4 and 8-12
+        (2, a),
+        (3, b),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "tokens", F.split("text", " ")
+    )
+    out = {
+        r.doc_id: r
+        for r in duplicated_ngram_coverage(docs, n=5, min_df=2).collect()
+    }
+    assert out[1].n_dup_ngrams == 2
+    assert out[1].dup_coverage == pytest.approx(10 / 13, abs=1e-6)
+    assert out[2].dup_coverage == pytest.approx(1.0)
+
+
+def test_dup_ngram_coverage_hash_families_agree(docs):
+    """Coverage depends only on gram EQUALITY, so the md5 (oracle) and
+    xxhash64 (production) families must return identical tables on a
+    real corpus — the scale path is provably a drop-in."""
+    from nlp_with_pyspark_spark.operators.dedup import duplicated_ngram_coverage
+
+    base = docs.select("doc_id", "tokens").localCheckpoint()
+    md5_rows = sorted(
+        duplicated_ngram_coverage(base, n=5, min_df=2).collect()
+    )
+    xx_rows = sorted(
+        duplicated_ngram_coverage(base, n=5, min_df=2, hash_fn="xxhash64").collect()
+    )
+    assert md5_rows == xx_rows
+    assert any(r.n_dup_ngrams > 0 for r in md5_rows), "corpus has no dup grams — vacuous"
+
+
+def test_domain_mixture_weights_properties(docs):
+    from nlp_with_pyspark_spark.operators.sampling import domain_mixture_weights
+
+    rows = domain_mixture_weights(docs, group_col="source", weight_cap=5.0).collect()
+    assert len(rows) > 1
+    assert sum(r.token_share for r in rows) == pytest.approx(1.0, abs=1e-6)
+    target = 1.0 / len(rows)
+    for r in rows:
+        assert 0 < r.mixture_weight <= 5.0
+        # uncapped weights move the domain exactly to the uniform target
+        if r.mixture_weight < 5.0:
+            assert r.mixture_weight * r.token_share == pytest.approx(target, rel=1e-4)
