@@ -91,6 +91,7 @@ HEADLINE = [
     "dedup_canonical_corpus",
     "dup_ngram_coverage",
     "domain_mixture_weights",
+    "embedding_pq_codes",
     "click_purchase_funnel",
     "corpus_pipeline_funnel",
     "doc_lm_scores",

@@ -2783,6 +2783,52 @@ def embedding_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rp_project(read_table(spark, sf_dir, "embeddings"), out_dim=16, dim=64)
 
 
+def _pq_sql(m: int = 8, ksub: int = 4, dsub: int = 8) -> str:
+    """Mirror of similarity.pq_encode with the fixed codebooks: the SAME
+    md5-derived centroids inlined as literals, squared-distance folds in
+    the same order, argmin via a first-min CASE chain (ties → lowest
+    code, matching the Spark struct array_min)."""
+    from .operators.similarity import pq_fixed_codebooks
+
+    cbs = pq_fixed_codebooks(m, ksub, dsub)
+    selects = []
+    for s in range(m):
+        a, b = s * dsub + 1, s * dsub + dsub
+        cols = []
+        for c in range(ksub):
+            arr = "[" + ", ".join(repr(x) for x in cbs[s][c]) + "]"
+            cols.append(
+                f"list_sum(list_transform(list_zip(embedding[{a}:{b}], {arr}),"
+                " p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))"
+                f" AS c{c}"
+            )
+        least = ", ".join(f"c{c}" for c in range(ksub))
+        case = " ".join(
+            f"WHEN c{c} <= least({', '.join(f'c{cc}' for cc in range(c + 1, ksub))})"
+            f" THEN {c}"
+            for c in range(ksub - 1)
+        )
+        selects.append(
+            f"SELECT vec_id, {s} AS subspace,"
+            f" CASE {case} ELSE {ksub - 1} END AS code,"
+            f" round(least({least}), 6) AS d2"
+            f" FROM (SELECT vec_id, {', '.join(cols)} FROM embeddings) s{s}"
+        )
+    return " UNION ALL ".join(selects)
+
+
+@query("embedding_pq_codes", _pq_sql())
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (similarity.pq_encode): 64-dim
+    float32 vectors → 8 one-byte codes + per-subspace reconstruction
+    error, fixed md5 codebooks compiled to literals — a pure projection;
+    the production k-means codebooks (similarity.pq_train) are tested by
+    reconstruction-error dominance instead."""
+    from .operators.similarity import pq_encode, pq_fixed_codebooks
+
+    return pq_encode(read_table(spark, sf_dir, "embeddings"), pq_fixed_codebooks())
+
+
 # ---------------------------------------------------------------------------
 # Driver-check curation
 # ---------------------------------------------------------------------------
@@ -2855,11 +2901,12 @@ _DEMOTED_PAST_CHECK_WINDOW = [
     "high_balance_inactive",
     "promo_revenue_share",
     "price_percentiles",
-    # round 6: demoted (both carry green r5 driver rows; shapes covered by
-    # in-window kin) to open two slots for the new substring-dedup and
-    # mixture-weight queries, which have never been driver-checked
+    # round 6: demoted (all carry green r5 driver rows; shapes covered by
+    # in-window kin) to open slots for the new substring-dedup,
+    # mixture-weight, and PQ queries, which have never been driver-checked
     "local_supplier_volume",
     "events_distinct_users",
+    "latest_event_per_user",
 ]
 
 

@@ -22,7 +22,7 @@ REQUIRED_IN_WINDOW = {
     # event-time
     "events_tumbling_5m", "events_session_stats",
     "session_event_overlap", "events_asof_click_purchase",
-    "click_purchase_attribution", "latest_event_per_user",
+    "click_purchase_attribution",
     "events_json_stats",
     "click_purchase_funnel",
     # text / NLP
@@ -43,9 +43,9 @@ REQUIRED_IN_WINDOW = {
     "corpus_pipeline_funnel", "dedup_canonical_corpus", "doc_lm_scores",
     "embedding_rp_project",
     # new in round 6 (never driver-checked — must be in the window;
-    # local_supplier_volume / events_distinct_users demoted to make room,
-    # both green in CORRECTNESS_r05)
-    "dup_ngram_coverage", "domain_mixture_weights",
+    # local_supplier_volume / events_distinct_users / latest_event_per_user
+    # demoted to make room, all green in CORRECTNESS_r05)
+    "dup_ngram_coverage", "domain_mixture_weights", "embedding_pq_codes",
 }
 
 

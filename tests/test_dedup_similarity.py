@@ -369,3 +369,43 @@ def test_domain_mixture_weights_properties(docs):
         # uncapped weights move the domain exactly to the uniform target
         if r.mixture_weight < 5.0:
             assert r.mixture_weight * r.token_share == pytest.approx(target, rel=1e-4)
+
+
+def test_pq_trained_codebooks_beat_fixed(emb):
+    """The production k-means codebooks (pq_train) must reconstruct the
+    corpus strictly better than the fixed md5 codebooks the oracle path
+    uses — i.e. the non-oracle-able seam actually earns its keep."""
+    from nlp_with_pyspark_spark.operators.similarity import (
+        pq_encode,
+        pq_fixed_codebooks,
+        pq_train,
+    )
+
+    fixed_mse = (
+        pq_encode(emb, pq_fixed_codebooks())
+        .agg(F.avg("d2").alias("mse"))
+        .collect()[0]
+        .mse
+    )
+    trained_mse = (
+        pq_encode(emb, pq_train(emb, m=8, ksub=4, dim=64))
+        .agg(F.avg("d2").alias("mse"))
+        .collect()[0]
+        .mse
+    )
+    assert trained_mse < fixed_mse, (trained_mse, fixed_mse)
+
+
+def test_pq_codes_shape_and_determinism(emb):
+    from nlp_with_pyspark_spark.operators.similarity import (
+        pq_encode,
+        pq_fixed_codebooks,
+    )
+
+    n_vec = emb.count()
+    out = pq_encode(emb, pq_fixed_codebooks())
+    rows = out.collect()
+    assert len(rows) == n_vec * 8
+    assert all(0 <= r.code < 4 and 0 <= r.subspace < 8 and r.d2 >= 0 for r in rows)
+    # re-run is bit-identical (the codebooks are literals, not RNG state)
+    assert sorted(rows) == sorted(out.collect())
