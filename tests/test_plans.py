@@ -200,3 +200,30 @@ def test_ivf_fixed_centroid_assignment_is_projection(spark, sf_dir):
     # shuffles); the only exchange is the rank window's partitionBy
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_pq_encode_is_pure_projection(spark, sf_dir):
+    """pq_encode compiles its codebooks to literals: the corpus-wide
+    re-encode must be scan → project → explode with ZERO exchanges —
+    at 100 TB the difference between scan speed and a corpus shuffle."""
+    from nlp_with_pyspark_spark.operators.similarity import (
+        pq_encode,
+        pq_fixed_codebooks,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    plan = final_plan_string(pq_encode(emb, pq_fixed_codebooks()))
+    assert "Exchange" not in plan, plan
+
+
+def test_dup_ngram_coverage_has_no_unkeyed_join(spark, sf_dir):
+    """Substring dedup must stay shuffle-bounded by its keys: hash-agg
+    on the gram key, key join-back, doc_id window — never a cartesian
+    or nested-loop pairing of the corpus with itself."""
+    from nlp_with_pyspark_spark.operators.dedup import duplicated_ngram_coverage
+    from nlp_with_pyspark_spark.queries import _tokenized_documents
+
+    docs = _tokenized_documents(spark, sf_dir)
+    plan = final_plan_string(duplicated_ngram_coverage(docs, n=5, min_df=2))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
