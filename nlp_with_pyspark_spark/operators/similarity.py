@@ -434,6 +434,106 @@ def pq_encode(
     ).select("vec_id", "e.subspace", "e.code", "e.d2")
 
 
+def pq_codes_wide(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, codes array<int>) — :func:`pq_encode` without the audit
+    explode: the compressed corpus representation ADC search scans. Same
+    pure-projection shape (codebooks inlined as literals, zero shuffle);
+    at 100 TB this is the table you persist — m bytes of payload per
+    vector instead of dim·4."""
+    from ..functions.expr import flet
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+
+    def code(s: int) -> Column:
+        sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
+        entries = F.array(
+            *[
+                F.struct(
+                    _d2_literal(sub, codebooks[s][c]).alias("d2"),
+                    F.lit(c).alias("code"),
+                )
+                for c in range(len(codebooks[s]))
+            ]
+        )
+        return flet(F.array_min(entries), lambda b: b["code"])
+
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.array(*[code(s) for s in range(m)]).alias("codes"),
+    )
+
+
+def pq_adc_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: (query_id, neighbor_id,
+    adc_d2, rank) — the search half of IVF-PQ (Jégou et al. 2011).
+
+    The query keeps full precision; each candidate contributes only its
+    m codes. Per query, a lookup table ``lut[s][c] = d2(q_sub_s,
+    codebook[s][c])`` is computed ONCE as a literal-compiled projection
+    on the (small, broadcast) query side; the per-candidate distance is
+    then ``Σ_s lut[s][code_s]`` — a zip_with/aggregate fold over m
+    ints, no floating-point vector math on the corpus side at all.
+
+    By construction ``adc_d2`` equals the true squared distance between
+    the query and the candidate's RECONSTRUCTION (tests pin this
+    identity), so ranking quality degrades only with quantization
+    error — the audit column :func:`pq_encode` reports.
+
+    Scale shape: broadcast queries+LUTs against the codes scan, rank
+    window per query — same plan as brute_force_topk but the corpus
+    side reads m bytes/row instead of dim·4 and does integer lookups
+    instead of float multiplies. Compose with the IVF path (probe
+    ``fixed_centroid_ivf_topk``'s lists, then ADC within probed lists)
+    for the full IVF-PQ: both halves keep the corpus unshuffled.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+
+    def lut(s: int) -> Column:
+        sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
+        return F.array(
+            *[_d2_literal(sub, codebooks[s][c]) for c in range(len(codebooks[s]))]
+        )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.array(*[lut(s) for s in range(m)]).alias("lut"),
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("lut"),
+            lambda c, l: F.element_at(l, c + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        corpus_codes.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dist, 6).alias("adc_d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def pq_train(
     corpus: DataFrame,
     m: int = 8,

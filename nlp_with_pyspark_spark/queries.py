@@ -2880,6 +2880,13 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 #:                              pricing_summary (green r5)
 #:   price_percentiles        — percentile_approx agg, binning covered by
 #:                              doc_token_stats (green r4/r5)
+#:   local_supplier_volume    — TPC-H Q5 shape, dim-join chain covered by
+#:                              customer_nation_revenue (green r5)
+#:   events_distinct_users    — per-type countDistinct, events aggs covered
+#:                              by events_tumbling_5m etc. (green r5)
+#:   latest_event_per_user    — groupBy-max + join-back, covered by
+#:                              top_orders_per_customer's rank window
+#:                              (green r5)
 _DEMOTED_PAST_CHECK_WINDOW = [
     "salted_nation_revenue",
     "tfidf_smoothed_long",

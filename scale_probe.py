@@ -97,7 +97,12 @@ def build_replicated_dir(spark, base_dir: str, out_dir: str, factor: int) -> Non
 
 def time_query(spark, name: str, sf_dir: str, runs: int = 3) -> tuple[float, int]:
     fn = QUERIES[name]
-    n_rows = fn(spark, sf_dir).count()  # warm: codegen + file listing
+    # TWO warm runs: cold-JVM JIT takes more than one pass to reach
+    # steady state (measured on dedup_minhash_pairs at sf0.1 in a fresh
+    # session: 19.2s, 3.9s, then ~2.1s steady — a single warm run left
+    # half the compile cost inside the first sample)
+    n_rows = fn(spark, sf_dir).count()
+    fn(spark, sf_dir).count()
     samples = []
     for _ in range(runs):
         t0 = time.perf_counter()
@@ -116,13 +121,48 @@ def main() -> None:
     args = ap.parse_args()
     out_dir = args.out or f"/tmp/scale{args.factor}x"
 
-    spark = get_spark(app_name=f"scale-probe-{args.factor}x")
+    names = [n.strip() for n in args.queries.split(",")]
+
+    if len(names) > 1:
+        # one OS PROCESS per query leg: a stopped SparkContext leaves its
+        # JVM (and the previous leg's heap garbage) behind, and measured
+        # 1x timings after a heavy 100x leg were inflated 3-6x by GC
+        # churn even in a fresh session. Subprocesses give each leg a
+        # genuinely cold, equally-sized JVM.
+        import subprocess
+
+        spark = get_spark(app_name=f"scale-probe-build-{args.factor}x")
+        spark.sparkContext.setLogLevel("ERROR")
+        build_replicated_dir(spark, args.base, out_dir, args.factor)
+        spark.stop()
+        results = {}
+        for name in names:
+            out = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--factor", str(args.factor),
+                    "--base", args.base,
+                    "--out", out_dir,
+                    "--queries", name,
+                    "--runs", str(args.runs),
+                ],
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            line = json.loads(out.stdout.strip().splitlines()[-1])
+            results.update(line["results"])
+            print(json.dumps({name: results[name]}), flush=True)
+        print(json.dumps({"factor": args.factor, "results": results}))
+        return
+
+    spark = get_spark(app_name=f"scale-probe-{names[0]}")
     spark.sparkContext.setLogLevel("ERROR")
     build_replicated_dir(spark, args.base, out_dir, args.factor)
 
     results = {}
-    for name in args.queries.split(","):
-        name = name.strip()
+    for name in names:
         t1, rows1 = time_query(spark, name, args.base, args.runs)
         tn, rowsn = time_query(spark, name, out_dir, args.runs)
         results[name] = {

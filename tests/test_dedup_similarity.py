@@ -409,3 +409,57 @@ def test_pq_codes_shape_and_determinism(emb):
     assert all(0 <= r.code < 4 and 0 <= r.subspace < 8 and r.d2 >= 0 for r in rows)
     # re-run is bit-identical (the codebooks are literals, not RNG state)
     assert sorted(rows) == sorted(out.collect())
+
+
+def test_pq_adc_distance_equals_reconstruction_distance(emb):
+    """The ADC identity that makes PQ search trustworthy: the fold over
+    per-subspace LUT lookups must equal the true squared distance to the
+    candidate's reconstruction, computed independently in Python."""
+    import numpy as np
+
+    from nlp_with_pyspark_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codes_wide,
+        pq_fixed_codebooks,
+    )
+
+    cbs = pq_fixed_codebooks()
+    codes = pq_codes_wide(emb, cbs)
+    queries = emb.where(F.col("vec_id") < 3)
+    got = {
+        (r.query_id, r.neighbor_id): r.adc_d2
+        for r in pq_adc_topk(codes, queries, cbs, k=5).collect()
+    }
+    assert got, "no ADC results"
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    code_map = {r.vec_id: list(r.codes) for r in codes.collect()}
+    dsub = len(cbs[0][0])
+    for (qid, nid), adc in got.items():
+        recon = np.concatenate([np.array(cbs[s][c]) for s, c in enumerate(code_map[nid])])
+        true_d2 = float(((vecs[qid] - recon) ** 2).sum())
+        assert abs(adc - round(true_d2, 6)) < 1e-5, (qid, nid, adc, true_d2)
+
+
+def test_pq_adc_ranking_beats_random(emb):
+    """ADC top-k must surface genuinely closer vectors: the mean TRUE
+    distance of each query's ADC top-10 must beat the corpus mean."""
+    import numpy as np
+
+    from nlp_with_pyspark_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codes_wide,
+        pq_train,
+    )
+
+    cbs = pq_train(emb, m=8, ksub=4, dim=64)
+    codes = pq_codes_wide(emb, cbs)
+    queries = emb.where(F.col("vec_id") < 5)
+    top = pq_adc_topk(codes, queries, cbs, k=10).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    for qid in {r.query_id for r in top}:
+        hits = [r.neighbor_id for r in top if r.query_id == qid]
+        d_hits = np.mean([((vecs[qid] - vecs[n]) ** 2).sum() for n in hits])
+        d_all = np.mean(
+            [((vecs[qid] - v) ** 2).sum() for i, v in vecs.items() if i != qid]
+        )
+        assert d_hits < d_all, (qid, d_hits, d_all)
