@@ -76,7 +76,6 @@ HEADLINE = [
     "customer_order_setops",
     "confusion_metrics",
     "doc_token_stats",
-    "tfidf_smoothed_long",
     "small_qty_part_revenue",
     "high_balance_inactive",
     "promo_revenue_share",
@@ -92,6 +91,7 @@ HEADLINE = [
     "dup_ngram_coverage",
     "domain_mixture_weights",
     "embedding_pq_codes",
+    "corpus_stats_card",
     "click_purchase_funnel",
     "corpus_pipeline_funnel",
     "doc_lm_scores",
@@ -99,13 +99,14 @@ HEADLINE = [
 ]
 # Excluded on purpose: dedup_ngram_jaccard / embedding_near_dups are the
 # exact all-pairs VERIFIERS for the LSH/minhash scale paths (quadratic by
-# definition). Round 6 also pruned seven sub-second near-duplicate
+# definition). Round 6 also pruned eight near-duplicate
 # parameterizations of still-benched entries (order_status_cube,
 # corpus_train_split, token_budget, multimodal_resize,
-# order_priority_melt, customer_running_revenue, doc_length_histogram
-# — ~1.3 s of the round-5 total) so the printed JSON line keeps
-# headroom under the driver's 2000-char tail capture; the suite total
-# is accordingly not directly comparable to rounds ≤ 5 on those names.
+# order_priority_melt, customer_running_revenue, doc_length_histogram,
+# tfidf_smoothed_long — the last a one-line IDF-formula twin of
+# tfidf_long) so the printed JSON line keeps headroom under the
+# driver's 2000-char tail capture; the suite total is accordingly not
+# directly comparable to rounds ≤ 5 on those names.
 
 
 def main() -> None:

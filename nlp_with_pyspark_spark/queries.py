@@ -2554,6 +2554,111 @@ def domain_mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_stats_card",
+    f"""
+    WITH qbase AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len({_WS_TOKS_SQL}) AS BIGINT) AS n_tokens,
+               CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+               CASE WHEN len({_WS_TOKS_SQL}) > 0
+                    THEN CAST(list_sum(list_transform({_WS_TOKS_SQL}, t -> length(t))) AS DOUBLE)
+                         / len({_WS_TOKS_SQL})
+                    ELSE 0.0 END AS mwl,
+               {_EN_RATIO_SQL} AS swr
+        FROM documents
+    ),
+    quality AS (
+        SELECT doc_id,
+               round(least((CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END) / 0.7, 1.0) * 0.4
+                     + least(swr / 0.3, 1.0) * 0.3
+                     + (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.0 END) * 0.2
+                     + (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END) * 0.1,
+                 6) AS qs
+        FROM qbase
+    ),
+    rbase AS (
+        SELECT doc_id, {_WS_TOKS_SQL} AS ts, len({_WS_TOKS_SQL}) AS n FROM documents
+    ),
+    rtok AS (
+        SELECT doc_id, MAX(cnt) AS top_tok, COUNT(*) AS n_distinct FROM (
+            SELECT doc_id, t, COUNT(*) AS cnt
+            FROM rbase, UNNEST(ts) AS u(t) GROUP BY doc_id, t
+        ) GROUP BY doc_id
+    ),
+    rbi AS (
+        SELECT doc_id, MAX(cnt) AS top_bi FROM (
+            SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS bg, COUNT(*) AS cnt
+            FROM rbase, UNNEST(range(1, n)) AS rr(i)
+            GROUP BY doc_id, bg
+        ) GROUP BY doc_id
+    ),
+    rep AS (
+        SELECT b.doc_id,
+               CAST(
+                 (CASE WHEN b.n > 0 THEN coalesce(top_tok, 0) / CAST(b.n AS DOUBLE) ELSE 0.0 END) > 0.10
+                 OR (CASE WHEN b.n > 0 THEN coalesce(n_distinct, 0) / CAST(b.n AS DOUBLE) ELSE 0.0 END) < 0.25
+                 OR (CASE WHEN b.n >= 2 THEN coalesce(top_bi, 0) / CAST(b.n - 1 AS DOUBLE) ELSE 0.0 END) > 0.05
+               AS INT) AS is_rep
+        FROM rbase b LEFT JOIN rtok USING (doc_id) LEFT JOIN rbi USING (doc_id)
+    ),
+    flags AS (
+        SELECT d.lang, sha256(d.text) AS h, b.n_tokens, q.qs, r.is_rep
+        FROM documents d
+        JOIN qbase b USING (doc_id)
+        JOIN quality q USING (doc_id)
+        JOIN rep r USING (doc_id)
+    ),
+    dups AS (SELECT h, count(*) AS c FROM flags GROUP BY h)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(n_tokens), 4) AS avg_tokens,
+           round(avg(qs), 6) AS mean_quality,
+           round(avg(is_rep), 6) AS repetitive_share,
+           round(avg(CASE WHEN c > 1 THEN 1 ELSE 0 END), 6) AS dup_share
+    FROM flags JOIN dups USING (h)
+    GROUP BY lang
+    """,
+)
+def corpus_stats_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language dataset datasheet: doc/token volumes, mean quality,
+    repetitive share, exact-duplicate share — the summary table every
+    corpus release ships (dataset "data card").
+
+    Composition of already-checked constituents (quality_score_expr /
+    is_repetitive_expr / sha256 exact-dup counting) in ONE pass: a
+    single projection computes all per-doc signals, one window over the
+    content hash flags duplicates (rows carry ~50 bytes, never text),
+    and one hash agg rolls up per language. Float caveat: mean_quality
+    averages 6dp-rounded doubles — integer-exact sums everywhere else —
+    so the 6dp output rounding has ~1e9× headroom over summation-order
+    drift at any corpus size."""
+    from .operators.textstats import _raw_tokens, is_repetitive_expr, quality_score_expr
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        F.sha2(F.col("text"), 256).alias("h"),
+        F.size(_raw_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        quality_score_expr(F.col("text")).alias("qs"),
+        is_repetitive_expr(F.col("text")).alias("is_rep"),
+    )
+    w = Window.partitionBy("h")
+    flags = base.withColumn(
+        "is_dup", (F.count(F.lit(1)).over(w) > 1).cast("int")
+    )
+    return flags.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg("qs"), 6).alias("mean_quality"),
+        F.round(F.avg("is_rep"), 6).alias("repetitive_share"),
+        F.round(F.avg("is_dup"), 6).alias("dup_share"),
+    )
+
+
+@query(
     "click_purchase_funnel",
     """
     SELECT c.event_id AS left_id,
@@ -2887,6 +2992,8 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 #:   latest_event_per_user    — groupBy-max + join-back, covered by
 #:                              top_orders_per_customer's rank window
 #:                              (green r5)
+#:   top_parts_by_revenue     — pre-agg-then-broadcast-join, covered by
+#:                              customer_nation_revenue (green r1-r5)
 _DEMOTED_PAST_CHECK_WINDOW = [
     "salted_nation_revenue",
     "tfidf_smoothed_long",
@@ -2914,6 +3021,7 @@ _DEMOTED_PAST_CHECK_WINDOW = [
     "local_supplier_volume",
     "events_distinct_users",
     "latest_event_per_user",
+    "top_parts_by_revenue",
 ]
 
 

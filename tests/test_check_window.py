@@ -44,8 +44,9 @@ REQUIRED_IN_WINDOW = {
     "embedding_rp_project",
     # new in round 6 (never driver-checked — must be in the window;
     # local_supplier_volume / events_distinct_users / latest_event_per_user
-    # demoted to make room, all green in CORRECTNESS_r05)
+    # / top_parts_by_revenue demoted to make room, all green in r5)
     "dup_ngram_coverage", "domain_mixture_weights", "embedding_pq_codes",
+    "corpus_stats_card",
 }
 
 
