@@ -92,6 +92,7 @@ HEADLINE = [
     "domain_mixture_weights",
     "embedding_pq_codes",
     "corpus_stats_card",
+    "model_auc_eval",
     "click_purchase_funnel",
     "corpus_pipeline_funnel",
     "doc_lm_scores",

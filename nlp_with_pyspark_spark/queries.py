@@ -2658,6 +2658,101 @@ def corpus_stats_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _auc_score_sql(dim: int = 64) -> str:
+    """Deterministic 'model score' for the AUC eval: rational squashing
+    of the md5-plane projection — NO transcendentals (exp/log differ in
+    the last ulp between JVM and libm, which can flip a rounded score
+    across a rank/bucket boundary; +, /, abs are exact IEEE ops)."""
+    from .operators.similarity import _hyperplane
+
+    plane = _hyperplane(dim, 0, "auc-seed")
+    arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+    dot = (
+        f"list_sum(list_transform(list_zip(embedding, {arr}),"
+        " p -> CAST(p[1] AS DOUBLE) * p[2]))"
+    )
+    return f"round(0.5 + ({dot} / 8) / (2 * (1 + abs({dot} / 8))), 6)"
+
+
+@query(
+    "model_auc_eval",
+    f"""
+    WITH scored AS (
+        SELECT {_auc_score_sql()} AS score,
+               CAST(label % 2 AS INT) AS y
+        FROM embeddings
+    ),
+    ranked AS (
+        SELECT y, avg(rn) OVER (PARTITION BY score) AS ar FROM (
+            SELECT score, y, row_number() OVER (ORDER BY score) AS rn
+            FROM scored
+        )
+    ),
+    exact AS (
+        SELECT CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+               CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+               sum(CASE WHEN y = 1 THEN ar ELSE 0.0 END) AS rpos
+        FROM ranked
+    ),
+    buck AS (
+        SELECT least(999, greatest(0, CAST(floor(score * 1000) AS INT))) AS b,
+               sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS p,
+               sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS n
+        FROM scored GROUP BY 1
+    ),
+    cum AS (
+        SELECT sum(p) OVER w AS ctp, sum(n) OVER w AS cfp,
+               sum(p) OVER w - p AS ptp, sum(n) OVER w - n AS pfp
+        FROM buck
+        WINDOW w AS (ORDER BY b DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    bucketed AS (
+        SELECT CAST(max(ctp) AS BIGINT) AS n_pos,
+               CAST(max(cfp) AS BIGINT) AS n_neg,
+               sum((cfp - pfp) * (ctp + ptp)) AS area2
+        FROM cum
+    )
+    SELECT 'exact' AS method, n_pos, n_neg,
+           round((rpos - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg), 6) AS auc
+    FROM exact
+    UNION ALL
+    SELECT 'bucketed', n_pos, n_neg,
+           round(CAST(area2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6)
+    FROM bucketed
+    """,
+)
+def model_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ROC-AUC two ways (operators/metrics.py): the exact
+    Mann-Whitney rank formula (global sort — the test-scale VERIFIER)
+    and the bucketed trapezoid (mergeable per-bin counts — the 100 TB
+    path, same sketch shape as approx_percentile). Scores are a
+    deterministic md5-plane projection squashed WITHOUT transcendentals
+    so both engines agree bit-for-bit."""
+    from .operators.metrics import binary_auc_bucketed, binary_auc_exact
+    from .operators.similarity import _hyperplane
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    plane = _hyperplane(64, 0, "auc-seed")
+    arr = F.array(*[F.lit(float(x)) for x in plane])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), arr, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d = dot / F.lit(8.0)
+    scored = emb.select(
+        F.round(F.lit(0.5) + d / (2.0 * (1.0 + F.abs(d))), 6).alias("score"),
+        (F.col("label") % 2).cast("int").alias("y"),
+    )
+    exact = binary_auc_exact(scored, "score", "y").select(
+        F.lit("exact").alias("method"), "n_pos", "n_neg", "auc"
+    )
+    bucketed = binary_auc_bucketed(scored, "score", "y", n_buckets=1000).select(
+        F.lit("bucketed").alias("method"), "n_pos", "n_neg", "auc"
+    )
+    return exact.unionByName(bucketed)
+
+
 @query(
     "click_purchase_funnel",
     """
@@ -2994,6 +3089,8 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 #:                              (green r5)
 #:   top_parts_by_revenue     — pre-agg-then-broadcast-join, covered by
 #:                              customer_nation_revenue (green r1-r5)
+#:   bigram_top50             — n-gram explode+count twin of vocab_top100
+#:                              (green r5)
 _DEMOTED_PAST_CHECK_WINDOW = [
     "salted_nation_revenue",
     "tfidf_smoothed_long",
@@ -3022,6 +3119,7 @@ _DEMOTED_PAST_CHECK_WINDOW = [
     "events_distinct_users",
     "latest_event_per_user",
     "top_parts_by_revenue",
+    "bigram_top50",
 ]
 
 

@@ -163,3 +163,39 @@ def test_simhash_banding_exact_below_bands(spark, lists):
             if ham <= 3:
                 want.add((ids[i], ids[j]))
     assert got == want
+
+
+def test_auc_bucketed_tracks_exact_and_sklearn_free_model(spark):
+    """Differential check of both AUC paths against a 5-line Python
+    reference on a signal-bearing score distribution, plus the
+    bucketed-vs-exact resolution bound (≤ 2/n_buckets)."""
+    import itertools
+
+    from nlp_with_pyspark_spark.operators.metrics import (
+        binary_auc_bucketed,
+        binary_auc_exact,
+    )
+
+    # deterministic scores with real signal + engineered ties
+    rows = []
+    for i in range(300):
+        y = i % 2
+        base = 0.62 if y else 0.38
+        rows.append((round(base + ((i * 37) % 100 - 50) / 250.0, 3), y))
+    df = spark.createDataFrame(rows, ["score", "y"])
+
+    # independent reference: P(score_pos > score_neg) + 0.5 P(tie)
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    wins = sum(
+        1.0 if sp > sn else (0.5 if sp == sn else 0.0)
+        for sp, sn in itertools.product(pos, neg)
+    )
+    ref = wins / (len(pos) * len(neg))
+
+    exact = binary_auc_exact(df, "score", "y").collect()[0]
+    assert exact.n_pos == len(pos) and exact.n_neg == len(neg)
+    assert abs(exact.auc - ref) < 1e-6, (exact.auc, ref)
+
+    bucketed = binary_auc_bucketed(df, "score", "y", n_buckets=1000).collect()[0]
+    assert abs(bucketed.auc - exact.auc) <= 2 / 1000, (bucketed.auc, exact.auc)
