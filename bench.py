@@ -49,7 +49,6 @@ HEADLINE = [
     "stratified_sample_by_lang",
     "dedup_minhash_pairs",
     "dedup_components",
-    "simhash_fingerprints",
     "simhash_near_pairs",
     "ann_brute_force_topk",
     "ann_lsh_topk",
@@ -93,6 +92,7 @@ HEADLINE = [
     "embedding_pq_codes",
     "corpus_stats_card",
     "model_auc_eval",
+    "markup_strip_stats",
     "click_purchase_funnel",
     "corpus_pipeline_funnel",
     "doc_lm_scores",
@@ -100,14 +100,15 @@ HEADLINE = [
 ]
 # Excluded on purpose: dedup_ngram_jaccard / embedding_near_dups are the
 # exact all-pairs VERIFIERS for the LSH/minhash scale paths (quadratic by
-# definition). Round 6 also pruned eight near-duplicate
+# definition). Round 6 also pruned nine near-duplicate
 # parameterizations of still-benched entries (order_status_cube,
 # corpus_train_split, token_budget, multimodal_resize,
 # order_priority_melt, customer_running_revenue, doc_length_histogram,
-# tfidf_smoothed_long — the last a one-line IDF-formula twin of
-# tfidf_long) so the printed JSON line keeps headroom under the
-# driver's 2000-char tail capture; the suite total is accordingly not
-# directly comparable to rounds ≤ 5 on those names.
+# tfidf_smoothed_long — IDF-formula twin of tfidf_long —
+# and simhash_fingerprints — the projection sub-step of
+# simhash_near_pairs) so the printed JSON line keeps headroom under
+# the driver's 2000-char tail capture; the suite total is accordingly
+# not directly comparable to rounds ≤ 5 on those names.
 
 
 def main() -> None:

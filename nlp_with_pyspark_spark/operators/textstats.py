@@ -404,6 +404,65 @@ def pii_scrub(
     )
 
 
+#: RE2-compatible markup patterns (no backreferences — RE2 has none, so
+#: script and style blocks get separate patterns; (?is) inline flags and
+#: lazy .*? are supported by both Java regex and RE2)
+SCRIPT_BLOCK_RE = r"(?is)<script[^>]*>.*?</script>"
+STYLE_BLOCK_RE = r"(?is)<style[^>]*>.*?</style>"
+TAG_RE = r"<[^>]+>"
+
+#: HTML entity → replacement, applied in fixed order (amp LAST so
+#: double-escaped '&amp;lt;' decodes to '&lt;' not '<' — the standard
+#: single-pass unescape semantics)
+_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_markup(text: Column | str) -> Column:
+    """Plain text from HTML-ish markup: drop script/style blocks, strip
+    tags, unescape the common entities, collapse whitespace — the first
+    step of every web-corpus ingest (the WET-extraction stage of a
+    Common Crawl-style pipeline), as a pure Catalyst projection.
+
+    Not a full HTML5 parser (comments/CDATA/attribute edge cases are a
+    real parser's job — that seam is the same one as the multimodal
+    codec: plug trafilatura/bs4 behind mapInPandas when fidelity
+    matters). What this IS: deterministic, engine-identical (every
+    pattern RE2-compatible so the DuckDB oracle runs the same regexes),
+    and zero-shuffle at 100 TB.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, SCRIPT_BLOCK_RE, " ")
+    c = F.regexp_replace(c, STYLE_BLOCK_RE, " ")
+    c = F.regexp_replace(c, TAG_RE, " ")
+    for ent, rep in _ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def markup_strip_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc markup-extraction audit: raw/clean char counts, number of
+    tags removed, md5 of the extracted text. Same narrow-audit shape as
+    :func:`pii_scrub` — the production sink selects the clean column."""
+    c = F.col(text_col)
+    clean = strip_markup(c)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(c).cast("long").alias("raw_chars"),
+        F.size(F.regexp_extract_all(c, F.lit(TAG_RE), 0)).cast("long").alias("n_tags"),
+        F.length(clean).cast("long").alias("clean_chars"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
 def fingerprints(
     docs: DataFrame,
     text_col: str = "text",

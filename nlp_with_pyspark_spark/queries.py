@@ -2383,6 +2383,86 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "markup_strip_stats",
+    """
+    WITH aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN '<html><body class="c' || CAST(doc_id AS VARCHAR) || '">'
+                         || text || '</body></html>'
+                    ELSE text END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN '<script type="text/javascript">var x = '
+                            || CAST(doc_id AS VARCHAR) || ';</script>'
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' &amp; <b>bold</b> &lt;tag&gt;' ELSE '' END
+               AS text
+        FROM documents
+    ),
+    s1 AS (
+        SELECT doc_id, text,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                       '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                   '<[^>]+>', ' ', 'g') AS t1
+        FROM aug
+    ),
+    s2 AS (
+        SELECT doc_id, text,
+               trim(regexp_replace(
+                   replace(replace(replace(replace(replace(replace(
+                       t1, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                       '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+                   '\\s+', ' ', 'g')) AS clean
+        FROM s1
+    )
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS raw_chars,
+           CAST(len(regexp_extract_all(text, '<[^>]+>')) AS BIGINT) AS n_tags,
+           CAST(length(clean) AS BIGINT) AS clean_chars,
+           md5(clean) AS clean_md5
+    FROM s2
+    """,
+)
+def markup_strip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML/markup extraction (operators/textstats.strip_markup) over
+    documents wrapped in deterministic synthetic markup (the raw corpus
+    is plain text — the augmentation, identical in the oracle, gives
+    the tag/script/entity regexes real work): per-doc raw/clean char
+    counts, tags removed, clean-text hash."""
+    from .operators.textstats import markup_strip_stats as mss
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit('<html><body class="c'),
+                d.cast("string"),
+                F.lit('">'),
+                F.col("text"),
+                F.lit("</body></html>"),
+            ),
+        ).otherwise(F.col("text")),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit('<script type="text/javascript">var x = '),
+                d.cast("string"),
+                F.lit(";</script>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit(" &amp; <b>bold</b> &lt;tag&gt;")).otherwise(
+            F.lit("")
+        ),
+    )
+    return mss(docs.withColumn("text", aug))
+
+
+@query(
     "embedding_quantization_stats",
     """
     WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -3091,6 +3171,9 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 #:                              customer_nation_revenue (green r1-r5)
 #:   bigram_top50             — n-gram explode+count twin of vocab_top100
 #:                              (green r5)
+#:   corpus_clean_stats       — tokens_pipeline stage audit; the same
+#:                              pipeline is exercised end-to-end by
+#:                              vocab_top100 / tfidf_long (green r5)
 _DEMOTED_PAST_CHECK_WINDOW = [
     "salted_nation_revenue",
     "tfidf_smoothed_long",
@@ -3120,6 +3203,7 @@ _DEMOTED_PAST_CHECK_WINDOW = [
     "latest_event_per_user",
     "top_parts_by_revenue",
     "bigram_top50",
+    "corpus_clean_stats",
 ]
 
 

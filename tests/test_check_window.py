@@ -26,7 +26,7 @@ REQUIRED_IN_WINDOW = {
     "events_json_stats",
     "click_purchase_funnel",
     # text / NLP
-    "vocab_top100", "tfidf_long", "doc_token_stats", "corpus_clean_stats",
+    "vocab_top100", "tfidf_long", "doc_token_stats",
     "lang_id_counts", "quality_scores",
     "doc_fingerprints", "repetition_features", "confusion_metrics",
     # dedup / similarity
@@ -46,7 +46,7 @@ REQUIRED_IN_WINDOW = {
     # local_supplier_volume / events_distinct_users / latest_event_per_user
     # / top_parts_by_revenue demoted to make room, all green in r5)
     "dup_ngram_coverage", "domain_mixture_weights", "embedding_pq_codes",
-    "corpus_stats_card", "model_auc_eval",
+    "corpus_stats_card", "model_auc_eval", "markup_strip_stats",
 }
 
 

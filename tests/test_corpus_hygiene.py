@@ -131,3 +131,30 @@ def test_quantize_int8_property(spark):
         assert r.er.max_abs_err <= scale / 2 + 1e-9 * max(1.0, scale), (
             r.vec_id, scale, r.er.max_abs_err,
         )
+
+
+def test_strip_markup_semantics(spark):
+    """Script/style bodies vanish entirely, tags become spaces, entities
+    unescape single-pass (amp LAST: '&amp;lt;' -> '&lt;', never '<')."""
+    from nlp_with_pyspark_spark.operators.textstats import strip_markup
+
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, '<html><body><p>Hello <b>world</b></p></body></html>'),
+        (2, 'before<script type="x">var a = "<p>not text</p>";</script>after'),
+        (3, '<style>p { color: red; }</style>only this'),
+        (4, 'a &amp;lt; b &amp; c &lt;tag&gt; &quot;q&quot; &#39;s&#39;'),
+        (5, 'no markup   at  all'),
+        (6, '<SCRIPT>UPPER();</SCRIPT>case-insensitive'),
+    ]
+    df = spark.createDataFrame(rows, ["i", "text"]).select(
+        "i", strip_markup(F.col("text")).alias("t")
+    )
+    got = {r.i: r.t for r in df.collect()}
+    assert got[1] == "Hello world"
+    assert got[2] == "before after"
+    assert got[3] == "only this"
+    assert got[4] == 'a &lt; b & c <tag> "q" \'s\''
+    assert got[5] == "no markup at all"
+    assert got[6] == "case-insensitive"
