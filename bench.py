@@ -93,6 +93,7 @@ HEADLINE = [
     "corpus_stats_card",
     "model_auc_eval",
     "markup_strip_stats",
+    "line_dedup_stats",
     "click_purchase_funnel",
     "corpus_pipeline_funnel",
     "doc_lm_scores",

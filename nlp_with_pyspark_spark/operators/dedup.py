@@ -770,6 +770,81 @@ def duplicated_ngram_coverage(
     )
 
 
+def dedup_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Line-level corpus dedup: (doc_id, n_lines, n_dropped, clean_md5)
+    where the clean text drops every line occurring in ≥ ``min_df``
+    distinct documents — the C4/RefinedWeb boilerplate pass (nav menus,
+    cookie banners, copyright footers repeat across a site's every page
+    and survive document-level dedup untouched).
+
+    Three stages, same discipline as the rest of the family:
+      1. one posexplode projection emits (doc_id, idx, line, line_key);
+         localCheckpoint-ed because both the frequency agg and the
+         rewrite consume it;
+      2. the hot-line set is one hash agg on the key (distinct-doc
+         count, only keys shuffle) — the "drop list" is bare hashes;
+      3. surviving lines LEFT ANTI the hot set (AQE broadcasts a small
+         boilerplate dictionary, degrades to a shuffled anti-join of
+         hashes when it isn't small — the canonical_corpus rationale),
+         then ONE groupBy(doc_id) reassembles the text in line order
+         via sort_array(collect_list(struct(idx, line))).
+
+    The reassembly is the one corpus-BODY shuffle in the hygiene suite
+    — inherent: the operator's output is the rewritten corpus, and at
+    100 TB that shuffle is the write's repartition. Dropping all copies
+    (not keep-one) is the published C4 line rule; an exact-duplicate
+    document's body lines therefore empty out here — the exact-dedup
+    pass upstream owns keep-one semantics.
+    """
+    if hash_fn == "md5":
+        key = F.md5(F.col("line"))
+    elif hash_fn == "xxhash64":
+        key = F.xxhash64(F.col("line"))
+    else:
+        raise ValueError(f"hash_fn={hash_fn!r}: expected 'md5' or 'xxhash64'")
+
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    keyed = (
+        base.select("doc_id", F.posexplode(F.split("text", "\n")).alias("idx", "line"))
+        .select("doc_id", "idx", "line", key.alias("h"))
+        .localCheckpoint()
+    )
+    hot = (
+        keyed.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("h")
+    )
+    kept = keyed.join(hot, "h", "left_anti")
+    rewritten = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean"),
+    )
+    totals = base.select(
+        "doc_id", F.size(F.split("text", "\n")).cast("long").alias("n_lines")
+    )
+    return totals.join(rewritten, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).cast("long").alias(
+            "n_dropped"
+        ),
+        F.md5(F.coalesce("clean", F.lit(""))).alias("clean_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine near-dups
 # ---------------------------------------------------------------------------

@@ -2554,6 +2554,66 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "line_dedup_stats",
+    """
+    WITH aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0
+                    THEN 'subscribe to our newsletter today' || chr(10)
+                    ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN 'cookie policy accepted' || chr(10) ELSE '' END
+               || text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN chr(10) || 'all rights reserved example corp'
+                       ELSE '' END
+               AS text
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug)
+    ),
+    keyed AS (SELECT doc_id, i, ls[i] AS line, md5(ls[i]) AS h FROM lines),
+    hot AS (SELECT h FROM keyed GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    kept AS (SELECT * FROM keyed WHERE h NOT IN (SELECT h FROM hot)),
+    rewritten AS (
+        SELECT doc_id, count(*) AS n_kept,
+               array_to_string(list(line ORDER BY i), chr(10)) AS clean
+        FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, len(string_split(text, chr(10))) AS n_lines FROM aug)
+    SELECT t.doc_id,
+           CAST(t.n_lines AS BIGINT) AS n_lines,
+           CAST(t.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped,
+           md5(COALESCE(r.clean, '')) AS clean_md5
+    FROM totals t LEFT JOIN rewritten r USING (doc_id)
+    """,
+)
+def line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate dedup (operators/dedup.dedup_lines) over
+    documents with deterministic boilerplate lines injected (the raw
+    corpus is single-line — the augmentation, identical in the oracle,
+    recreates the nav-menu/footer repetition the C4 line rule targets):
+    per-doc line counts, dropped-line counts, rewritten-text hash."""
+    from .operators.dedup import dedup_lines
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.when(d % 2 == 0, F.lit("subscribe to our newsletter today\n")).otherwise(
+            F.lit("")
+        ),
+        F.when(d % 5 == 0, F.lit("cookie policy accepted\n")).otherwise(F.lit("")),
+        F.col("text"),
+        F.when(d % 3 == 0, F.lit("\nall rights reserved example corp")).otherwise(
+            F.lit("")
+        ),
+    )
+    return dedup_lines(docs.withColumn("text", aug), min_df=2)
+
+
+@query(
     "dup_ngram_coverage",
     f"""
     WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents),
@@ -3174,6 +3234,9 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 #:   corpus_clean_stats       — tokens_pipeline stage audit; the same
 #:                              pipeline is exercised end-to-end by
 #:                              vocab_top100 / tfidf_long (green r5)
+#:   multimodal_asset_stats   — metadata-only agg; decode_features is the
+#:                              deeper multimodal rep and the payload
+#:                              pruning is plan-pinned (green r5)
 _DEMOTED_PAST_CHECK_WINDOW = [
     "salted_nation_revenue",
     "tfidf_smoothed_long",
@@ -3204,6 +3267,7 @@ _DEMOTED_PAST_CHECK_WINDOW = [
     "top_parts_by_revenue",
     "bigram_top50",
     "corpus_clean_stats",
+    "multimodal_asset_stats",
 ]
 
 

@@ -35,7 +35,7 @@ REQUIRED_IN_WINDOW = {
     "ann_ivf_topk", "embedding_centroid_topk",
     # pipeline / corpus hygiene
     "stratified_sample_by_lang", "doc_token_chunks", "token_pack_assignments",
-    "multimodal_asset_stats", "multimodal_decode_features",
+    "multimodal_decode_features",
     "decontamination_overlap", "pii_scrub_stats",
     "embedding_quantization_stats",
     # round-5 flagship compositions, promoted in round 6 — these six had
@@ -47,6 +47,7 @@ REQUIRED_IN_WINDOW = {
     # / top_parts_by_revenue demoted to make room, all green in r5)
     "dup_ngram_coverage", "domain_mixture_weights", "embedding_pq_codes",
     "corpus_stats_card", "model_auc_eval", "markup_strip_stats",
+    "line_dedup_stats",
 }
 
 

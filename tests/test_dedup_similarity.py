@@ -463,3 +463,38 @@ def test_pq_adc_ranking_beats_random(emb):
             [((vecs[qid] - v) ** 2).sum() for i, v in vecs.items() if i != qid]
         )
         assert d_hits < d_all, (qid, d_hits, d_all)
+
+
+def test_dedup_lines_drops_boilerplate_preserves_order(spark):
+    from nlp_with_pyspark_spark.operators.dedup import dedup_lines
+
+    boiler = "subscribe now"
+    rows = [
+        (1, f"{boiler}\nunique one\nmiddle line\nunique two"),
+        (2, f"other text\n{boiler}"),
+        (3, f"{boiler}"),                    # nothing survives
+        (4, "standalone body"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in dedup_lines(docs, min_df=2).collect()}
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    # doc 1: boilerplate dropped, remaining lines keep original order
+    assert out[1].n_lines == 4 and out[1].n_dropped == 1
+    assert out[1].clean_md5 == md5("unique one\nmiddle line\nunique two")
+    assert out[2].clean_md5 == md5("other text")
+    # all copies of a duplicated line drop (C4 rule) — doc 3 empties out
+    assert out[3].n_dropped == 1 and out[3].clean_md5 == md5("")
+    assert out[4].n_dropped == 0 and out[4].clean_md5 == md5("standalone body")
+
+
+def test_dedup_lines_hash_families_agree(spark):
+    from nlp_with_pyspark_spark.operators.dedup import dedup_lines
+
+    rows = [(i, f"shared header\nbody {i}\nshared footer") for i in range(20)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(dedup_lines(docs, min_df=2).collect())
+    b = sorted(dedup_lines(docs, min_df=2, hash_fn="xxhash64").collect())
+    assert a == b
+    assert all(r.n_dropped == 2 for r in a)
