@@ -112,3 +112,28 @@ def click_purchase_attribution(events: DataFrame, max_gap_sec: int = 300) -> Dat
     clicks = events.where(F.col("event_type") == "click")
     purchases = events.where(F.col("event_type") == "purchase")
     return interval_join_streams(clicks, purchases, max_gap_sec=max_gap_sec)
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment: every event gains its dimension row
+    (LEFT join — events with no dimension entry pass through with
+    NULLs, they must not be silently dropped by an ingest pipeline).
+
+    The stateless join family member: no watermark and no state store,
+    because the static side is complete — each micro-batch joins
+    against it directly. ``broadcast_dim=True`` pins the hash-map plan
+    (a dimension that fits in memory should never shuffle the stream);
+    at 100 TB/day the stream side stays unshuffled either way, and a
+    too-big-to-broadcast dimension degrades to a shuffled join of the
+    micro-batch only. For a dimension that CHANGES mid-stream, snapshot
+    semantics depend on the source (plain parquet is read once at plan
+    time) — re-plan per batch via foreachBatch when freshness matters;
+    this helper deliberately keeps the simple, documented contract.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, key, "left")

@@ -667,3 +667,43 @@ def test_incremental_dedup_sink_replay_after_crash(spark, tmp_path):
     incremental_dedup_sink(stream3, store, str(tmp_path / "ckpt_fresh"))
     ids = [r.event_id for r in spark.read.parquet(store).select("event_id").collect()]
     assert sorted(ids) == [1, 2, 3], f"full replay duplicated keys: {sorted(ids)}"
+
+
+def test_enrich_stream_matches_batch(spark, tmp_path):
+    """Stream-static broadcast enrichment: the streamed result equals
+    the batch join, including events whose key has no dimension row."""
+    import pyspark.sql.functions as F
+
+    from nlp_with_pyspark_spark.streaming.joins import enrich_stream
+    from nlp_with_pyspark_spark.streaming.windows import (
+        events_stream_from_dir,
+        run_to_memory,
+    )
+
+    base = 1_700_000_000_000_000
+    src = tmp_path / "enrich_src"
+    src.mkdir()
+    rows = [
+        (1, base, 10, "click", 1.0, "{}"),
+        (2, base + 1_000_000, 20, "view", 2.0, "{}"),
+        (3, base + 2_000_000, 99, "click", 3.0, "{}"),  # no dim row
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts_us long, user_id long, event_type string, value double, props string"
+    ).select(
+        "event_id", F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    batch.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    dim = spark.createDataFrame(
+        [(10, "gold"), (20, "trial"), (30, "unused")], "user_id long, segment string"
+    )
+    pick = lambda df: df.select("event_id", "user_id", "segment")
+
+    expected = {tuple(r) for r in pick(enrich_stream(batch, dim)).collect()}
+    stream = events_stream_from_dir(spark, str(src))
+    run_to_memory(pick(enrich_stream(stream, dim)), "enrich_t", output_mode="append")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM enrich_t").collect()}
+    assert got == expected
+    assert (3, 99, None) in got
