@@ -75,18 +75,61 @@ def _hyperplane(dim: int, plane_idx: int, seed: str = "ann-seed") -> list[float]
     return comps[:dim]
 
 
-def signature_col(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit signature string, one char per hyperplane."""
-    bits = []
-    for p in planes:
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        d = F.aggregate(
-            F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+def _dlit(x: float) -> str:
+    """Spark SQL DOUBLE literal. The ``D`` suffix is load-bearing: a bare
+    ``0.234375`` parses as DECIMAL and decimal arithmetic would silently
+    replace the IEEE-double fold the DuckDB oracle mirrors."""
+    return f"{float(x)!r}D"
+
+
+def _arr_sql(vals: list[float]) -> str:
+    return "array(" + ", ".join(_dlit(v) for v in vals) + ")"
+
+
+def _dot_sql(vec_sql: str, plane: list[float]) -> str:
+    """SQL text of the literal-plane dot product — semantically identical
+    to the F.aggregate/F.zip_with builder it replaces, but ONE parsed
+    expression instead of ~dim py4j round trips. Measured: plan BUILD
+    for the literal-compiled queries (16-centroid IVF, 32-codebook PQ,
+    16-plane RP/LSH) was 1.1-3.0 s of pure driver-side py4j expression
+    construction per query — more than their execution at sf0.1, and a
+    per-job driver stall at any scale."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {_arr_sql(plane)}, "
+        "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _d2_sql(vec_sql: str, centroid: list[float]) -> str:
+    """SQL text of squared euclidean distance to a literal centroid —
+    strict left-to-right fold so the DuckDB oracle's ``list_sum`` over
+    the same terms produces bit-identical doubles (see :func:`_dot_sql`
+    for why this is a string)."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {_arr_sql(centroid)}, "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def signature_col(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-bit signature string, one char per hyperplane. ``vec`` may be
+    a Column (legacy) or a SQL fragment string (fast build path)."""
+    if isinstance(vec, Column):
+        bits = []
+        for p in planes:
+            arr = F.array(*[F.lit(float(x)) for x in p])
+            d = F.aggregate(
+                F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*bits)
+    parts = ", ".join(
+        f"IF({_dot_sql(vec, p)} >= 0.0D, '1', '0')" for p in planes
+    )
+    return F.expr(f"concat({parts})")
 
 
 def lsh_topk(
@@ -111,12 +154,12 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        signature_col(F.col(vec_col), planes).alias("sig"),
+        signature_col(f"`{vec_col}`", planes).alias("sig"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        signature_col(F.col(vec_col), planes).alias("qsig"),
+        signature_col(f"`{vec_col}`", planes).alias("qsig"),
     )
     if multi_probe:
         # probe signatures: exact + each 1-bit flip
@@ -258,34 +301,12 @@ def rp_project(
     rounded 6dp for engine-stable comparison.
     """
     planes = [_hyperplane(dim, j, seed) for j in range(out_dim)]
-    comps = []
-    for p in planes:
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        comps.append(
-            F.round(
-                F.aggregate(
-                    F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            )
-        )
+    comps = ", ".join(
+        f"round({_dot_sql(f'`{vec_col}`', p)}, 6)" for p in planes
+    )
     return embeddings.select(
         F.col(id_col).alias("vec_id"),
-        F.posexplode(F.array(*comps)).alias("dim_idx", "value"),
-    )
-
-
-def _d2_literal(vec: Column, centroid: list[float]) -> Column:
-    """Squared euclidean distance of ``vec`` to a literal centroid —
-    strict left-to-right fold so the DuckDB oracle's ``list_sum`` over
-    the same terms produces bit-identical doubles."""
-    arr = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(vec, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+        F.posexplode(F.expr(f"array({comps})")).alias("dim_idx", "value"),
     )
 
 
@@ -318,29 +339,27 @@ def fixed_centroid_ivf_topk(
     whole operator is DuckDB-oracle-able (queries.py inlines the same
     centroid literals into SQL).
     """
-    def entries(vec: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    _d2_literal(vec, c).alias("d2"),
-                    F.lit(int(lid)).alias("list_id"),
-                )
-                for lid, c in centroids
-            ]
+    def entries_sql(vec_sql: str) -> str:
+        # one parsed expression instead of n_lists * dim py4j calls
+        items = ", ".join(
+            f"struct({_d2_sql(vec_sql, c)} AS d2, {int(lid)} AS list_id)"
+            for lid, c in centroids
         )
+        return f"array({items})"
 
+    vs = f"`{vec_col}`"
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        F.array_min(entries(F.col(vec_col)))["list_id"].alias("list_id"),
+        F.expr(f"array_min({entries_sql(vs)}).list_id").alias("list_id"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         F.explode(
-            F.transform(
-                F.slice(F.array_sort(entries(F.col(vec_col))), 1, n_probe),
-                lambda s: s["list_id"],
+            F.expr(
+                f"transform(slice(array_sort({entries_sql(vs)}), 1, {n_probe}),"
+                " s -> s.list_id)"
             )
         ).alias("list_id"),
     )
@@ -409,18 +428,13 @@ def pq_encode(
     dsub = len(codebooks[0][0])
 
     def sub_entry(s: int) -> Column:
-        sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
-        entries = F.array(
-            *[
-                F.struct(
-                    _d2_literal(sub, codebooks[s][c]).alias("d2"),
-                    F.lit(c).alias("code"),
-                )
-                for c in range(len(codebooks[s]))
-            ]
+        sub_sql = f"slice(`{vec_col}`, {s * dsub + 1}, {dsub})"
+        items = ", ".join(
+            f"struct({_d2_sql(sub_sql, codebooks[s][c])} AS d2, {c} AS code)"
+            for c in range(len(codebooks[s]))
         )
         return flet(
-            F.array_min(entries),
+            F.expr(f"array_min(array({items}))"),
             lambda b: F.struct(
                 F.lit(s).alias("subspace"),
                 b["code"].alias("code"),
@@ -445,23 +459,16 @@ def pq_codes_wide(
     pure-projection shape (codebooks inlined as literals, zero shuffle);
     at 100 TB this is the table you persist — m bytes of payload per
     vector instead of dim·4."""
-    from ..functions.expr import flet
-
     m = len(codebooks)
     dsub = len(codebooks[0][0])
 
     def code(s: int) -> Column:
-        sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
-        entries = F.array(
-            *[
-                F.struct(
-                    _d2_literal(sub, codebooks[s][c]).alias("d2"),
-                    F.lit(c).alias("code"),
-                )
-                for c in range(len(codebooks[s]))
-            ]
+        sub_sql = f"slice(`{vec_col}`, {s * dsub + 1}, {dsub})"
+        items = ", ".join(
+            f"struct({_d2_sql(sub_sql, codebooks[s][c])} AS d2, {c} AS code)"
+            for c in range(len(codebooks[s]))
         )
-        return flet(F.array_min(entries), lambda b: b["code"])
+        return F.expr(f"array_min(array({items})).code")
 
     return embeddings.select(
         F.col(id_col).alias("vec_id"),
@@ -503,10 +510,11 @@ def pq_adc_topk(
     dsub = len(codebooks[0][0])
 
     def lut(s: int) -> Column:
-        sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
-        return F.array(
-            *[_d2_literal(sub, codebooks[s][c]) for c in range(len(codebooks[s]))]
+        sub_sql = f"slice(`{vec_col}`, {s * dsub + 1}, {dsub})"
+        items = ", ".join(
+            _d2_sql(sub_sql, codebooks[s][c]) for c in range(len(codebooks[s]))
         )
+        return F.expr(f"array({items})")
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
