@@ -1,0 +1,99 @@
+"""Differential verification of BPE training/encoding (SURVEY §5 class:
+iterative algorithms the DuckDB oracle can't mirror — checked against an
+independent plain-Python reference instead, exact agreement required)."""
+
+import collections
+
+import pyspark.sql.functions as F
+import pytest
+
+from nlp_with_pyspark_spark.functions.text import tokens_pipeline
+from nlp_with_pyspark_spark.operators.bpe import (
+    END_OF_WORD,
+    bpe_encode,
+    bpe_train,
+    word_frequencies,
+)
+from nlp_with_pyspark_spark.sources.io import read_table
+
+
+def _ref_train(word_freqs: dict, n_merges: int, min_count: int):
+    """Independent ~20-line BPE: same pair weighting (overlapping
+    adjacents, word-frequency weighted), same argmax tie-break (count
+    desc, then lexicographically smallest pair), same greedy
+    left-to-right merge."""
+    state = {tuple(list(w) + [END_OF_WORD]): n for w, n in word_freqs.items()}
+    rules = []
+    for _ in range(n_merges):
+        counts = collections.Counter()
+        for sym, n in state.items():
+            for i in range(len(sym) - 1):
+                counts[(sym[i], sym[i + 1])] += n
+        if not counts:
+            break
+        m = max(counts.values())
+        if m < min_count:
+            break
+        a, b = min(p for p, c in counts.items() if c == m)
+        rules.append((a, b, m))
+        new_state = {}
+        for sym, n in state.items():
+            out = []
+            for s in sym:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            new_state[tuple(out)] = n
+        state = new_state
+    return rules
+
+
+def _ref_encode(word: str, rules):
+    sym = list(word) + [END_OF_WORD]
+    for a, b, _ in rules:
+        out = []
+        for s in sym:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        sym = out
+    return sym
+
+
+@pytest.fixture(scope="module")
+def toks(spark, sf_dir):
+    return (
+        read_table(spark, sf_dir, "documents")
+        .withColumn("tokens", tokens_pipeline(F.col("text")))
+        .select("doc_id", "tokens")
+        .cache()
+    )
+
+
+def test_bpe_train_matches_reference_exactly(toks):
+    freqs = {r.w: r.n for r in word_frequencies(toks).collect()}
+    assert len(freqs) > 20, "corpus too small for a meaningful check"
+    expected = _ref_train(freqs, n_merges=30, min_count=2)
+    got = bpe_train(toks, n_merges=30, min_pair_count=2)
+    assert got == expected
+    assert len(got) >= 10, "corpus should support at least 10 merges"
+    # counts must be non-increasing is NOT guaranteed by BPE (a merge can
+    # create a new high-frequency pair); assert the weaker sanity bound
+    assert all(c >= 2 for _, _, c in got)
+
+
+def test_bpe_encode_reconstructs_and_matches_reference(toks):
+    rules = bpe_train(toks, n_merges=20, min_pair_count=2)
+    sample = toks.limit(20)
+    enc = bpe_encode(sample, rules).collect()
+    assert enc, "empty sample"
+    for row in enc:
+        # subwords concatenate back to the original words + markers
+        assert "".join(row.subwords) == "".join(
+            w + END_OF_WORD for w in row.tokens
+        )
+        # and agree with the reference encoder word by word
+        flat_ref = [s for w in row.tokens for s in _ref_encode(w, rules)]
+        assert list(row.subwords) == flat_ref
