@@ -542,6 +542,100 @@ def pq_adc_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The full IVF-PQ search (Jégou et al. 2011): coarse quantizer
+    prunes WHICH vectors to score (each query touches ``n_probe`` of
+    the inverted lists), product quantization compresses WHAT is
+    scored (m byte codes + per-query LUT lookups instead of float
+    vectors). Composition of the two literal-compiled halves:
+
+      * corpus side — ONE projection assigns the IVF list (argmin over
+        literal centroids) AND encodes the PQ codes; at 100 TB this is
+        the index build, persisted bucketed by list_id with m bytes of
+        payload per vector.
+      * query side — ONE projection ranks centroids (array_sort, keep
+        ``n_probe``) and computes the ADC lookup table.
+      * search — bucket join on list_id (probe set broadcast), ADC fold
+        over codes, per-query rank window. The corpus is never
+        shuffled and never touched outside the probed lists.
+
+    Equality anchor (pinned in tests): with ``n_probe = len(centroids)``
+    every list is probed, so the result must EQUAL plain
+    :func:`pq_adc_topk` row-for-row — the IVF half prunes candidates,
+    it must never change scores.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    vs = f"`{vec_col}`"
+
+    def centroid_entries_sql(vec_sql: str) -> str:
+        items = ", ".join(
+            f"struct({_d2_sql(vec_sql, c)} AS d2, {int(lid)} AS list_id)"
+            for lid, c in centroids
+        )
+        return f"array({items})"
+
+    def code_sql(s: int) -> str:
+        sub_sql = f"slice({vs}, {s * dsub + 1}, {dsub})"
+        items = ", ".join(
+            f"struct({_d2_sql(sub_sql, codebooks[s][c])} AS d2, {c} AS code)"
+            for c in range(len(codebooks[s]))
+        )
+        return f"array_min(array({items})).code"
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(f"array_min({centroid_entries_sql(vs)}).list_id").alias("list_id"),
+        F.expr(f"array({', '.join(code_sql(s) for s in range(m))})").alias("codes"),
+    )
+
+    def lut_sql(s: int) -> str:
+        sub_sql = f"slice({vs}, {s * dsub + 1}, {dsub})"
+        return (
+            "array("
+            + ", ".join(
+                _d2_sql(sub_sql, codebooks[s][c]) for c in range(len(codebooks[s]))
+            )
+            + ")"
+        )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.expr(
+                f"transform(slice(array_sort({centroid_entries_sql(vs)}), 1, {n_probe}),"
+                " s -> s.list_id)"
+            )
+        ).alias("list_id"),
+        F.expr(f"array({', '.join(lut_sql(s) for s in range(m))})").alias("lut"),
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("lut"),
+            lambda cd, l: F.element_at(l, cd + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c.join(F.broadcast(q), "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(dist, 6).alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def pq_train(
     corpus: DataFrame,
     m: int = 8,

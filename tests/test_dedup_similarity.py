@@ -498,3 +498,59 @@ def test_dedup_lines_hash_families_agree(spark):
     b = sorted(dedup_lines(docs, min_df=2, hash_fn="xxhash64").collect())
     assert a == b
     assert all(r.n_dropped == 2 for r in a)
+
+
+def test_ivfpq_full_probe_equals_plain_adc(emb):
+    """IVF must PRUNE candidates, never change scores: probing every
+    list must reproduce plain ADC search row-for-row."""
+    from nlp_with_pyspark_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_adc_topk,
+        pq_codes_wide,
+        pq_fixed_codebooks,
+    )
+
+    cbs = pq_fixed_codebooks()
+    cents = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    ]
+    queries = emb.where(F.col("vec_id") < 5)
+    full = sorted(
+        tuple(r)
+        for r in ivfpq_topk(
+            emb, queries, cents, cbs, k=5, n_probe=len(cents)
+        ).collect()
+    )
+    plain = sorted(
+        tuple(r) for r in pq_adc_topk(pq_codes_wide(emb, cbs), queries, cbs, k=5).collect()
+    )
+    assert full == plain and full
+
+
+def test_ivfpq_pruned_probe_is_subset_with_same_scores(emb):
+    """With n_probe < n_lists the result ranks a SUBSET of candidates —
+    every returned pair must carry the same ADC distance as plain ADC."""
+    from nlp_with_pyspark_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_adc_topk,
+        pq_codes_wide,
+        pq_fixed_codebooks,
+    )
+
+    cbs = pq_fixed_codebooks()
+    cents = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    ]
+    queries = emb.where(F.col("vec_id") < 5)
+    pruned = ivfpq_topk(emb, queries, cents, cbs, k=5, n_probe=2).collect()
+    plain = {
+        (r.query_id, r.neighbor_id): r.adc_d2
+        for r in pq_adc_topk(pq_codes_wide(emb, cbs), queries, cbs, k=len(
+            emb.collect()
+        )).collect()
+    }
+    assert pruned
+    for r in pruned:
+        assert plain[(r.query_id, r.neighbor_id)] == r.adc_d2
