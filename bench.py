@@ -94,6 +94,7 @@ HEADLINE = [
     "model_auc_eval",
     "markup_strip_stats",
     "line_dedup_stats",
+    "ann_ivfpq_topk",
     "click_purchase_funnel",
     "corpus_pipeline_funnel",
     "doc_lm_scores",

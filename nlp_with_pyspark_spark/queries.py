@@ -1451,6 +1451,134 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fixed_centroid_ivf_topk(emb, queries_df, centroids, k=10, n_probe=4)
 
 
+def _ann_ivfpq_sql(
+    n_lists: int = 8,
+    n_probe: int = 3,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 4,
+    dsub: int = 8,
+) -> str:
+    """Exact mirror of similarity.ivfpq_topk: the deterministic coarse
+    quantizer (centroids = embeddings of vec_id < n_lists, as in
+    ann_ivf_topk) plus the fixed md5 PQ codebooks (as in
+    embedding_pq_codes) composed — codes from the corpus side, lookup
+    tables from the probed query side, distance = Σ_s lut_s[code_s].
+    Every sub-expression reuses a rendering already proven hash-green
+    on its own query."""
+    from .operators.similarity import pq_fixed_codebooks
+
+    cbs = pq_fixed_codebooks(m, ksub, dsub)
+
+    def cd2(vec: str) -> str:  # centroid distance (data-derived centroid col)
+        return (
+            f"list_sum(list_transform(list_zip({vec}, centroid),"
+            " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+            " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+        )
+
+    def pq_d2(vec: str, s: int, c: int) -> str:  # literal-codebook distance
+        a, b = s * dsub + 1, s * dsub + dsub
+        arr = "[" + ", ".join(repr(x) for x in cbs[s][c]) + "]"
+        return (
+            f"list_sum(list_transform(list_zip({vec}[{a}:{b}], {arr}),"
+            " p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))"
+        )
+
+    code_cols = []
+    for s in range(m):
+        ds = [pq_d2("cv", s, c) for c in range(ksub)]
+        case = " ".join(
+            f"WHEN d{s}_{c} <= least({', '.join(f'd{s}_{cc}' for cc in range(c + 1, ksub))})"
+            f" THEN {c}"
+            for c in range(ksub - 1)
+        )
+        code_cols.append((ds, f"CASE {case} ELSE {ksub - 1} END AS k{s}"))
+    d_defs = ", ".join(
+        f"{expr} AS d{s}_{c}"
+        for s, (ds, _) in enumerate(code_cols)
+        for c, expr in enumerate(ds)
+    )
+    k_defs = ", ".join(case for _, case in code_cols)
+    lut_defs = ", ".join(
+        f"{pq_d2('qv', s, c)} AS l{s}_{c}" for s in range(m) for c in range(ksub)
+    )
+    dist = " + ".join(
+        "(CASE k"
+        + str(s)
+        + " "
+        + " ".join(f"WHEN {c} THEN l{s}_{c}" for c in range(ksub))
+        + " END)"
+        for s in range(m)
+    )
+    return f"""
+    WITH cent AS (
+        SELECT vec_id AS list_id, embedding AS centroid
+        FROM embeddings WHERE vec_id < {n_lists}
+    ),
+    c_assign AS (
+        SELECT neighbor_id, cv, list_id FROM (
+            SELECT e.vec_id AS neighbor_id, e.embedding AS cv, cent.list_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {cd2("e.embedding")} ASC, cent.list_id ASC
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cent
+        ) WHERE rn = 1
+    ),
+    codes AS (
+        SELECT neighbor_id, list_id, {k_defs}
+        FROM (SELECT neighbor_id, list_id, {d_defs} FROM c_assign) cb
+    ),
+    probes AS (
+        SELECT query_id, qv, list_id FROM (
+            SELECT e.vec_id AS query_id, e.embedding AS qv, cent.list_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {cd2("e.embedding")} ASC, cent.list_id ASC
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cent
+            WHERE e.vec_id < 5
+        ) WHERE rn <= {n_probe}
+    ),
+    luts AS (SELECT query_id, list_id, {lut_defs} FROM probes),
+    scored AS (
+        SELECT query_id, neighbor_id, round({dist}, 6) AS adc_d2
+        FROM codes JOIN luts USING (list_id)
+        WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, adc_d2, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_d2 ASC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    WHERE rank <= {k}
+    """
+
+
+@query("ann_ivfpq_topk", _ann_ivfpq_sql())
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF-PQ search (similarity.ivfpq_topk) with both
+    halves deterministic — pinned sampled centroids (vec_id < 8) and
+    the fixed md5 codebooks — so the FULL composition (assign + encode
+    + probe + LUT + ADC fold + rank) is hash-verified by the driver,
+    on top of the operator tests pinning full-probe ≡ plain ADC."""
+    from .operators.similarity import ivfpq_topk, pq_fixed_codebooks
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent_rows = emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    centroids = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in cent_rows]
+    return ivfpq_topk(
+        emb,
+        emb.where(F.col("vec_id") < 5),
+        centroids,
+        pq_fixed_codebooks(),
+        k=10,
+        n_probe=3,
+    )
+
+
 # ---------------------------------------------------------------------------
 # As-of join, supplier rollup, exact percentiles (coverage widening)
 # ---------------------------------------------------------------------------
@@ -3237,6 +3365,9 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 #:   multimodal_asset_stats   — metadata-only agg; decode_features is the
 #:                              deeper multimodal rep and the payload
 #:                              pruning is plan-pinned (green r5)
+#:   ann_brute_force_topk     — the exact verifier shape, green in all
+#:                              five rounds; the ANN family stays repped
+#:                              by ann_lsh / ann_ivf / ann_ivfpq
 _DEMOTED_PAST_CHECK_WINDOW = [
     "salted_nation_revenue",
     "tfidf_smoothed_long",
@@ -3268,6 +3399,7 @@ _DEMOTED_PAST_CHECK_WINDOW = [
     "bigram_top50",
     "corpus_clean_stats",
     "multimodal_asset_stats",
+    "ann_brute_force_topk",
 ]
 
 

@@ -31,7 +31,7 @@ REQUIRED_IN_WINDOW = {
     "doc_fingerprints", "repetition_features", "confusion_metrics",
     # dedup / similarity
     "dedup_exact_groups", "dedup_minhash_pairs", "dedup_components",
-    "simhash_near_pairs", "ann_brute_force_topk", "ann_lsh_topk",
+    "simhash_near_pairs", "ann_lsh_topk",
     "ann_ivf_topk", "embedding_centroid_topk",
     # pipeline / corpus hygiene
     "stratified_sample_by_lang", "doc_token_chunks", "token_pack_assignments",
@@ -47,7 +47,7 @@ REQUIRED_IN_WINDOW = {
     # / top_parts_by_revenue demoted to make room, all green in r5)
     "dup_ngram_coverage", "domain_mixture_weights", "embedding_pq_codes",
     "corpus_stats_card", "model_auc_eval", "markup_strip_stats",
-    "line_dedup_stats",
+    "line_dedup_stats", "ann_ivfpq_topk",
 }
 
 
