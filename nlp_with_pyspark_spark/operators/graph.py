@@ -56,37 +56,49 @@ def _canonical(edges: DataFrame) -> DataFrame:
     )
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _large_star(edges: DataFrame, p: int) -> DataFrame:
     """Connect every strictly-larger neighbor of each node to the
     minimum of its closed neighborhood (Kiveris et al. §3, map phase
-    expressed as a window-min instead of a reduce over collect_list)."""
+    expressed as a window-min instead of a reduce over collect_list).
+
+    ``p``-width exchanges: the explicit ``repartition(p, key)`` BELOW the
+    window / distinct already satisfies their ``ClusteredDistribution``
+    requirement (hash-partitioning on the key, any partition count), so
+    EnsureRequirements inserts no further Exchange and every stage of the
+    round runs at width ``p`` — without touching session config (a
+    session-global ``spark.sql.shuffle.partitions`` flip here would
+    silently re-plan any concurrent query on the same session)."""
     sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     w = Window.partitionBy("u")
     m = F.least(F.col("u"), F.min("v").over(w))
     return (
-        sym.select("u", "v", m.alias("m"))
+        sym.repartition(p, "u")
+        .select("u", "v", m.alias("m"))
         .where(F.col("v") > F.col("u"))
         .select(F.col("m").alias("u"), F.col("v").alias("v"))
         .where(F.col("u") != F.col("v"))
+        .repartition(p, "u", "v")
         .distinct()
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, p: int) -> DataFrame:
     """Attach each canonical edge to its larger endpoint; link all of
     that node's smaller neighbors (and the node itself) to the group
     minimum. Emission is one edge per input row: the row holding the
     minimum stands in for the (node → min) edge, so no explode and no
-    per-group array is ever built."""
+    per-group array is ever built. ``p``: see ``_large_star``."""
     w = Window.partitionBy("v")
     m = F.min("u").over(w)
     return (
-        edges.select("u", "v", m.alias("m"))
+        edges.repartition(p, "v")
+        .select("u", "v", m.alias("m"))
         .select(
             F.col("m").alias("u"),
             F.when(F.col("u") == F.col("m"), F.col("v")).otherwise(F.col("u")).alias("v"),
         )
         .where(F.col("u") != F.col("v"))
+        .repartition(p, "u", "v")
         .distinct()
     )
 
@@ -113,50 +125,47 @@ def connected_components(
     e = _canonical(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
     e = e.localCheckpoint()
 
-    # Size the contraction's shuffle width to the MEASURED edge count
+    # Size the contraction's exchange width to the MEASURED edge count
     # (the count is a block scan — e is checkpointed). Every round runs
-    # 4 exchanges whose width Spark fixes at planning time from
-    # spark.sql.shuffle.partitions; on a small edge list the rounds are
-    # pure scheduling overhead at full width (measured at sf0.1, 244
-    # edges: 1.94s/2 rounds at width 32 vs 0.85s at width 1 — AQE
-    # coalesces the reads but not the per-stage latency). On a 100 TB
-    # edge list p saturates at the session width and nothing changes.
-    # The conf is set around the loop's synchronous actions only and
-    # restored in a finally — the engine owns the session between those
-    # actions (same documented contract as sources/io.read_table's UTC
-    # pin).
+    # 4 exchanges; on a small edge list the rounds are pure scheduling
+    # overhead at full session width (measured at sf0.1, 244 edges:
+    # 1.94s/2 rounds at width 32 vs 0.85s at width 1 — AQE coalesces
+    # the reads but not the per-stage latency). The width is applied via
+    # per-frame repartition(p, key) INSIDE the star maps (their
+    # hash-partitioning satisfies the window/distinct distribution
+    # requirements at any partition count), not by mutating the
+    # session-global spark.sql.shuffle.partitions — a concurrent query
+    # planned on the same session must not silently inherit the
+    # contraction's width. On a 100 TB edge list p saturates at the
+    # session width and nothing changes.
     spark = e.sparkSession
     n_edges = e.count()
-    orig_width = spark.conf.get("spark.sql.shuffle.partitions")
-    p = max(1, min(int(orig_width), n_edges // _EDGES_PER_PARTITION + 1))
-    spark.conf.set("spark.sql.shuffle.partitions", str(p))
-    try:
-        prev_sig = None
-        for _ in range(max_iter):
-            # LAZY checkpoint: the signature agg below is the
-            # materializing action, so each round runs ONE job
-            # (contract + checkpoint + signature) instead of two (eager
-            # checkpoint, then an agg over the stored blocks). Round
-            # r+1 still reads materialized blocks.
-            e = _small_star(_large_star(e)).localCheckpoint(eager=False)
-            row = e.agg(
-                F.count(F.lit(1)).alias("n"),
-                # decimal(38,0) sum: overflow-free under ANSI mode for any
-                # edge count the planet has disks for (2^63 · 10^18 ≪ 10^38)
-                F.coalesce(
-                    F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
-                ).alias("h"),
-            ).collect()[0]
-            sig = (row["n"], row["h"])
-            if sig == prev_sig:
-                break
-            prev_sig = sig
-        else:
-            raise RuntimeError(
-                f"connected_components: no convergence in {max_iter} rounds"
-            )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", orig_width)
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    p = max(1, min(width, n_edges // _EDGES_PER_PARTITION + 1))
+    prev_sig = None
+    for _ in range(max_iter):
+        # LAZY checkpoint: the signature agg below is the
+        # materializing action, so each round runs ONE job
+        # (contract + checkpoint + signature) instead of two (eager
+        # checkpoint, then an agg over the stored blocks). Round
+        # r+1 still reads materialized blocks.
+        e = _small_star(_large_star(e, p), p).localCheckpoint(eager=False)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) sum: overflow-free under ANSI mode for any
+            # edge count the planet has disks for (2^63 · 10^18 ≪ 10^38)
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components: no convergence in {max_iter} rounds"
+        )
 
     # Fixpoint edges form stars (component_min, member).
     members = e.select(F.col("v").alias("node"), F.col("u").alias("component"))

@@ -1,9 +1,11 @@
 #!/usr/bin/env python
 """Empirical scale-up probe behind SCALING.md.
 
-Replicates the sf0.1 ``documents`` table ``--factor`` times with
-position-salted perturbation, then times selected queries warm
-(median-of-3) at 1x and at Nx on the same local[32] session. The
+Replicates the sf0.1 ``documents`` table (and, with ``--tables``, the
+``events`` / ``orders`` tables via id-offset replication) ``--factor``
+times with position-salted perturbation, then times selected queries
+warm (median-of-3, noop-sink full materialization — see
+``materialize``) at 1x and at Nx on the same local[32] session. The
 question this answers is the one code review can't: does any operator
 hide super-linear work, or does any plan flip to a pathological
 strategy, when the input grows?
@@ -55,13 +57,49 @@ DEFAULT_QUERIES = (
 )
 
 
-def build_replicated_dir(spark, base_dir: str, out_dir: str, factor: int) -> None:
-    """Materialize ``documents`` x factor into out_dir; symlink the rest."""
+def build_replicated_dir(
+    spark, base_dir: str, out_dir: str, factor: int, tables: tuple[str, ...] = ("documents",)
+) -> None:
+    """Materialize ``tables`` x factor into out_dir; symlink the rest.
+
+    A ``_FACTOR`` marker stamps what the directory was built with:
+    reusing ``--out`` across factors (or table sets) previously returned
+    the OLD dataset silently and labelled its timings with the NEW
+    factor — now it's a hard error.
+    """
     os.makedirs(out_dir, exist_ok=True)
+    stamp = os.path.join(out_dir, "_FACTOR")
+    want = f"{factor}:{','.join(sorted(tables))}"
+    if os.path.exists(stamp):
+        with open(stamp) as fh:
+            got = fh.read().strip()
+        if got != want:
+            raise SystemExit(
+                f"scale_probe: {out_dir} was built with factor/tables {got!r}, "
+                f"requested {want!r} — use a different --out or delete the dir"
+            )
     for name in os.listdir(base_dir):
         dst = os.path.join(out_dir, name)
-        if name != "documents.parquet" and not os.path.exists(dst):
+        if name.removesuffix(".parquet") not in tables and not os.path.exists(dst):
             os.symlink(os.path.join(base_dir, name), dst)
+    if all(
+        os.path.exists(os.path.join(out_dir, f"{t}.parquet")) for t in tables
+    ) and os.path.exists(stamp):
+        return
+    for t in tables:
+        if t == "documents":
+            _replicate_documents(spark, base_dir, out_dir, factor)
+        elif t == "events":
+            _replicate_events(spark, base_dir, out_dir, factor)
+        elif t == "orders":
+            _replicate_orders(spark, base_dir, out_dir, factor)
+        else:
+            raise SystemExit(f"scale_probe: no replication rule for table {t}")
+    with open(stamp, "w") as fh:
+        fh.write(want)
+
+
+def _replicate_documents(spark, base_dir: str, out_dir: str, factor: int) -> None:
     dst = os.path.join(out_dir, "documents.parquet")
     if os.path.exists(dst):
         return
@@ -95,6 +133,73 @@ def build_replicated_dir(spark, base_dir: str, out_dir: str, factor: int) -> Non
     os.rename(dst + ".tmp", dst)
 
 
+def _replicate_events(spark, base_dir: str, out_dir: str, factor: int) -> None:
+    """events x factor: replica r's rows keep their timestamps but get
+    fresh user/event ids (user_id + r*10_000_000, event_id +
+    r*1_000_000_000). User count thus grows linearly — per-user
+    structure (session gaps, click→purchase sequences) is preserved
+    exactly, while time-bucketed aggregations see factor x rows per
+    bucket. That is the row-count stress the event family needs: window
+    keys (user) multiply, window contents (time buckets) densify."""
+    dst = os.path.join(out_dir, "events.parquet")
+    if os.path.exists(dst):
+        return
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(os.path.join(base_dir, "events.parquet"))
+    reps = spark.range(factor).withColumnRenamed("id", "r")
+    out = ev.crossJoin(F.broadcast(reps)).select(
+        (F.col("event_id") + F.col("r") * F.lit(1_000_000_000)).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("r") * F.lit(10_000_000)).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+    out.repartition(32).write.mode("overwrite").parquet(dst + ".tmp")
+    os.rename(dst + ".tmp", dst)
+
+
+def _replicate_orders(spark, base_dir: str, out_dir: str, factor: int) -> None:
+    """orders x factor: fresh order/customer keys per replica (same
+    offset scheme); dates and prices unchanged. Customer count grows
+    linearly, so per-customer windows (rank top-k, trailing-7d range
+    frame) keep their per-key row counts while the key space — and the
+    window shuffle — multiplies."""
+    dst = os.path.join(out_dir, "orders.parquet")
+    if os.path.exists(dst):
+        return
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(os.path.join(base_dir, "orders.parquet"))
+    reps = spark.range(factor).withColumnRenamed("id", "r")
+    out = o.crossJoin(F.broadcast(reps)).select(
+        (F.col("o_orderkey") + F.col("r") * F.lit(1_000_000_000)).alias("o_orderkey"),
+        (F.col("o_custkey") + F.col("r") * F.lit(10_000_000)).alias("o_custkey"),
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    out.repartition(32).write.mode("overwrite").parquet(dst + ".tmp")
+    os.rename(dst + ".tmp", dst)
+
+
+def materialize(df) -> None:
+    """Force FULL evaluation of every output column.
+
+    ``count()`` is NOT that: Catalyst prunes a count down to the
+    cheapest plan that yields row cardinality, so a projection-only
+    query (markup strip, stats-card signals) degenerates to a metadata
+    row-count scan and the timing measures scheduling overhead, not the
+    operator (the round-6 probe made exactly that mistake — its "flat at
+    100x" rows for the projection queries were unsupported). The noop
+    sink evaluates every row of every column and discards the bytes —
+    the standard Spark benchmarking sink, no transfer/serialization
+    cost added."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def time_query(spark, name: str, sf_dir: str, runs: int = 3) -> tuple[float, int]:
     fn = QUERIES[name]
     # TWO warm runs: cold-JVM JIT takes more than one pass to reach
@@ -102,11 +207,11 @@ def time_query(spark, name: str, sf_dir: str, runs: int = 3) -> tuple[float, int
     # session: 19.2s, 3.9s, then ~2.1s steady — a single warm run left
     # half the compile cost inside the first sample)
     n_rows = fn(spark, sf_dir).count()
-    fn(spark, sf_dir).count()
+    materialize(fn(spark, sf_dir))
     samples = []
     for _ in range(runs):
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        materialize(fn(spark, sf_dir))
         samples.append(time.perf_counter() - t0)
     return sorted(samples)[len(samples) // 2], n_rows
 
@@ -118,8 +223,15 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument("--queries", default=DEFAULT_QUERIES)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument(
+        "--tables",
+        default="documents",
+        help="comma list of tables to replicate (documents,events,orders); "
+        "the rest are symlinked from --base",
+    )
     args = ap.parse_args()
-    out_dir = args.out or f"/tmp/scale{args.factor}x"
+    tables = tuple(sorted(t.strip() for t in args.tables.split(",") if t.strip()))
+    out_dir = args.out or f"/tmp/scale{args.factor}x_{'_'.join(tables)}"
 
     names = [n.strip() for n in args.queries.split(",")]
 
@@ -133,7 +245,7 @@ def main() -> None:
 
         spark = get_spark(app_name=f"scale-probe-build-{args.factor}x")
         spark.sparkContext.setLogLevel("ERROR")
-        build_replicated_dir(spark, args.base, out_dir, args.factor)
+        build_replicated_dir(spark, args.base, out_dir, args.factor, tables)
         spark.stop()
         results = {}
         for name in names:
@@ -146,6 +258,7 @@ def main() -> None:
                     "--out", out_dir,
                     "--queries", name,
                     "--runs", str(args.runs),
+                    "--tables", ",".join(tables),
                 ],
                 capture_output=True,
                 text=True,
@@ -159,7 +272,7 @@ def main() -> None:
 
     spark = get_spark(app_name=f"scale-probe-{names[0]}")
     spark.sparkContext.setLogLevel("ERROR")
-    build_replicated_dir(spark, args.base, out_dir, args.factor)
+    build_replicated_dir(spark, args.base, out_dir, args.factor, tables)
 
     results = {}
     for name in names:
