@@ -6,30 +6,42 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is fully materialized via a count-style action
-(``df.toPandas`` would add transfer cost that isn't query time;
-``count()`` after a no-op cache-buster keeps it honest but cheap).
+Measurement protocol (round 7 — numbers are NOT comparable to rounds
+≤ 6, which ran every leg in one shared JVM and timed via ``count()``):
 
-Each query runs ``BENCH_RUNS`` (default 3) consecutive times and
-reports the MEDIAN: single-shot numbers mixed machine-contention noise
-and first-run codegen-compile cost into every round-over-round delta
-(round 2's uniform ~1.7× drift on untouched queries made per-query
-comparisons unreadable). The median discards a one-off slow run while
-still charging queries whose plans are consistently heavy; per-query
-spreads land in "spread" for drift diagnosis.
+* **One OS process per query leg.** Rounds 5→6 showed a ~12% suite
+  drift concentrated on queries whose code had not changed; the scale
+  probe had already measured the cause — a stopped SparkContext leaves
+  its JVM heap (and any localCheckpoint blocks) behind, so legs that
+  run after a heavy query inherit GC churn worth 3-6x on small
+  timings. A subprocess per leg gives every query an equally-sized,
+  equally-cold JVM, making round-over-round per-query deltas
+  attributable to code.
+* **Two warm runs, then median of ``BENCH_RUNS`` (default 3).**
+  Cold-JVM JIT takes 2-3 passes to reach steady state (measured:
+  19.2s / 3.9s / ~2.1s on dedup_minhash_pairs at sf0.1); a single warm
+  run left half the compile cost inside the first sample.
+* **noop-sink materialization, not count().** Catalyst prunes a
+  ``count()`` down to the cheapest row-cardinality plan — for a
+  projection-only query that is a metadata row-count scan that never
+  evaluates the projection. ``df.write.format("noop")`` evaluates
+  every row of every output column and discards the bytes: the
+  standard Spark benchmarking sink, no transfer cost added.
+
+Per-leg wall cost is ~6s of JVM startup + warms on top of query time;
+the whole suite stays well inside the driver's budget and the numbers
+it yields are finally attributable.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from nlp_with_pyspark_spark.queries import QUERIES  # noqa: E402
-from nlp_with_pyspark_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "tfidf_long",
@@ -99,6 +111,8 @@ HEADLINE = [
     "corpus_pipeline_funnel",
     "doc_lm_scores",
     "embedding_rp_project",
+    "dedup_delta_pairs",
+    "bpe_merge_stats",
 ]
 # Excluded on purpose: dedup_ngram_jaccard / embedding_near_dups are the
 # exact all-pairs VERIFIERS for the LSH/minhash scale paths (quadratic by
@@ -113,41 +127,70 @@ HEADLINE = [
 # not directly comparable to rounds ≤ 5 on those names.
 
 
+def run_one(name: str, sf_dir: str, runs: int) -> None:
+    """Subprocess entry: warm twice, time ``runs`` noop-sink
+    materializations, print one JSON line {name: {"med": s, "spread":
+    [...]}} to stdout."""
+    from nlp_with_pyspark_spark.queries import QUERIES
+    from nlp_with_pyspark_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench-{name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    fn = QUERIES[name]
+
+    def mat() -> None:
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    mat()
+    mat()
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        mat()
+        samples.append(round(time.perf_counter() - t0, 3))
+    print(json.dumps({name: {"med": sorted(samples)[len(samples) // 2], "spread": samples}}))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="bench")
-    spark.sparkContext.setLogLevel("ERROR")
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
+
+    if len(sys.argv) == 3 and sys.argv[1] == "--one":
+        run_one(sys.argv[2], sf_dir, runs)
+        return
+
+    from nlp_with_pyspark_spark.queries import QUERIES  # import check up front
 
     names = [n for n in HEADLINE if n in QUERIES]
-    # warm the JVM/codegen path once with the cheapest query so the
-    # first measured query doesn't pay session startup costs
-    try:
-        QUERIES["vocab_top100"](spark, sf_dir).count()
-    except Exception as exc:  # noqa: BLE001 — warm-up must not kill the run
-        print(f"bench: warm-up FAILED: {exc}", file=sys.stderr)
-
-    runs = int(os.environ.get("BENCH_RUNS", "3"))
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     failed: list[str] = []
     for name in names:
-        # per-query isolation: one broken query must not erase the whole
-        # round's bench record (round 4 recorded NOTHING because query 11
-        # threw and the uncaught exception killed the run before the JSON
-        # line printed). Failures are reported in the JSON instead.
+        # per-query isolation, two ways: a broken query must not erase
+        # the whole round's bench record (round 4 recorded NOTHING when
+        # one uncaught exception killed the run before the JSON line
+        # printed), and a heavy query's JVM garbage must not inflate the
+        # legs that run after it (the round-5→6 "12% drift" — see module
+        # docstring). Each leg is a fresh OS process.
         try:
-            samples = []
-            for _ in range(runs):
-                t0 = time.perf_counter()
-                df = QUERIES[name](spark, sf_dir)
-                df.count()  # full materialization of the query result
-                samples.append(round(time.perf_counter() - t0, 3))
-            times[name] = sorted(samples)[len(samples) // 2]
-            spread[name] = samples
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", name],
+                capture_output=True,
+                text=True,
+                check=True,
+                env=os.environ,
+                timeout=600,
+            )
+            leg = json.loads(out.stdout.strip().splitlines()[-1])[name]
+            times[name] = leg["med"]
+            spread[name] = leg["spread"]
         except Exception as exc:  # noqa: BLE001 — keep benching
             failed.append(name)
-            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            tail = ""
+            if isinstance(exc, subprocess.CalledProcessError):
+                tail = (exc.stderr or "")[-400:]
+            print(f"bench: {name} FAILED: {exc} {tail}", file=sys.stderr)
 
     # The driver captures only the LAST 2000 chars of stdout and parses
     # the final line as JSON: the printed line must stay compact (round
@@ -158,7 +201,7 @@ def main() -> None:
         file=sys.stderr,
     )
     out = {
-        "metric": "suite-med-of-%d" % runs,
+        "metric": "suite-iso-med-of-%d" % runs,
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in times.items()},
