@@ -31,6 +31,8 @@ frequency cut, the standard guard in published dedup pipelines.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -876,4 +878,197 @@ def embedding_near_dup_pairs(
     cos = F.round(dot(F.col("na"), F.col("nb")), 6)
     return pairs.select("id_a", "id_b", cos.alias("cosine")).where(
         F.col("cosine") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental (delta) dedup against a persisted index
+# ---------------------------------------------------------------------------
+
+
+class MinhashIndex(NamedTuple):
+    """The persisted state of a deduplicated corpus, sufficient to check
+    a NEW crawl batch for near-duplicates without rescanning the corpus:
+
+      * ``buckets``  — (doc_id, band_id, band_hash): the LSH band-bucket
+        membership of every indexed doc. Persist bucketed by
+        ``band_hash`` (``sources.io.write_bucketed``) so the delta
+        lookup joins it with no index-side Exchange.
+      * ``shingles`` — (doc_id, shingles): the distinct-shingle sets the
+        Jaccard verify needs. Persist bucketed by ``doc_id`` for the
+        same reason.
+
+    Both tables are keys-and-hashes only — the corpus *text* is never
+    part of the index. At 100 TB of corpus the index is tens of GB per
+    billion docs (4 band rows + 1 shingle row per doc), and the cost of
+    a delta check scales with the delta batch, not the corpus.
+    """
+
+    buckets: DataFrame
+    shingles: DataFrame
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+    hash_fn: str = "md5",
+) -> MinhashIndex:
+    """Compute the index state for a corpus (in-memory DataFrames; pair
+    with :func:`persist_minhash_index` to write it down)."""
+    sh = _shingle_sets(docs, tokens_col, id_col, n)
+    return MinhashIndex(
+        buckets=_band_buckets_from_shingles(sh, k, bands, hash_fn),
+        shingles=sh,
+    )
+
+
+def persist_minhash_index(
+    index: MinhashIndex, table_prefix: str, n_buckets: int = 32, path: str | None = None
+) -> None:
+    """Write the index as two bucketed+sorted catalog tables:
+    ``{prefix}_buckets`` (by band_hash) and ``{prefix}_shingles`` (by
+    doc_id). Bucket counts must stay fixed for the life of the index —
+    they are its join-layout contract."""
+    from ..sources.io import write_bucketed
+
+    write_bucketed(
+        index.buckets,
+        f"{table_prefix}_buckets",
+        "band_hash",
+        n_buckets,
+        path=None if path is None else f"{path}/buckets",
+    )
+    write_bucketed(
+        index.shingles,
+        f"{table_prefix}_shingles",
+        "doc_id",
+        n_buckets,
+        path=None if path is None else f"{path}/shingles",
+    )
+
+
+def load_minhash_index(spark, table_prefix: str) -> MinhashIndex:
+    """Reopen a persisted index by catalog name."""
+    return MinhashIndex(
+        buckets=spark.table(f"{table_prefix}_buckets"),
+        shingles=spark.table(f"{table_prefix}_shingles"),
+    )
+
+
+def minhash_delta_pairs(
+    delta_docs: DataFrame,
+    index: MinhashIndex,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+    threshold: float = 0.7,
+    max_docs_per_bucket: int = 1000,
+    hash_fn: str = "md5",
+    materialize: bool = True,
+) -> DataFrame:
+    """Near-dup pairs of a NEW batch against (and within) an existing
+    indexed corpus — WITHOUT rescanning the corpus.
+
+    Returns (doc_a, doc_b, jaccard) for every pair with ≥1 delta-side
+    doc: delta↔index pairs and delta↔delta pairs, never index↔index
+    (those were emitted when the index corpus was deduplicated). Delta
+    and index doc-id spaces must be disjoint.
+
+    **Equivalence contract** (pinned in tests/test_dedup_delta.py): the
+    output is EXACTLY ``minhash_dedup_pairs(index_corpus ∪ delta)``
+    restricted to pairs touching the delta — including the
+    ``max_docs_per_bucket`` skew guard, which here counts the COMBINED
+    bucket membership (index + delta), not the delta alone. The
+    incremental path is not an approximation of the batch path.
+
+    Plan shape at scale: the delta's band keys (4 small rows per delta
+    doc) are broadcast as a semi-join filter over the index buckets
+    table, and the candidate doc-ids likewise over the shingle table —
+    the index is scanned (keys-and-hashes tables, no corpus text) but
+    NO index row ever crosses an Exchange: shuffle volume is
+    O(delta + collisions), not O(corpus). Asserted on the physical plan
+    in tests/test_dedup_delta.py against the persisted index.
+
+    ``materialize=False`` skips the two localCheckpoints (delta
+    shingles, candidates) so the WHOLE lineage stays in one inspectable
+    plan — the plan test's hook; production keeps the default.
+    """
+    delta_sh = _shingle_sets(delta_docs, tokens_col, id_col, n)
+    if materialize:
+        delta_sh = delta_sh.localCheckpoint()
+    delta_bands = _band_buckets_from_shingles(delta_sh, k, bands, hash_fn)
+    touched = delta_bands.select("band_id", "band_hash").distinct()
+
+    idx_members = index.buckets.join(
+        F.broadcast(touched), ["band_id", "band_hash"], "left_semi"
+    )
+    members = delta_bands.select(
+        "band_id", "band_hash", "doc_id", F.lit(True).alias("is_delta")
+    ).unionByName(
+        idx_members.select(
+            "band_id", "band_hash", "doc_id", F.lit(False).alias("is_delta")
+        )
+    )
+    # combined-bucket pair generation — _bucket_pairs with the delta flag
+    # carried through (sort_array on (doc_id, is_delta) structs orders by
+    # doc_id, so emitted pairs are doc_a < doc_b like the batch path)
+    buckets = (
+        members.groupBy("band_id", "band_hash")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "is_delta"))
+            ).alias("ms")
+        )
+        .where((F.size("ms") >= 2) & (F.size("ms") <= max_docs_per_bucket))
+    )
+    ms = F.col("ms")
+    pair_arr = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.filter(
+                F.transform(
+                    F.slice(ms, i + 2, F.size(ms)),
+                    lambda y: F.struct(
+                        x["doc_id"].alias("doc_a"),
+                        y["doc_id"].alias("doc_b"),
+                        (x["is_delta"] | y["is_delta"]).alias("touches_delta"),
+                    ),
+                ),
+                lambda p: p["touches_delta"],
+            ),
+        )
+    )
+    cands = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+    if materialize:
+        # candidates feed the verify join TWICE (both sides) plus the
+        # needed-ids filter below — materialize once
+        cands = cands.localCheckpoint()
+    # verify against the union shingle table, PREFILTERED to candidate
+    # docs: without the filter the cands ⋈ shingles join would shuffle
+    # the ENTIRE index shingle table (O(corpus)); with it, the index
+    # scan streams under a broadcast semi join (no index-side Exchange —
+    # asserted on the plan in tests/test_dedup_delta.py) and only
+    # O(candidates) shingle rows enter the verify
+    needed = cands.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
+    all_sh = delta_sh.unionByName(index.shingles).join(
+        F.broadcast(needed), "doc_id", "left_semi"
+    )
+    a = all_sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = all_sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    joined = cands.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return joined.select("doc_a", "doc_b", F.round(jac, 8).alias("jaccard")).where(
+        F.col("jaccard") >= threshold
     )

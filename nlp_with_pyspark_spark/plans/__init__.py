@@ -1,6 +1,8 @@
 from .inspect import (
+    ancestor_chains,
     assert_no_shuffle_joins,
     count_occurrences,
+    exchanges_covering,
     final_plan_string,
     pushed_filters,
     plan_string,
@@ -8,8 +10,10 @@ from .inspect import (
 )
 
 __all__ = [
+    "ancestor_chains",
     "assert_no_shuffle_joins",
     "count_occurrences",
+    "exchanges_covering",
     "final_plan_string",
     "pushed_filters",
     "plan_string",

@@ -51,6 +51,50 @@ def count_occurrences(df: DataFrame, op: str) -> int:
     return plan_string(df).count(op)
 
 
+def _plan_depth(line: str) -> int:
+    # column of the child marker ("+- " / ":- ") — stable against
+    # whole-stage-codegen "*(n)" prefixes that shift the name column
+    hits = [i for i in (line.find("+- "), line.find(":- ")) if i >= 0]
+    return min(hits) + 3 if hits else 0
+
+
+def ancestor_chains(df: DataFrame, needle: str) -> list[list[str]]:
+    """For EVERY plan line containing ``needle`` (e.g. a table-path
+    fragment identifying a FileScan), the chain of its ancestor operator
+    lines, nearest first. Works on the printed plan tree: a node's
+    ancestors are exactly the earlier lines whose child marker sits at a
+    strictly smaller indent column."""
+    lines = plan_string(df).splitlines()
+    chains: list[list[str]] = []
+    for i, line in enumerate(lines):
+        if needle not in line:
+            continue
+        chain: list[str] = []
+        d = _plan_depth(line)
+        for j in range(i - 1, -1, -1):
+            dj = _plan_depth(lines[j])
+            if dj < d:
+                d = dj
+                chain.append(lines[j].strip())
+                if d == 0:
+                    break
+        chains.append(chain)
+    return chains
+
+
+def exchanges_covering(df: DataFrame, needle: str) -> int:
+    """How many SHUFFLE Exchange nodes (BroadcastExchange excluded)
+    have ``needle`` somewhere in their subtree — i.e. how many shuffles
+    the rows scanned from that source must cross. 0 means the source is
+    only ever consumed through broadcast/bucket-aligned operators."""
+    seen: set[str] = set()
+    for chain in ancestor_chains(df, needle):
+        for op in chain:
+            if "Exchange" in op and "BroadcastExchange" not in op:
+                seen.add(op)
+    return len(seen)
+
+
 def assert_no_shuffle_joins(df: DataFrame) -> None:
     """Raise if any join in the plan shuffles both sides (SortMergeJoin /
     ShuffledHashJoin) — use on dimension-join plans that must broadcast."""

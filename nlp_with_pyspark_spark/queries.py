@@ -2682,6 +2682,34 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_delta_pairs",
+    f"""
+    WITH {_MINHASH_PAIR_CTES}
+    SELECT doc_a, doc_b, jaccard FROM pairs
+    WHERE doc_a % 10 = 3 OR doc_b % 10 = 3
+    """,
+)
+def dedup_delta_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a new crawl batch against an indexed corpus
+    (operators/dedup.minhash_delta_pairs): docs with ``doc_id % 10 == 3``
+    play the delta, the rest the already-indexed corpus. The Spark side
+    runs the real incremental algorithm — delta band keys broadcast-
+    semi-joined against the index buckets, combined-bucket pair
+    generation, Jaccard verify — while the oracle is the BATCH pair
+    chain over the full corpus restricted to pairs touching the delta:
+    the query is green only because the incremental path is exactly
+    equivalent to the batch path (the persisted/bucketed variant of the
+    index, with its zero-Exchange plan, is pinned in
+    tests/test_dedup_delta.py)."""
+    from .operators.dedup import build_minhash_index, minhash_delta_pairs
+
+    docs = _tokenized_documents(spark, sf_dir)
+    delta = docs.where(F.col("doc_id") % 10 == 3)
+    corpus = docs.where(F.col("doc_id") % 10 != 3)
+    return minhash_delta_pairs(delta, build_minhash_index(corpus), threshold=0.2)
+
+
+@query(
     "line_dedup_stats",
     """
     WITH aug AS (
@@ -3400,6 +3428,18 @@ _DEMOTED_PAST_CHECK_WINDOW = [
     "corpus_clean_stats",
     "multimodal_asset_stats",
     "ann_brute_force_topk",
+    # round 7: demoted (green r6 driver rows) to open slots for
+    # dedup_delta_pairs and bpe_merge_stats, never driver-checked
+    #   doc_token_chunks          — token-count arithmetic + explode,
+    #                               covered by token_pack_assignments
+    #                               (same chunking/packing family) and
+    #                               local chunking oracle tests
+    #   click_purchase_attribution — interval join, covered by
+    #                               events_asof_click_purchase (asof
+    #                               twin) + click_purchase_funnel (its
+    #                               composition), both in-window
+    "doc_token_chunks",
+    "click_purchase_attribution",
 ]
 
 

@@ -22,7 +22,6 @@ REQUIRED_IN_WINDOW = {
     # event-time
     "events_tumbling_5m", "events_session_stats",
     "session_event_overlap", "events_asof_click_purchase",
-    "click_purchase_attribution",
     "events_json_stats",
     "click_purchase_funnel",
     # text / NLP
@@ -34,7 +33,7 @@ REQUIRED_IN_WINDOW = {
     "simhash_near_pairs", "ann_lsh_topk",
     "ann_ivf_topk", "embedding_centroid_topk",
     # pipeline / corpus hygiene
-    "stratified_sample_by_lang", "doc_token_chunks", "token_pack_assignments",
+    "stratified_sample_by_lang", "token_pack_assignments",
     "multimodal_decode_features",
     "decontamination_overlap", "pii_scrub_stats",
     "embedding_quantization_stats",
@@ -48,6 +47,10 @@ REQUIRED_IN_WINDOW = {
     "dup_ngram_coverage", "domain_mixture_weights", "embedding_pq_codes",
     "corpus_stats_card", "model_auc_eval", "markup_strip_stats",
     "line_dedup_stats", "ann_ivfpq_topk",
+    # new in round 7 (never driver-checked — must be in the window;
+    # doc_token_chunks / click_purchase_attribution demoted to make
+    # room, both green in r6)
+    "dedup_delta_pairs", "bpe_merge_stats",
 }
 
 

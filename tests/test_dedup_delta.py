@@ -1,0 +1,117 @@
+"""Incremental (delta) dedup against a persisted minhash index.
+
+The contract under test (operators/dedup.minhash_delta_pairs): checking
+a NEW batch against an indexed corpus — without rescanning the corpus —
+produces EXACTLY the pairs the batch-global run would emit restricted to
+pairs touching the delta, including the combined-bucket skew guard; and
+the index tables are only ever consumed through broadcast semi-join
+prefilters, so no unfiltered index row crosses an Exchange.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from nlp_with_pyspark_spark.functions.text import tokens_pipeline
+from nlp_with_pyspark_spark.operators.dedup import (
+    build_minhash_index,
+    load_minhash_index,
+    minhash_dedup_pairs,
+    minhash_delta_pairs,
+    persist_minhash_index,
+)
+from nlp_with_pyspark_spark.plans import ancestor_chains
+from nlp_with_pyspark_spark.sources.io import read_table
+
+
+@pytest.fixture(scope="module")
+def toks(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("tokens", tokens_pipeline(F.col("text")))
+        .select("doc_id", "tokens")
+        .localCheckpoint()
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _split(toks, mod, rem):
+    delta = toks.where(F.col("doc_id") % mod == rem)
+    corpus = toks.where(F.col("doc_id") % mod != rem)
+    return delta, corpus
+
+
+@pytest.mark.parametrize("mod,rem", [(10, 3), (3, 0)])
+def test_delta_equals_batch_restricted(spark, toks, mod, rem):
+    batch = minhash_dedup_pairs(toks, threshold=0.2)
+    restricted = batch.where(
+        (F.col("doc_a") % mod == rem) | (F.col("doc_b") % mod == rem)
+    )
+    delta, corpus = _split(toks, mod, rem)
+    out = minhash_delta_pairs(delta, build_minhash_index(corpus), threshold=0.2)
+    assert _rows(out) == _rows(restricted)
+    # the delta split must actually exercise both pair kinds at least
+    # once across the parametrization; assert non-triviality of the run
+    assert batch.count() > 0
+
+
+def test_combined_bucket_cap_matches_batch(spark, toks):
+    """The skew guard counts the COMBINED bucket membership: with a cap
+    small enough to bind, the incremental path must drop exactly the
+    buckets the batch path drops — a delta-only count would keep
+    buckets whose index-side membership overflows."""
+    cap = 3
+    batch = minhash_dedup_pairs(toks, threshold=0.0, max_docs_per_bucket=cap)
+    restricted = batch.where((F.col("doc_a") % 4 == 1) | (F.col("doc_b") % 4 == 1))
+    delta, corpus = _split(toks, 4, 1)
+    out = minhash_delta_pairs(
+        delta, build_minhash_index(corpus), threshold=0.0, max_docs_per_bucket=cap
+    )
+    assert _rows(out) == _rows(restricted)
+    # the cap must have BOUND somewhere, or this test proves nothing
+    uncapped = minhash_dedup_pairs(toks, threshold=0.0)
+    assert uncapped.count() > batch.count()
+
+
+def test_persisted_index_equal_and_broadcast_filtered(spark, toks, tmp_path):
+    delta, corpus = _split(toks, 10, 3)
+    idx = build_minhash_index(corpus)
+    persist_minhash_index(idx, "t_delta_idx", n_buckets=8, path=str(tmp_path / "idx"))
+    try:
+        loaded = load_minhash_index(spark, "t_delta_idx")
+        out = minhash_delta_pairs(delta, loaded, threshold=0.2)
+        inmem = minhash_delta_pairs(delta, idx, threshold=0.2)
+        assert _rows(out) == _rows(inmem)
+
+        # plan shape: every access of either index table must meet a
+        # broadcast semi-join prefilter BELOW any shuffle — i.e. the
+        # first join ancestor of the index FileScan is a
+        # BroadcastHashJoin LeftSemi (band keys resp. candidate ids),
+        # so only matching rows ever enter an Exchange
+        unmat = minhash_delta_pairs(delta, loaded, threshold=0.2, materialize=False)
+        for table in ("t_delta_idx_buckets", "t_delta_idx_shingles"):
+            chains = ancestor_chains(unmat, table)
+            assert chains, f"no scan of {table} in the plan"
+            for chain in chains:
+                first_join = next((op for op in chain if "Join" in op), None)
+                assert first_join is not None, chain
+                assert "BroadcastHashJoin" in first_join and "LeftSemi" in first_join, (
+                    table,
+                    first_join,
+                )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_delta_idx_buckets")
+        spark.sql("DROP TABLE IF EXISTS t_delta_idx_shingles")
+
+
+def test_disjoint_outputs_union_to_batch(spark, toks):
+    """Sanity on the composition story: index-vs-delta output plus the
+    index corpus's own batch pairs equals the full batch output — the
+    incremental pipeline loses nothing."""
+    delta, corpus = _split(toks, 10, 3)
+    index_pairs = minhash_dedup_pairs(corpus, threshold=0.2)
+    delta_pairs = minhash_delta_pairs(delta, build_minhash_index(corpus), threshold=0.2)
+    batch = minhash_dedup_pairs(toks, threshold=0.2)
+    assert _rows(index_pairs.unionByName(delta_pairs)) == _rows(batch)
