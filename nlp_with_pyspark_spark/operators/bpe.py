@@ -178,3 +178,90 @@ def bpe_encode(
 
     flat = F.flatten(encode(F.col(tokens_col)))
     return docs.withColumn(out_col, flat)
+
+
+# ---------------------------------------------------------------------------
+# literal-compiled bounded encode (the externally-oracle-able slice)
+# ---------------------------------------------------------------------------
+
+#: The first 8 merge rules ``bpe_train`` learns on the sf0.01 documents
+#: corpus, pinned as literals — the fixed-codebook PQ trick applied to
+#: BPE: a BOUNDED rule set compiles to a pure string expression both
+#: engines can run, giving the (otherwise iterative, oracle-exempt) BPE
+#: surface one externally-checked driver query. The full-length rule
+#: sequence stays on the Arrow-UDF path (``bpe_encode``), differentially
+#: tested in tests/test_bpe.py.
+FIXED_MERGES: tuple[tuple[str, str], ...] = (
+    ("e", "r"),
+    ("e", "</w>"),
+    ("n", "</w>"),
+    ("er", "</w>"),
+    ("o", "w"),
+    ("ow", "</w>"),
+    ("o", "r"),
+    ("s", "t"),
+)
+
+
+def bpe_fixed_merge_sql(
+    word: str,
+    merges: tuple[tuple[str, str], ...] = FIXED_MERGES,
+    dialect: str = "spark",
+    passes: int = 8,
+) -> str:
+    """SQL expression: ``word`` → its space-joined BPE symbol string
+    under ``merges``, e.g. ``'power'`` → ``' p ow er</w> '``.
+
+    Encoding trick: symbols live in a space-delimited string with
+    leading/trailing spaces, so a merge of (a, b) is the literal
+    replacement ``' a b '`` → ``' ab '`` — unambiguous because tokens
+    are ``[a-z]``-only and the ``</w>`` marker contains no space. One
+    replacement pass resolves only every OTHER occurrence of a chain
+    like ``t h t h t h`` (consecutive matches share a delimiter space,
+    and SQL ``replace`` scans left-to-right non-overlapping), so each
+    rule is applied ``passes`` times: occurrences at least halve per
+    pass, so 8 passes exactly reproduce the greedy left-to-right merge
+    fold for any word up to ~500 chars — far beyond the ``[a-z]``-run
+    tokens the pipeline emits. Equivalence with ``bpe_encode``'s
+    Python fold is pinned per-token in tests/test_bpe.py, including a
+    crafted pathological chain word.
+
+    **Requires ``left != right`` for every rule** (holds for
+    ``FIXED_MERGES`` and is asserted): for a same-symbol rule like
+    (a, a) the non-overlapping replacement scan and the greedy fold
+    genuinely disagree (on ``a a a a a`` the fold yields
+    ``[aa, aa, a]``, a first replace pass ``[aa, a, aa]``), so such a
+    rule cannot take this path.
+
+    ``dialect``: 'spark' (Java regex, ``$1`` backrefs) or 'duckdb'
+    (RE2, ``\\1`` backrefs) — the replace chain itself is identical.
+    """
+    if dialect == "spark":
+        s = f"concat(' ', regexp_replace({word}, '(.)', '$1 '), '{END_OF_WORD} ')"
+    else:
+        s = f"(' ' || regexp_replace({word}, '(.)', '\\1 ', 'g') || '{END_OF_WORD} ')"
+    for a, b in merges:
+        assert a != b, f"replace-trick needs left != right, got ({a!r}, {b!r})"
+        for _ in range(passes):
+            s = f"replace({s}, ' {a} {b} ', ' {a}{b} ')"
+    return s
+
+
+def bpe_encode_fixed(
+    docs: DataFrame,
+    tokens_col: str = "tokens",
+    out_col: str = "subwords",
+    merges: tuple[tuple[str, str], ...] = FIXED_MERGES,
+) -> DataFrame:
+    """``bpe_encode`` restricted to the literal ``merges``, as a pure
+    Catalyst expression (no Python in the plan): adds ``out_col`` =
+    flattened subword units of every token. Rendered as ONE SQL string
+    and ``F.expr``-ed — nested lambda-builder calls would pay a py4j
+    round-trip per expression node (the IVF/PQ literal-compile lesson,
+    see operators/similarity.py)."""
+    sym = bpe_fixed_merge_sql("w", merges, dialect="spark")
+    expr = (
+        f"flatten(transform({tokens_col}, "
+        f"w -> filter(split(trim({sym}), ' '), x -> x != '')))"
+    )
+    return docs.withColumn(out_col, F.expr(expr))

@@ -3325,6 +3325,49 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_encode(read_table(spark, sf_dir, "embeddings"), pq_fixed_codebooks())
 
 
+def _bpe_sym_duck() -> str:
+    from .operators.bpe import bpe_fixed_merge_sql
+
+    return bpe_fixed_merge_sql("w", dialect="duckdb")
+
+
+@query(
+    "bpe_merge_stats",
+    f"""
+    WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents),
+    subs AS (
+        SELECT unnest(flatten(list_transform(tokens,
+               w -> list_filter(string_split(trim({_bpe_sym_duck()}), ' '),
+                                x -> x <> '')))) AS subword
+        FROM toks
+    )
+    SELECT subword, count(*) AS count
+    FROM subs GROUP BY subword
+    ORDER BY count DESC, subword ASC
+    LIMIT 50
+    """,
+)
+def bpe_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 subword units after applying the 8 pinned BPE merge rules
+    (operators/bpe.FIXED_MERGES — the first rules bpe_train learns on
+    this corpus, inlined as literals). The bounded rule set compiles to
+    a pure string-replace expression both engines run identically
+    (operators/bpe.bpe_encode_fixed), giving the otherwise
+    iterative-only BPE surface an externally-oracled driver row; the
+    full-length rule path stays on the Arrow UDF, differentially tested
+    in tests/test_bpe.py."""
+    from .operators.bpe import bpe_encode_fixed
+
+    enc = bpe_encode_fixed(_tokenized_documents(spark, sf_dir))
+    return (
+        enc.select(F.explode("subwords").alias("subword"))
+        .groupBy("subword")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.asc("subword"))
+        .limit(50)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check curation
 # ---------------------------------------------------------------------------

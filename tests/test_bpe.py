@@ -97,3 +97,31 @@ def test_bpe_encode_reconstructs_and_matches_reference(toks):
         # and agree with the reference encoder word by word
         flat_ref = [s for w in row.tokens for s in _ref_encode(w, rules)]
         assert list(row.subwords) == flat_ref
+
+
+def test_fixed_literal_encode_matches_udf_and_reference(spark, toks):
+    """The literal-compiled bounded encode (the bpe_merge_stats driver
+    query's engine) must agree token-for-token with the Arrow-UDF
+    encode and the independent Python fold under the same 8 pinned
+    rules — including pathological delimiter-sharing chains, where a
+    single replace pass resolves only every other occurrence."""
+    from nlp_with_pyspark_spark.operators.bpe import (
+        FIXED_MERGES,
+        bpe_encode_fixed,
+    )
+
+    rules = [(a, b, 0) for a, b in FIXED_MERGES]
+    pathological = spark.createDataFrame(
+        [
+            (10**9, ["er" * 40, "th" * 30, "ow" * 25, "st" * 25]),
+            (10**9 + 1, ["e", "r", "ere", "rer", "owow", "snowstower"]),
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    sample = toks.limit(50).unionByName(pathological)
+    lit = {r.doc_id: list(r.s) for r in bpe_encode_fixed(sample, out_col="s").collect()}
+    udf = {r.doc_id: list(r.s) for r in bpe_encode(sample, rules, out_col="s").collect()}
+    assert lit == udf and len(lit) > 2
+    for row in sample.collect():
+        flat_ref = [s for w in row.tokens for s in _ref_encode(w, rules)]
+        assert lit[row.doc_id] == flat_ref
