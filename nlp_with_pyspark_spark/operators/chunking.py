@@ -80,15 +80,22 @@ def pack_chunks(
     id_col: str = "doc_id",
     budget: int = 256,
     n_buckets: int = 8,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(doc_id, bucket, pack_id, n_tokens): token-budget pack assignment.
+    """(doc_id, bucket, pack_id, n_tokens [, *extra_cols]): token-budget
+    pack assignment.
 
     bucket = pmod(doc_id, n_buckets) — deterministic, engine-neutral
     (hash-based bucketing via :mod:`.sampling`'s families is the drop-in
     when ids are not uniform). Within a bucket, docs are ordered by id
     and a doc's pack is ⌊(cumulative tokens before it) / budget⌋ — a
     single running-sum window per bucket.
+
+    ``extra_cols`` rides payload columns (text, tokens) through the
+    window untouched, so a downstream shard writer needs no join back —
+    the assignment and the payload share one shuffle.
     """
+    extra = list(extra_cols or [])
     w = (
         Window.partitionBy("bucket")
         .orderBy("doc_id")
@@ -100,11 +107,60 @@ def pack_chunks(
             F.col(id_col).alias("doc_id"),
             F.pmod(F.col(id_col), F.lit(n_buckets)).cast("long").alias("bucket"),
             F.col(count_col).alias("n_tokens"),
+            *extra,
         )
         .select(
             "doc_id",
             "bucket",
             F.floor(cum_before / F.lit(budget)).cast("long").alias("pack_id"),
             "n_tokens",
+            *extra,
         )
+    )
+
+
+def pack_and_write_shards(
+    docs: DataFrame,
+    path: str,
+    count_col: str = "ws_tokens",
+    id_col: str = "doc_id",
+    payload_cols: list[str] | None = None,
+    budget: int = 256,
+    n_buckets: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """The "produce training shards" end of the pipeline as one call:
+    token-budget pack assignment (:func:`pack_chunks`) chained into a
+    shard-addressable partitioned write.
+
+    Layout contract (asserted in tests/test_chunking.py): the output is
+    Hive-partitioned ``bucket=<b>/pack_id=<p>/``, and because the rows
+    are repartitioned on exactly (bucket, pack_id) before the write,
+    every shard directory holds EXACTLY ONE parquet file — a training
+    job addresses shard (b, p) as one path, one file, whose rows are the
+    pack's documents.
+
+    100 TB shape: the directory count equals the shard count, which any
+    shard store must hold anyway — with a production-sized budget (10⁷-
+    10⁸ tokens per shard, vs the test-sized default) 100 TB of text is
+    ~10⁴-10⁵ shards. Two shuffles total: the per-bucket assignment
+    window and the shard repartition; the payload rides both (no join
+    back), and each output task writes only the shards it owns.
+    """
+    payload = list(payload_cols or [])
+    packed = pack_chunks(
+        docs,
+        count_col=count_col,
+        id_col=id_col,
+        budget=budget,
+        n_buckets=n_buckets,
+        extra_cols=payload,
+    )
+    from ..sources.io import write_partitioned
+
+    write_partitioned(
+        packed.repartition("bucket", "pack_id"),
+        path,
+        ["bucket", "pack_id"],
+        mode=mode,
     )

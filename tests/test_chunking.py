@@ -108,3 +108,60 @@ def test_every_doc_packed_exactly_once(spark):
     out = pack_chunks(_counts_df(spark, counts), budget=64, n_buckets=4)
     assert out.count() == 50
     assert out.select("doc_id").distinct().count() == 50
+
+
+def test_pack_and_write_shards_layout_and_roundtrip(spark, sf_dir, tmp_path):
+    """One call from corpus to training shards: Hive layout
+    bucket=<b>/pack_id=<p>/ with EXACTLY one parquet file per shard
+    dir, lossless round-trip, and the streaming-packing budget
+    relaxation (a pack overflows only by its crossing document)."""
+    import glob
+    import os
+
+    from nlp_with_pyspark_spark.operators.chunking import pack_and_write_shards
+    from nlp_with_pyspark_spark.operators.textstats import token_counts
+    from nlp_with_pyspark_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    counted = token_counts(docs).join(docs.select("doc_id", "text"), "doc_id")
+    out = str(tmp_path / "shards")
+    pack_and_write_shards(
+        counted, out, budget=256, n_buckets=4, payload_cols=["text"]
+    )
+
+    back = spark.read.parquet(out)
+    # lossless round-trip of ids + payload
+    orig = sorted((r.doc_id, r.text) for r in docs.select("doc_id", "text").collect())
+    got = sorted((r.doc_id, r.text) for r in back.select("doc_id", "text").collect())
+    assert got == orig
+
+    # layout: every shard dir holds exactly one parquet part file, and
+    # the dir set matches the computed assignment exactly
+    expected = {
+        (r.bucket, r.pack_id)
+        for r in pack_chunks(counted, budget=256, n_buckets=4)
+        .select("bucket", "pack_id")
+        .distinct()
+        .collect()
+    }
+    seen = set()
+    for bdir in glob.glob(os.path.join(out, "bucket=*")):
+        b = int(bdir.rsplit("=", 1)[1])
+        for pdir in glob.glob(os.path.join(bdir, "pack_id=*")):
+            p = int(pdir.rsplit("=", 1)[1])
+            parts = glob.glob(os.path.join(pdir, "*.parquet"))
+            assert len(parts) == 1, (pdir, parts)
+            seen.add((b, p))
+    assert seen == expected and len(seen) > 4
+
+    # budget relaxation: pack total minus its last (crossing) doc's
+    # tokens stays under the budget
+    stats = (
+        back.groupBy("bucket", "pack_id")
+        .agg(
+            F.sum("n_tokens").alias("total"),
+            F.max(F.struct("doc_id", "n_tokens")).alias("last"),
+        )
+        .collect()
+    )
+    assert all(r.total - r.last.n_tokens < 256 for r in stats)
