@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from .decontam import benchmark_overlap
 from .dedup import _shingle_sets, minhash_dedup_pairs
-from .graph import duplicate_clusters
+from .graph import connected_components
 from .textstats import is_repetitive_expr, quality_score_expr
 
 #: (index, name) of the funnel stages, in order
@@ -64,16 +64,22 @@ def corpus_funnel(
     (int, bool) pairs into one final hash agg.
     """
     shingles = _shingle_sets(corpus, tokens_col, "doc_id").localCheckpoint()
+    # pairs checkpointed: connected_components re-reads its input for
+    # the canonicalize step AND the funnel wants the pair job's cost
+    # paid once; the drop list then needs only the raw component
+    # assignment (connected_components), not duplicate_clusters'
+    # n_members window — one less shuffle on a column the funnel never
+    # reads
     pairs = minhash_dedup_pairs(
         corpus,
         tokens_col=tokens_col,
         threshold=jaccard_threshold,
         shingles=shingles,
-    )
+    ).localCheckpoint()
     dropped = (
-        duplicate_clusters(pairs)
-        .where(F.col("doc_id") != F.col("component_id"))
-        .select("doc_id", F.lit(1).alias("is_dropped"))
+        connected_components(pairs, src="doc_a", dst="doc_b")
+        .where(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"), F.lit(1).alias("is_dropped"))
     )
     contaminated = (
         benchmark_overlap(
