@@ -707,3 +707,98 @@ def test_enrich_stream_matches_batch(spark, tmp_path):
     got = {tuple(r) for r in spark.sql("SELECT * FROM enrich_t").collect()}
     assert got == expected
     assert (3, 99, None) in got
+
+
+def test_neardup_sink_invariants_and_replay(spark, sf_dir, tmp_path):
+    """Streaming minhash dedup-on-ingest (streaming/sinks.py
+    neardup_dedup_sink): (1) the store invariant — no near-dup pair
+    among stored docs; (2) every dropped doc had batch-global cause;
+    (3) the index tables track the stored docs exactly; (4) replaying
+    the drained stream appends nothing."""
+    import pyspark.sql.functions as F
+
+    from nlp_with_pyspark_spark.functions.text import tokens_pipeline
+    from nlp_with_pyspark_spark.operators.dedup import minhash_dedup_pairs
+    from nlp_with_pyspark_spark.sources.io import read_table
+    from nlp_with_pyspark_spark.streaming.sinks import neardup_dedup_sink
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # three arrival batches in doc_id order, one parquet file each
+    src = tmp_path / "src"
+    src.mkdir()
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    batches = [
+        docs.where(F.col("doc_id") < cuts[0]),
+        docs.where((F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])),
+        docs.where(F.col("doc_id") >= cuts[1]),
+    ]
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_sink():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "b*"))
+            .withColumn("tokens", tokens_pipeline(F.col("text")))
+        )
+        neardup_dedup_sink(stream, store, ckpt, threshold=0.2)
+
+    run_sink()
+    stored = spark.read.parquet(f"{store}/docs").localCheckpoint()
+    stored_ids = {r.doc_id for r in stored.select("doc_id").collect()}
+    assert stored_ids, "empty store"
+
+    # (1) invariant: no near-dup pair among survivors
+    assert minhash_dedup_pairs(stored, threshold=0.2).count() == 0
+
+    # (2) every dropped doc appears in the batch-global pair list
+    toks = docs.withColumn("tokens", tokens_pipeline(F.col("text")))
+    batch_pairs = minhash_dedup_pairs(toks, threshold=0.2).collect()
+    assert batch_pairs, "corpus has no near-dup structure; test is vacuous"
+    paired = {r.doc_a for r in batch_pairs} | {r.doc_b for r in batch_pairs}
+    dropped = set(ids) - stored_ids
+    assert dropped, "sink dropped nothing; test is vacuous"
+    assert dropped <= paired
+
+    # (3) index rows track the stored docs exactly
+    for part in ("buckets", "shingles"):
+        idx_ids = {
+            r.doc_id
+            for r in spark.read.parquet(f"{store}/{part}").select("doc_id").distinct().collect()
+        }
+        assert idx_ids == stored_ids, part
+
+    # (4) replay from the same checkpoint: no new input, store unchanged
+    run_sink()
+    assert {
+        r.doc_id for r in spark.read.parquet(f"{store}/docs").select("doc_id").collect()
+    } == stored_ids
+
+
+def test_neardup_sink_single_batch_equals_canonical(spark, sf_dir, tmp_path):
+    """With the whole corpus in ONE batch, dedup-on-ingest coincides
+    exactly with the batch pipeline (pairs → components → keep-first
+    canonical corpus)."""
+    import pyspark.sql.functions as F
+
+    from nlp_with_pyspark_spark.functions.text import tokens_pipeline
+    from nlp_with_pyspark_spark.operators.dedup import (
+        canonical_corpus,
+        minhash_dedup_pairs,
+    )
+    from nlp_with_pyspark_spark.sources.io import read_table
+    from nlp_with_pyspark_spark.streaming.sinks import neardup_upsert_batch
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.withColumn("tokens", tokens_pipeline(F.col("text")))
+    store = str(tmp_path / "store1")
+    neardup_upsert_batch(toks, store, threshold=0.2)
+    got = {r.doc_id for r in spark.read.parquet(f"{store}/docs").select("doc_id").collect()}
+    pairs = minhash_dedup_pairs(toks, threshold=0.2)
+    expected = {r.doc_id for r in canonical_corpus(docs, pairs).select("doc_id").collect()}
+    assert got == expected
