@@ -69,7 +69,6 @@ HEADLINE = [
     "doc_token_chunks",
     "token_pack_assignments",
     "doc_fingerprints",
-    "multimodal_asset_stats",
     "multimodal_decode_features",
     "multimodal_frame_sample",
     "events_asof_click_purchase",
@@ -82,7 +81,6 @@ HEADLINE = [
     "price_percentiles",
     "corpus_clean_stats",
     "sql_top_unshipped_orders",
-    "events_distinct_users",
     "order_priority_pivot",
     "customer_order_setops",
     "confusion_metrics",
@@ -124,7 +122,13 @@ HEADLINE = [
 # and simhash_fingerprints — the projection sub-step of
 # simhash_near_pairs) so the printed JSON line keeps headroom under
 # the driver's 2000-char tail capture; the suite total is accordingly
-# not directly comparable to rounds ≤ 5 on those names.
+# not directly comparable to rounds ≤ 5 on those names. Round 7 pruned
+# two more for the same headroom reason after adding dedup_delta_pairs
+# and bpe_merge_stats (the full 70-entry line measured 1873 chars even
+# at 1-decimal precision): multimodal_asset_stats (metadata-only agg;
+# decode_features and frame_sample keep the multimodal family benched)
+# and events_distinct_users (countDistinct; the events family keeps
+# five benched entries).
 
 
 def run_one(name: str, sf_dir: str, runs: int) -> None:
