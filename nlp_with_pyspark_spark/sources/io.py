@@ -380,3 +380,63 @@ def write_single_file(df: DataFrame, path: str, fmt: str = "csv", mode: str = "o
         writer.json(path)
     else:
         raise ValueError(f"unsupported format: {fmt}")
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> dict[str, int]:
+    """Small-file compaction — the maintenance pass every long-lived
+    100 TB dataset needs: streaming sinks, incremental appends
+    (e.g. the near-dup ingest store) and over-parallel writes leave
+    thousands of KB-sized files whose per-file open/footer/list cost
+    eventually dominates scans.
+
+    Rewrites ``path`` in place as ``ceil(total_bytes /
+    target_file_bytes)`` files (optionally sorted by ``sort_cols`` for
+    row-group min/max locality — see ``zorder_key`` for the multi-column
+    variant), via a temp directory + atomic rename so a crash
+    mid-compaction never leaves the dataset half-rewritten: the rewrite
+    lands in ``<path>.__compact_tmp`` first and the swap is two renames.
+    Returns {"files_before", "files_after", "rows"} for the caller's
+    audit log.
+
+    Scale note: on a real cluster this is the same algorithm per
+    partition directory (compact each Hive partition independently,
+    parallelize over partitions); the single-directory form here is the
+    unit of that loop.
+    """
+    import glob as _glob
+    import math
+    import os
+    import shutil
+
+    files = [
+        f
+        for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    df = spark.read.parquet(path)
+    rows = df.count()
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    if sort_cols:
+        out = df.repartitionByRange(n_out, *[F.col(c) for c in sort_cols]).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.coalesce(n_out) if n_out < len(files) else df.repartition(n_out)
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".__compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = [
+        f
+        for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+    return {"files_before": len(files), "files_after": len(after), "rows": rows}
