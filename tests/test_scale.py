@@ -9,7 +9,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from nlp_with_pyspark_spark.operators.relational import salted_join
-from nlp_with_pyspark_spark.plans import count_occurrences, plan_string
+from nlp_with_pyspark_spark.plans import count_occurrences, exchanges_covering, plan_string
 from nlp_with_pyspark_spark.sources.io import read_table, write_bucketed
 
 
@@ -61,6 +61,10 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         plan = plan_string(j)
         assert "SortMergeJoin" in plan
         assert count_occurrences(j, "Exchange") == 0, plan
+        # per-source form of the same claim: no shuffle Exchange covers
+        # either bucketed scan's subtree
+        assert exchanges_covering(j, "t_li_bucketed") == 0
+        assert exchanges_covering(j, "t_ord_bucketed") == 0
         # and it actually runs
         assert j.count() > 0
     finally:
