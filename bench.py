@@ -111,6 +111,7 @@ HEADLINE = [
     "embedding_rp_project",
     "dedup_delta_pairs",
     "bpe_merge_stats",
+    "simhash_delta_pairs",
 ]
 # Excluded on purpose: dedup_ngram_jaccard / embedding_near_dups are the
 # exact all-pairs VERIFIERS for the LSH/minhash scale paths (quadratic by

@@ -918,8 +918,14 @@ def build_minhash_index(
     hash_fn: str = "md5",
 ) -> MinhashIndex:
     """Compute the index state for a corpus (in-memory DataFrames; pair
-    with :func:`persist_minhash_index` to write it down)."""
-    sh = _shingle_sets(docs, tokens_col, id_col, n)
+    with :func:`persist_minhash_index` to write it down).
+
+    The shingle projection is localCheckpoint-ed: both index tables
+    derive from it AND both are consumed by every delta check, so an
+    unmaterialized lineage would re-run the shingle+signature fold once
+    per consumer (the persisted path has no such issue — parquet is its
+    barrier)."""
+    sh = _shingle_sets(docs, tokens_col, id_col, n).localCheckpoint()
     return MinhashIndex(
         buckets=_band_buckets_from_shingles(sh, k, bands, hash_fn),
         shingles=sh,
@@ -956,6 +962,63 @@ def load_minhash_index(spark, table_prefix: str) -> MinhashIndex:
     return MinhashIndex(
         buckets=spark.table(f"{table_prefix}_buckets"),
         shingles=spark.table(f"{table_prefix}_shingles"),
+    )
+
+
+def _delta_bucket_pairs(
+    delta_keys: DataFrame, index_keys: DataFrame, max_docs_per_bucket: int
+) -> DataFrame:
+    """Combined-bucket candidate generation shared by the minhash and
+    simhash delta paths: both key tables are (doc_id, band_id,
+    band_hash); output is distinct (doc_a < doc_b) pairs co-bucketed in
+    ≥1 band with AT LEAST ONE delta-side doc — ``_bucket_pairs`` with
+    the delta flag carried through (sort_array on (doc_id, is_delta)
+    structs orders by doc_id, so pair orientation matches the batch
+    path), over the union of the delta keys and the index keys of
+    TOUCHED buckets only (broadcast semi join — the index key table
+    never shuffles unfiltered). The ``max_docs_per_bucket`` cap counts
+    the COMBINED membership, exactly as the batch run would."""
+    touched = delta_keys.select("band_id", "band_hash").distinct()
+    idx_members = index_keys.join(
+        F.broadcast(touched), ["band_id", "band_hash"], "left_semi"
+    )
+    members = delta_keys.select(
+        "band_id", "band_hash", "doc_id", F.lit(True).alias("is_delta")
+    ).unionByName(
+        idx_members.select(
+            "band_id", "band_hash", "doc_id", F.lit(False).alias("is_delta")
+        )
+    )
+    buckets = (
+        members.groupBy("band_id", "band_hash")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "is_delta"))
+            ).alias("ms")
+        )
+        .where((F.size("ms") >= 2) & (F.size("ms") <= max_docs_per_bucket))
+    )
+    ms = F.col("ms")
+    pair_arr = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.filter(
+                F.transform(
+                    F.slice(ms, i + 2, F.size(ms)),
+                    lambda y: F.struct(
+                        x["doc_id"].alias("doc_a"),
+                        y["doc_id"].alias("doc_b"),
+                        (x["is_delta"] | y["is_delta"]).alias("touches_delta"),
+                    ),
+                ),
+                lambda p: p["touches_delta"],
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
     )
 
 
@@ -1003,52 +1066,7 @@ def minhash_delta_pairs(
     if materialize:
         delta_sh = delta_sh.localCheckpoint()
     delta_bands = _band_buckets_from_shingles(delta_sh, k, bands, hash_fn)
-    touched = delta_bands.select("band_id", "band_hash").distinct()
-
-    idx_members = index.buckets.join(
-        F.broadcast(touched), ["band_id", "band_hash"], "left_semi"
-    )
-    members = delta_bands.select(
-        "band_id", "band_hash", "doc_id", F.lit(True).alias("is_delta")
-    ).unionByName(
-        idx_members.select(
-            "band_id", "band_hash", "doc_id", F.lit(False).alias("is_delta")
-        )
-    )
-    # combined-bucket pair generation — _bucket_pairs with the delta flag
-    # carried through (sort_array on (doc_id, is_delta) structs orders by
-    # doc_id, so emitted pairs are doc_a < doc_b like the batch path)
-    buckets = (
-        members.groupBy("band_id", "band_hash")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("doc_id", "is_delta"))
-            ).alias("ms")
-        )
-        .where((F.size("ms") >= 2) & (F.size("ms") <= max_docs_per_bucket))
-    )
-    ms = F.col("ms")
-    pair_arr = F.flatten(
-        F.transform(
-            ms,
-            lambda x, i: F.filter(
-                F.transform(
-                    F.slice(ms, i + 2, F.size(ms)),
-                    lambda y: F.struct(
-                        x["doc_id"].alias("doc_a"),
-                        y["doc_id"].alias("doc_b"),
-                        (x["is_delta"] | y["is_delta"]).alias("touches_delta"),
-                    ),
-                ),
-                lambda p: p["touches_delta"],
-            ),
-        )
-    )
-    cands = (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .distinct()
-    )
+    cands = _delta_bucket_pairs(delta_bands, index.buckets, max_docs_per_bucket)
     if materialize:
         # candidates feed the verify join TWICE (both sides) plus the
         # needed-ids filter below — materialize once
@@ -1071,4 +1089,113 @@ def minhash_delta_pairs(
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return joined.select("doc_a", "doc_b", F.round(jac, 8).alias("jaccard")).where(
         F.col("jaccard") >= threshold
+    )
+
+
+class SimhashIndex(NamedTuple):
+    """Persisted simhash state of a deduplicated corpus: ``keys`` —
+    (doc_id, band_id, band_hash) combination-blocking keys (persist
+    bucketed by band_hash); ``fingerprints`` — (doc_id, simhash)
+    64-bit fingerprint strings (persist bucketed by doc_id). The
+    blocking parameters (max_hamming, bands, combo_size, hash_fn) are
+    part of the index's contract — the delta check must be called with
+    the SAME values the index was built with."""
+
+    keys: DataFrame
+    fingerprints: DataFrame
+
+
+def _simhash_blocking_params(
+    max_hamming: int, bands: int | None, combo_size: int | None
+) -> tuple[int, int]:
+    """Default + validate the combination-blocking configuration —
+    shared by ``simhash_near_pairs`` and the index/delta path so both
+    reject recall-losing configs identically."""
+    if bands is None:
+        bands = max_hamming + 3
+    if combo_size is None:
+        combo_size = min(3, bands - max_hamming)
+    if bands > 64:
+        raise ValueError(
+            f"bands={bands} > 64 bits: segments would be empty; this operator "
+            "is for tight radii (max_hamming ≲ 16) — use embedding similarity "
+            "for coarse matching"
+        )
+    if combo_size < 1 or combo_size > bands - max_hamming:
+        raise ValueError(
+            f"combo_size={combo_size} outside [1, bands - max_hamming = "
+            f"{bands - max_hamming}]: a pair at Hamming distance {max_hamming} "
+            f"only agrees on {bands}-{max_hamming} segments (pigeonhole), so "
+            "larger combos (or bands <= max_hamming) silently lose recall"
+        )
+    return bands, combo_size
+
+
+def build_simhash_index(
+    docs: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    bands: int | None = None,
+    combo_size: int | None = None,
+    hash_fn: str = "md5",
+) -> SimhashIndex:
+    """Compute the simhash index state for a corpus (pair with
+    ``sources.io.write_bucketed`` for persistence, as
+    ``persist_minhash_index`` does for the minhash family)."""
+    bands, combo_size = _simhash_blocking_params(max_hamming, bands, combo_size)
+    # checkpoint: keys and fingerprints are separate consumers of the
+    # same (expensive) 64-bit fold — see build_minhash_index
+    fp = simhash_fingerprints(docs, tokens_col, id_col, hash_fn).localCheckpoint()
+    return SimhashIndex(
+        keys=_simhash_band_buckets(fp, bands, combo_size), fingerprints=fp
+    )
+
+
+def simhash_delta_pairs(
+    delta_docs: DataFrame,
+    index: SimhashIndex,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    bands: int | None = None,
+    combo_size: int | None = None,
+    max_docs_per_bucket: int = 1000,
+    hash_fn: str = "md5",
+    materialize: bool = True,
+) -> DataFrame:
+    """SimHash twin of :func:`minhash_delta_pairs`: Hamming-radius
+    near-dup pairs of a NEW batch against (and within) an indexed
+    corpus, without recomputing a single corpus fingerprint.
+
+    Same equivalence contract (output ≡ batch ``simhash_near_pairs``
+    over index∪delta restricted to delta-touching pairs, combined-bucket
+    cap included — pinned in tests/test_dedup_delta.py) and the same
+    plan shape: the delta's blocking keys broadcast-semi-filter the
+    index key table, the candidate ids the fingerprint table; the index
+    is never shuffled unfiltered. Blocking parameters MUST match the
+    index build (see :class:`SimhashIndex`).
+    """
+    bands, combo_size = _simhash_blocking_params(max_hamming, bands, combo_size)
+    delta_fp = simhash_fingerprints(delta_docs, tokens_col, id_col, hash_fn)
+    if materialize:
+        delta_fp = delta_fp.localCheckpoint()
+    delta_keys = _simhash_band_buckets(delta_fp, bands, combo_size)
+    cands = _delta_bucket_pairs(delta_keys, index.keys, max_docs_per_bucket)
+    if materialize:
+        cands = cands.localCheckpoint()
+    needed = cands.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
+    all_fp = delta_fp.unionByName(index.fingerprints).join(
+        F.broadcast(needed), "doc_id", "left_semi"
+    )
+    hi = F.conv(F.substring("simhash", 1, 32), 2, 10).cast("long")
+    lo = F.conv(F.substring("simhash", 33, 32), 2, 10).cast("long")
+    a = all_fp.select(F.col("doc_id").alias("doc_a"), hi.alias("hi_a"), lo.alias("lo_a"))
+    b = all_fp.select(F.col("doc_id").alias("doc_b"), hi.alias("hi_b"), lo.alias("lo_b"))
+    joined = cands.join(a, "doc_a").join(b, "doc_b")
+    ham = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    )
+    return joined.select("doc_a", "doc_b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
     )

@@ -774,6 +774,32 @@ def _simhash_near_pairs_sql(max_hamming: int, bands: int, cap: int) -> str:
     """
 
 
+@query(
+    "simhash_delta_pairs",
+    f"""
+    SELECT doc_a, doc_b, hamming FROM (
+        {_simhash_near_pairs_sql(max_hamming=3, bands=4, cap=1000)}
+    ) WHERE doc_a % 10 = 7 OR doc_b % 10 = 7
+    """,
+)
+def simhash_delta_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental simhash dedup (operators/dedup.simhash_delta_pairs):
+    docs with ``doc_id % 10 == 7`` play the new crawl batch, the rest
+    the already-indexed corpus whose fingerprints and blocking keys are
+    never recomputed. The oracle is the BATCH simhash pair chain over
+    the full corpus restricted to delta-touching pairs — green only
+    because the incremental path is exactly equivalent (same combined-
+    bucket cap semantics as the minhash twin; equivalence also pinned
+    in tests/test_dedup_delta.py)."""
+    from .operators.dedup import build_simhash_index, simhash_delta_pairs
+
+    docs = _tokenized_documents(spark, sf_dir)
+    delta = docs.where(F.col("doc_id") % 10 == 7)
+    corpus = docs.where(F.col("doc_id") % 10 != 7)
+    idx = build_simhash_index(corpus, max_hamming=3, bands=4, combo_size=1)
+    return simhash_delta_pairs(delta, idx, max_hamming=3, bands=4, combo_size=1)
+
+
 @query("simhash_near_pairs", _simhash_near_pairs_sql(max_hamming=3, bands=4, cap=1000))
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at the canonical Manku-et-al. radius
@@ -3483,6 +3509,13 @@ _DEMOTED_PAST_CHECK_WINDOW = [
     #                               composition), both in-window
     "doc_token_chunks",
     "click_purchase_attribution",
+    #   dedup_components         — green r1-r6; its constituents stay
+    #                              in-window twice over: dedup_minhash_pairs
+    #                              (the pair input) and dedup_canonical_corpus
+    #                              (which composes the same connected-
+    #                              components clustering end-to-end);
+    #                              demoted for simhash_delta_pairs
+    "dedup_components",
 ]
 
 

@@ -28,8 +28,9 @@ REQUIRED_IN_WINDOW = {
     "vocab_top100", "tfidf_long", "doc_token_stats",
     "lang_id_counts", "quality_scores",
     "doc_fingerprints", "repetition_features", "confusion_metrics",
-    # dedup / similarity
-    "dedup_exact_groups", "dedup_minhash_pairs", "dedup_components",
+    # dedup / similarity (dedup_components demoted round 7: green r1-r6,
+    # constituents covered by dedup_minhash_pairs + dedup_canonical_corpus)
+    "dedup_exact_groups", "dedup_minhash_pairs",
     "simhash_near_pairs", "ann_lsh_topk",
     "ann_ivf_topk", "embedding_centroid_topk",
     # pipeline / corpus hygiene
@@ -50,7 +51,7 @@ REQUIRED_IN_WINDOW = {
     # new in round 7 (never driver-checked — must be in the window;
     # doc_token_chunks / click_purchase_attribution demoted to make
     # room, both green in r6)
-    "dedup_delta_pairs", "bpe_merge_stats",
+    "dedup_delta_pairs", "bpe_merge_stats", "simhash_delta_pairs",
 }
 
 

@@ -115,3 +115,30 @@ def test_disjoint_outputs_union_to_batch(spark, toks):
     delta_pairs = minhash_delta_pairs(delta, build_minhash_index(corpus), threshold=0.2)
     batch = minhash_dedup_pairs(toks, threshold=0.2)
     assert _rows(index_pairs.unionByName(delta_pairs)) == _rows(batch)
+
+
+@pytest.mark.parametrize("mod,rem", [(10, 7), (4, 2)])
+def test_simhash_delta_equals_batch_restricted(spark, toks, mod, rem):
+    """SimHash twin of the minhash contract: delta-vs-index output ==
+    batch-global pairs restricted to delta-touching pairs, at the
+    oracle blocking config AND the combination-blocking 100 TB
+    default."""
+    from nlp_with_pyspark_spark.operators.dedup import (
+        build_simhash_index,
+        simhash_delta_pairs,
+        simhash_near_pairs,
+    )
+
+    for kw in (
+        {"max_hamming": 3, "bands": 4, "combo_size": 1},
+        {"max_hamming": 3},  # defaults: bands=6, combo_size=3
+    ):
+        batch = simhash_near_pairs(toks, **kw)
+        restricted = batch.where(
+            (F.col("doc_a") % mod == rem) | (F.col("doc_b") % mod == rem)
+        )
+        delta = toks.where(F.col("doc_id") % mod == rem)
+        corpus = toks.where(F.col("doc_id") % mod != rem)
+        out = simhash_delta_pairs(delta, build_simhash_index(corpus, **kw), **kw)
+        assert _rows(out) == _rows(restricted), kw
+        assert batch.count() > 0
