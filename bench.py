@@ -171,7 +171,40 @@ def main() -> None:
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     failed: list[str] = []
-    for name in names:
+
+    def emit(pending: int) -> None:
+        # The driver captures only the LAST 2000 chars of stdout and
+        # parses the final line as JSON, so (a) the line must stay
+        # compact (round 3's inline spread arrays overflowed the buffer
+        # and the round recorded parsed=null; samples go to stderr), and
+        # (b) a cumulative line is RE-printed after every leg: the
+        # isolated suite runs ~25 min, and if the driver's timeout kills
+        # it mid-run the tail still ends in a parseable record —
+        # explicitly marked partial with a null total, never a
+        # fewer-queries sum masquerading as a faster suite.
+        out = {
+            "metric": "suite-iso-med-of-%d" % runs,
+            "value": round(sum(times.values()), 3),
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in times.items()},
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
+        if failed:
+            out["failed"] = failed
+        if failed or pending:
+            out["partial_sec"] = out["value"]
+            out["value"] = None
+        if pending:
+            out["pending"] = pending
+        line = json.dumps(out, separators=(",", ":"))
+        if len(line) > 1850:  # headroom under the 2000-char tail capture
+            out["queries"] = {k: round(v, 1) for k, v in times.items()}
+            line = json.dumps(out, separators=(",", ":"))
+        if len(line) > 1900:
+            print("bench: line %d chars nears tail buffer" % len(line), file=sys.stderr)
+        print(line, flush=True)
+
+    for i, name in enumerate(names):
         # per-query isolation, two ways: a broken query must not erase
         # the whole round's bench record (round 4 recorded NOTHING when
         # one uncaught exception killed the run before the JSON line
@@ -196,36 +229,13 @@ def main() -> None:
             if isinstance(exc, subprocess.CalledProcessError):
                 tail = (exc.stderr or "")[-400:]
             print(f"bench: {name} FAILED: {exc} {tail}", file=sys.stderr)
+        emit(pending=len(names) - i - 1)
 
-    # The driver captures only the LAST 2000 chars of stdout and parses
-    # the final line as JSON: the printed line must stay compact (round
-    # 3's inline per-query "spread" arrays pushed it past the buffer and
-    # the round recorded parsed=null). Full samples go to stderr instead.
     print(
         json.dumps({"runs": runs, "spread": spread}, separators=(",", ":")),
         file=sys.stderr,
     )
-    out = {
-        "metric": "suite-iso-med-of-%d" % runs,
-        "value": round(sum(times.values()), 3),
-        "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in times.items()},
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }
-    if failed:
-        # a partial suite total must not read as a full-suite speedup:
-        # a regression that CRASHES an expensive query would otherwise
-        # shrink "value". Null it and report the partial sum separately.
-        out["partial_sec"] = out["value"]
-        out["value"] = None
-        out["failed"] = failed
-    line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1850:  # keep headroom under the 2000-char tail capture
-        out["queries"] = {k: round(v, 1) for k, v in times.items()}
-        line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1900:
-        print("bench: line %d chars nears tail buffer" % len(line), file=sys.stderr)
-    print(line)
+    emit(pending=0)
 
 
 if __name__ == "__main__":
