@@ -34,7 +34,9 @@ def _scaled(col: Column, lo: float, hi: float, bits: int) -> Column:
     """col → integer rank in [0, 2^bits) against fixed [lo, hi] bounds
     (values outside clamp to the edges, so stale bounds degrade
     locality, never correctness)."""
-    if hi <= lo:  # constant column: every row ranks 0
+    if lo is None or hi is None or hi <= lo:
+        # constant (or caller-supplied unbounded/all-null) column: every
+        # row ranks 0
         return F.lit(0).cast("long")
     frac = (col.cast("double") - F.lit(float(lo))) / F.lit(float(hi - lo))
     frac = F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))
@@ -77,7 +79,15 @@ def measure_bounds(df: DataFrame, cols: list[str]) -> list[tuple[float, float]]:
         aggs += [F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
                  F.max(F.col(c).cast("double")).alias(f"__hi_{c}")]
     row = df.agg(*aggs).collect()[0]
-    return [(row[f"__lo_{c}"], row[f"__hi_{c}"]) for c in cols]
+    # an all-null or empty column has no bounds — map it to (0, 0) so it
+    # takes the constant-column path in _scaled (every row ranks 0)
+    # instead of surfacing as an opaque TypeError on `hi <= lo`
+    return [
+        (0.0, 0.0)
+        if row[f"__lo_{c}"] is None or row[f"__hi_{c}"] is None
+        else (row[f"__lo_{c}"], row[f"__hi_{c}"])
+        for c in cols
+    ]
 
 
 def write_zordered(

@@ -58,40 +58,51 @@ def _plan_depth(line: str) -> int:
     return min(hits) + 3 if hits else 0
 
 
-def ancestor_chains(df: DataFrame, needle: str) -> list[list[str]]:
-    """For EVERY plan line containing ``needle`` (e.g. a table-path
-    fragment identifying a FileScan), the chain of its ancestor operator
-    lines, nearest first. Works on the printed plan tree: a node's
-    ancestors are exactly the earlier lines whose child marker sits at a
-    strictly smaller indent column."""
+def _ancestor_chains_indexed(df: DataFrame, needle: str) -> list[list[tuple[int, str]]]:
+    """``ancestor_chains`` carrying each ancestor's plan-line index, so
+    two distinct nodes that PRINT identically (same hashpartitioning
+    expression at two plan sites) stay distinguishable."""
     lines = plan_string(df).splitlines()
-    chains: list[list[str]] = []
+    chains: list[list[tuple[int, str]]] = []
     for i, line in enumerate(lines):
         if needle not in line:
             continue
-        chain: list[str] = []
+        chain: list[tuple[int, str]] = []
         d = _plan_depth(line)
         for j in range(i - 1, -1, -1):
             dj = _plan_depth(lines[j])
             if dj < d:
                 d = dj
-                chain.append(lines[j].strip())
+                chain.append((j, lines[j].strip()))
                 if d == 0:
                     break
         chains.append(chain)
     return chains
 
 
+def ancestor_chains(df: DataFrame, needle: str) -> list[list[str]]:
+    """For EVERY plan line containing ``needle`` (e.g. a table-path
+    fragment identifying a FileScan), the chain of its ancestor operator
+    lines, nearest first. Works on the printed plan tree: a node's
+    ancestors are exactly the earlier lines whose child marker sits at a
+    strictly smaller indent column."""
+    return [
+        [op for _, op in chain] for chain in _ancestor_chains_indexed(df, needle)
+    ]
+
+
 def exchanges_covering(df: DataFrame, needle: str) -> int:
     """How many SHUFFLE Exchange nodes (BroadcastExchange excluded)
     have ``needle`` somewhere in their subtree — i.e. how many shuffles
     the rows scanned from that source must cross. 0 means the source is
-    only ever consumed through broadcast/bucket-aligned operators."""
-    seen: set[str] = set()
-    for chain in ancestor_chains(df, needle):
-        for op in chain:
+    only ever consumed through broadcast/bucket-aligned operators.
+    Nodes are identified by plan-line position, so two shuffles whose
+    printed text coincides still count as two."""
+    seen: set[int] = set()
+    for chain in _ancestor_chains_indexed(df, needle):
+        for idx, op in chain:
             if "Exchange" in op and "BroadcastExchange" not in op:
-                seen.add(op)
+                seen.add(idx)
     return len(seen)
 
 

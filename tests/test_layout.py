@@ -89,6 +89,30 @@ def test_zorder_key_expression_properties(spark):
     assert 0 < got[(50.0, 50.0)] < got[(100.0, 100.0)]
 
 
+def test_measure_bounds_all_null_column_ranks_zero(spark):
+    """An all-null (or empty) column has no [min, max]; it must take the
+    constant-column path (rank 0 for every row), not surface as a
+    TypeError on `hi <= lo` (operators/layout.measure_bounds)."""
+    from nlp_with_pyspark_spark.operators.layout import (
+        measure_bounds,
+        zorder_key,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, None)], "x double, y double"
+    )
+    bounds = measure_bounds(df, ["x", "y"])
+    assert bounds[1] == (0.0, 0.0)
+    rows = df.select(
+        zorder_key([F.col("x"), F.col("y")], bounds, bits=8).alias("k")
+    ).collect()
+    # y contributes nothing; x still orders the keys
+    assert rows[0].k < rows[1].k
+
+    empty = measure_bounds(df.limit(0), ["x", "y"])
+    assert empty == [(0.0, 0.0), (0.0, 0.0)]
+
+
 def test_compact_parquet_rewrites_atomically(spark, sf_dir, tmp_path):
     """Many tiny files → few target-sized files, same rows, audit dict
     accurate."""
@@ -109,3 +133,53 @@ def test_compact_parquet_rewrites_atomically(spark, sf_dir, tmp_path):
     # no temp/old residue
     assert not os.path.exists(path + ".__compact_tmp")
     assert not os.path.exists(path + ".__compact_old")
+
+
+def test_compact_parquet_recovers_from_crash_states(spark, sf_dir, tmp_path):
+    """The swap is two renames, NOT atomic as a whole: every crash
+    point inside it must be recovered at the next call with zero data
+    loss (sources/io.compact_parquet entry-time recovery)."""
+    import shutil
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    n_docs = docs.count()
+
+    def fresh_dir(name: str) -> str:
+        path = str(tmp_path / name)
+        docs.repartition(8).write.parquet(path)
+        return path
+
+    # state A — crash BETWEEN the two renames with a COMPLETE rewrite:
+    # path gone, data in __compact_old, finished rewrite in __compact_tmp
+    path = fresh_dir("a")
+    spark.read.parquet(path).coalesce(1).write.parquet(path + ".__compact_tmp")
+    os.rename(path, path + ".__compact_old")
+    report = compact_parquet(spark, path)
+    assert spark.read.parquet(path).count() == report["rows"] == n_docs
+    assert not os.path.exists(path + ".__compact_old")
+
+    # state B — crash between the renames with an INCOMPLETE rewrite
+    # (no _SUCCESS): roll back to the original data
+    path = fresh_dir("b")
+    os.makedirs(path + ".__compact_tmp")
+    shutil.copy(
+        glob.glob(os.path.join(path, "*.parquet"))[0],
+        os.path.join(path + ".__compact_tmp", "part-partial.parquet"),
+    )
+    os.rename(path, path + ".__compact_old")
+    report = compact_parquet(spark, path)
+    assert spark.read.parquet(path).count() == report["rows"] == n_docs
+
+    # state C — crash after the swap completed, before old-dir cleanup
+    path = fresh_dir("c")
+    shutil.copytree(path, path + ".__compact_old")
+    report = compact_parquet(spark, path)
+    assert spark.read.parquet(path).count() == report["rows"] == n_docs
+    assert not os.path.exists(path + ".__compact_old")
+
+    # state D — stale tmp from a crashed rewrite, path intact
+    path = fresh_dir("d")
+    shutil.copytree(path, path + ".__compact_tmp")
+    report = compact_parquet(spark, path)
+    assert spark.read.parquet(path).count() == report["rows"] == n_docs
+    assert not os.path.exists(path + ".__compact_tmp")
