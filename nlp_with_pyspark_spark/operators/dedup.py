@@ -617,23 +617,7 @@ def simhash_near_pairs(
     mass-duplication skew (see ``_bucket_pairs``; run exact dedup first
     so identical docs don't flood buckets).
     """
-    if bands is None:
-        bands = max_hamming + 3
-    if combo_size is None:
-        combo_size = min(3, bands - max_hamming)
-    if bands > 64:
-        raise ValueError(
-            f"bands={bands} > 64 bits: segments would be empty; this operator "
-            "is for tight radii (max_hamming ≲ 16) — use embedding similarity "
-            "for coarse matching"
-        )
-    if combo_size < 1 or combo_size > bands - max_hamming:
-        raise ValueError(
-            f"combo_size={combo_size} outside [1, bands - max_hamming = "
-            f"{bands - max_hamming}]: a pair at Hamming distance {max_hamming} "
-            f"only agrees on {bands}-{max_hamming} segments (pigeonhole), so "
-            "larger combos (or bands <= max_hamming) silently lose recall"
-        )
+    bands, combo_size = _simhash_blocking_params(max_hamming, bands, combo_size)
     fp = simhash_fingerprints(docs, tokens_col, id_col, hash_fn).localCheckpoint()
     cands = _bucket_pairs(_simhash_band_buckets(fp, bands, combo_size), max_docs_per_bucket)
     # Hamming verify: parse each fingerprint into two 32-bit ints ONCE per
@@ -965,6 +949,26 @@ def load_minhash_index(spark, table_prefix: str) -> MinhashIndex:
     )
 
 
+def append_to_minhash_index(index_delta: MinhashIndex, table_prefix: str) -> None:
+    """Append a delta batch's SURVIVOR index rows into a persisted
+    bucketed index — the write half of the incremental-ingest loop
+    (:func:`minhash_delta_pairs` is the read half).
+
+    The bucket counts are looked up from the catalog, never taken from
+    the caller (``sources.io.append_to_bucketed_table``), so an append
+    can NOT drift the fixed-bucket-count contract that
+    :func:`persist_minhash_index` documents — the layout that keeps the
+    delta check's index side Exchange-free survives every append
+    (asserted before/after in tests/test_dedup_delta.py). Appended doc
+    ids must be disjoint from the index (run the delta check + drop
+    decision first); each append adds a file set, so pair with
+    ``sources.io.compact_bucketed_table`` as maintenance."""
+    from ..sources.io import append_to_bucketed_table
+
+    append_to_bucketed_table(index_delta.buckets, f"{table_prefix}_buckets")
+    append_to_bucketed_table(index_delta.shingles, f"{table_prefix}_shingles")
+
+
 def _delta_bucket_pairs(
     delta_keys: DataFrame, index_keys: DataFrame, max_docs_per_bucket: int
 ) -> DataFrame:
@@ -1150,6 +1154,48 @@ def build_simhash_index(
     return SimhashIndex(
         keys=_simhash_band_buckets(fp, bands, combo_size), fingerprints=fp
     )
+
+
+def persist_simhash_index(
+    index: SimhashIndex, table_prefix: str, n_buckets: int = 32, path: str | None = None
+) -> None:
+    """Write the simhash index as two bucketed+sorted catalog tables:
+    ``{prefix}_keys`` (by band_hash) and ``{prefix}_fingerprints`` (by
+    doc_id) — same fixed-bucket-count contract as
+    :func:`persist_minhash_index`."""
+    from ..sources.io import write_bucketed
+
+    write_bucketed(
+        index.keys,
+        f"{table_prefix}_keys",
+        "band_hash",
+        n_buckets,
+        path=None if path is None else f"{path}/keys",
+    )
+    write_bucketed(
+        index.fingerprints,
+        f"{table_prefix}_fingerprints",
+        "doc_id",
+        n_buckets,
+        path=None if path is None else f"{path}/fingerprints",
+    )
+
+
+def load_simhash_index(spark, table_prefix: str) -> SimhashIndex:
+    """Reopen a persisted simhash index by catalog name."""
+    return SimhashIndex(
+        keys=spark.table(f"{table_prefix}_keys"),
+        fingerprints=spark.table(f"{table_prefix}_fingerprints"),
+    )
+
+
+def append_to_simhash_index(index_delta: SimhashIndex, table_prefix: str) -> None:
+    """SimHash twin of :func:`append_to_minhash_index` — bucket counts
+    come from the catalog, so appends preserve the layout contract."""
+    from ..sources.io import append_to_bucketed_table
+
+    append_to_bucketed_table(index_delta.keys, f"{table_prefix}_keys")
+    append_to_bucketed_table(index_delta.fingerprints, f"{table_prefix}_fingerprints")
 
 
 def simhash_delta_pairs(

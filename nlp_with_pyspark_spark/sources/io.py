@@ -335,6 +335,140 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def table_bucket_spec(spark: SparkSession, table: str) -> tuple[str, int, str]:
+    """(bucket_column, n_buckets, data_path) of a bucketed catalog
+    table, read back from the catalog — the source of truth for the
+    table's join-layout contract."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    info = {r.col_name: r.data_type for r in rows}
+    col = info["Bucket Columns"].strip("[]` ")
+    location = info["Location"]
+    path = location[len("file:"):] if location.startswith("file:") else location
+    return col, int(info["Num Buckets"]), path
+
+
+def register_bucketed_table(
+    spark: SparkSession, table: str, bucket_col: str, n_buckets: int, path: str
+) -> bool:
+    """(Re)create the catalog entry for a bucketed EXTERNAL table over
+    files that already exist at ``path`` — the restart story for any
+    session-scoped catalog: the data (with bucket ids encoded in the
+    file names) outlives the session, the metadata does not. Returns
+    True if a table was registered, False if it already existed or the
+    path holds no data (schema comes from the parquet footers, so an
+    empty path has nothing to register). No-op on live metastores where
+    the entry survives."""
+    import glob as _glob
+    import os
+
+    if spark.catalog.tableExists(table):
+        return False
+    if not any(
+        os.path.isfile(f)
+        for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    ):
+        return False
+    schema = spark.read.parquet(path).schema
+    ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    spark.sql(
+        f"CREATE TABLE {table} ({ddl}) USING parquet "
+        f"CLUSTERED BY (`{bucket_col}`) SORTED BY (`{bucket_col}`) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+    )
+    return True
+
+
+def append_to_bucketed_table(df: DataFrame, table: str) -> None:
+    """Append rows into an EXISTING bucketed table, preserving its
+    bucket spec. The spec is looked up from the catalog rather than
+    taken from the caller, so an append can never silently change the
+    bucket count — the layout contract that makes future joins on the
+    bucket key Exchange-free (see ``write_bucketed``). Each append job
+    adds one file per non-empty (task, bucket); run
+    ``compact_bucketed_table`` periodically on append-heavy tables."""
+    spark = df.sparkSession
+    col, n, _ = table_bucket_spec(spark, table)
+    (
+        df.write.mode("append")
+        .bucketBy(n, col)
+        .sortBy(col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def compact_bucketed_table(spark: SparkSession, table: str) -> dict[str, int]:
+    """``compact_parquet`` for an EXTERNAL bucketed table: rewrite the
+    data as ~one file per bucket while PRESERVING the bucket spec (the
+    join-layout contract append-heavy tables accumulate files under —
+    e.g. the near-dup ingest store, which adds a file set per
+    micro-batch).
+
+    The catalog entry never changes: the rewrite goes to a staging
+    table at ``<path>.__compact_tmp`` (then its staging catalog entry is
+    dropped — external, files stay), and the DATA directories swap
+    underneath the live table via the same two-rename protocol — and
+    the same entry-time crash recovery — as ``compact_parquet``. That
+    works because a bucketed file's bucket id is encoded in its NAME,
+    which the directory swap preserves, and location/schema/spec are
+    all unchanged. ``repartition(n_buckets, bucket_col)`` before the
+    write uses the same Murmur3-pmod hashing as the bucketing itself,
+    so each task holds exactly one bucket's rows → one file per bucket.
+    """
+    import glob as _glob
+    import os
+    import shutil
+
+    col, n, path = table_bucket_spec(spark, table)
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    old = path.rstrip("/") + ".__compact_old"
+    tmp_tbl = f"{table}__compact"
+    # entry-time crash recovery — same states as compact_parquet
+    recover_compact_swap(path)
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")  # stale staging metadata
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # stale staging data from a crashed rewrite
+    spark.catalog.refreshTable(table)
+
+    def parquet_files(p: str) -> list[str]:
+        return [
+            f
+            for f in _glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
+            if os.path.isfile(f)
+        ]
+
+    files = parquet_files(path)
+    # Read the data as a PLAIN parquet scan, not spark.table: the
+    # bucketed relation reports HashPartitioning(col, n) so Catalyst
+    # elides the explicit repartition as redundant — but the write then
+    # runs one task per READ split (many per bucket), producing
+    # files ≈ tasks × buckets and defeating the compaction. The plain
+    # scan carries no partitioning claim, the n-partition Murmur3
+    # repartition survives, and since it uses the same hash as the
+    # bucketing, each task holds exactly one bucket → one file each.
+    df = spark.read.parquet(path)
+    rows = df.count()
+    # plannedWrite (default on) would likewise replace the repartition
+    # with an AQE rebalance sized by advisory bytes; pin it off so the
+    # explicit partitioning reaches the writer intact.
+    pw = spark.conf.get("spark.sql.optimizer.plannedWrite.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.plannedWrite.enabled", "false")
+    try:
+        write_bucketed(df.repartition(n, F.col(col)), tmp_tbl, col, n, path=tmp)
+    finally:
+        spark.conf.set("spark.sql.optimizer.plannedWrite.enabled", pw)
+    spark.sql(f"DROP TABLE {tmp_tbl}")  # external: staged files stay at tmp
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    spark.catalog.refreshTable(table)
+    return {
+        "files_before": len(files),
+        "files_after": len(parquet_files(path)),
+        "rows": rows,
+    }
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
@@ -382,6 +516,39 @@ def write_single_file(df: DataFrame, path: str, fmt: str = "csv", mode: str = "o
         raise ValueError(f"unsupported format: {fmt}")
 
 
+def recover_compact_swap(path: str) -> bool:
+    """Resolve a half-finished compaction swap at ``path`` — see
+    ``compact_parquet``: the swap is two renames, and a crash inside
+    that window leaves no dataset at ``path`` with the data intact in
+    ``<path>.__compact_old`` / ``<path>.__compact_tmp``. Returns True
+    if anything was repaired.
+
+    Call this before READING a dataset that a compaction pass maintains
+    (the near-dup ingest sink does): a reader that treats the missing
+    path as "empty dataset" after such a crash would silently lose the
+    store. The compaction functions also call it at entry, so a
+    leftover ``__compact_old`` never wedges the next rewrite."""
+    import os
+    import shutil
+
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    old = path.rstrip("/") + ".__compact_old"
+    if not os.path.exists(old):
+        return False
+    if os.path.exists(path):
+        # crashed after the swap completed, before cleanup
+        shutil.rmtree(old)
+    elif os.path.exists(tmp) and os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        # crashed between the two renames with a complete rewrite:
+        # finish the swap
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+    else:
+        # rewrite absent or incomplete: roll back to the original
+        os.rename(old, path)
+    return True
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -397,9 +564,14 @@ def compact_parquet(
     Rewrites ``path`` in place as ``ceil(total_bytes /
     target_file_bytes)`` files (optionally sorted by ``sort_cols`` for
     row-group min/max locality — see ``zorder_key`` for the multi-column
-    variant), via a temp directory + atomic rename so a crash
-    mid-compaction never leaves the dataset half-rewritten: the rewrite
-    lands in ``<path>.__compact_tmp`` first and the swap is two renames.
+    variant). The rewrite lands in ``<path>.__compact_tmp`` first and
+    the swap is TWO renames (``path``→``.__compact_old``, then
+    ``tmp``→``path``) — NOT atomic as a whole: a crash inside that
+    window leaves no dataset at ``path``, with the data intact in the
+    side directories. Every call therefore starts by RECOVERING any
+    stranded ``.__compact_old`` / ``.__compact_tmp`` from a prior
+    crash (finish the swap if the rewrite completed, roll back
+    otherwise), so no crash point loses data or wedges the next run.
     Returns {"files_before", "files_after", "rows"} for the caller's
     audit log.
 
@@ -412,6 +584,17 @@ def compact_parquet(
     import math
     import os
     import shutil
+
+    # crash recovery (see docstring): resolve any half-finished prior
+    # swap BEFORE starting a new rewrite — a leftover __compact_old
+    # would otherwise make this run's rename(path, old) fail, and a
+    # missing `path` means the previous swap died between its renames.
+    recover_compact_swap(path)
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    old = path.rstrip("/") + ".__compact_old"
+    if os.path.exists(tmp):
+        # stale tmp from a crashed/incomplete rewrite: discard
+        shutil.rmtree(tmp)
 
     files = [
         f
@@ -428,9 +611,7 @@ def compact_parquet(
         )
     else:
         out = df.coalesce(n_out) if n_out < len(files) else df.repartition(n_out)
-    tmp = path.rstrip("/") + ".__compact_tmp"
     out.write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + ".__compact_old"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

@@ -142,3 +142,113 @@ def test_simhash_delta_equals_batch_restricted(spark, toks, mod, rem):
         out = simhash_delta_pairs(delta, build_simhash_index(corpus, **kw), **kw)
         assert _rows(out) == _rows(restricted), kw
         assert batch.count() > 0
+
+
+def test_append_to_index_preserves_plan_and_equivalence(spark, toks, tmp_path):
+    """append_to_minhash_index: appending a delta's index rows into the
+    persisted bucketed index (a) cannot drift the bucket-count layout
+    contract (the spec is read from the catalog; a direct append with a
+    different count is rejected by Spark), and (b) leaves the NEXT delta
+    check both correct and index-side-Exchange-free — the plan pin runs
+    before AND after the append."""
+    from nlp_with_pyspark_spark.operators.dedup import append_to_minhash_index
+    from nlp_with_pyspark_spark.sources.io import table_bucket_spec
+
+    delta1 = toks.where(F.col("doc_id") % 10 == 3)
+    delta2 = toks.where(F.col("doc_id") % 10 == 4)
+    corpus = toks.where(~(F.col("doc_id") % 10).isin(3, 4))
+    prefix = "t_app_idx"
+
+    def assert_index_plan(unmat):
+        for table in (f"{prefix}_buckets", f"{prefix}_shingles"):
+            chains = ancestor_chains(unmat, table)
+            assert chains, f"no scan of {table}"
+            for chain in chains:
+                first_join = next((op for op in chain if "Join" in op), None)
+                assert (
+                    first_join
+                    and "BroadcastHashJoin" in first_join
+                    and "LeftSemi" in first_join
+                ), (table, first_join)
+
+    try:
+        persist_minhash_index(
+            build_minhash_index(corpus), prefix, n_buckets=8, path=str(tmp_path / "idx")
+        )
+        loaded = load_minhash_index(spark, prefix)
+        assert_index_plan(
+            minhash_delta_pairs(delta1, loaded, threshold=0.2, materialize=False)
+        )
+        out1 = minhash_delta_pairs(delta1, loaded, threshold=0.2)
+        # ingest delta1 wholesale (ids are disjoint by construction —
+        # survivor filtering is the sink's job, not the index's)
+        append_to_minhash_index(build_minhash_index(delta1), prefix)
+        assert out1.count() >= 0  # delta1 check ran against the pre-append view
+
+        # layout contract intact
+        assert table_bucket_spec(spark, f"{prefix}_buckets")[:2] == ("band_hash", 8)
+        assert table_bucket_spec(spark, f"{prefix}_shingles")[:2] == ("doc_id", 8)
+
+        loaded2 = load_minhash_index(spark, prefix)
+        unmat2 = minhash_delta_pairs(delta2, loaded2, threshold=0.2, materialize=False)
+        assert_index_plan(unmat2)
+        # correctness across the append: delta2 vs (corpus ∪ delta1)
+        # index == batch over EVERYTHING restricted to delta2-touching
+        out2 = minhash_delta_pairs(delta2, loaded2, threshold=0.2)
+        restricted = minhash_dedup_pairs(toks, threshold=0.2).where(
+            (F.col("doc_a") % 10 == 4) | (F.col("doc_b") % 10 == 4)
+        )
+        assert _rows(out2) == _rows(restricted)
+        assert restricted.count() > 0
+
+        # a bucket-count-drifting append is rejected outright
+        with pytest.raises(Exception, match="(?i)bucket"):
+            (
+                build_minhash_index(delta2)
+                .buckets.write.mode("append")
+                .bucketBy(16, "band_hash")
+                .sortBy("band_hash")
+                .format("parquet")
+                .saveAsTable(f"{prefix}_buckets")
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_buckets")
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_shingles")
+
+
+def test_simhash_index_persist_append_roundtrip(spark, toks, tmp_path):
+    """persist/load/append for the simhash index family: the delta
+    check against a persisted-then-appended index stays correct and the
+    bucket specs survive the append."""
+    from nlp_with_pyspark_spark.operators.dedup import (
+        append_to_simhash_index,
+        build_simhash_index,
+        load_simhash_index,
+        persist_simhash_index,
+        simhash_delta_pairs,
+        simhash_near_pairs,
+    )
+    from nlp_with_pyspark_spark.sources.io import table_bucket_spec
+
+    kw = {"max_hamming": 3}
+    delta1 = toks.where(F.col("doc_id") % 10 == 3)
+    delta2 = toks.where(F.col("doc_id") % 10 == 4)
+    corpus = toks.where(~(F.col("doc_id") % 10).isin(3, 4))
+    prefix = "t_sim_idx"
+    try:
+        persist_simhash_index(
+            build_simhash_index(corpus, **kw), prefix, n_buckets=8,
+            path=str(tmp_path / "sidx"),
+        )
+        append_to_simhash_index(build_simhash_index(delta1, **kw), prefix)
+        assert table_bucket_spec(spark, f"{prefix}_keys")[:2] == ("band_hash", 8)
+        assert table_bucket_spec(spark, f"{prefix}_fingerprints")[:2] == ("doc_id", 8)
+        out = simhash_delta_pairs(delta2, load_simhash_index(spark, prefix), **kw)
+        restricted = simhash_near_pairs(toks, **kw).where(
+            (F.col("doc_a") % 10 == 4) | (F.col("doc_b") % 10 == 4)
+        )
+        assert _rows(out) == _rows(restricted)
+        assert restricted.count() > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_keys")
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_fingerprints")
