@@ -13,7 +13,10 @@ canonical foreachBatch example.
 
 from __future__ import annotations
 
+from types import SimpleNamespace
+
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
 
@@ -40,9 +43,11 @@ def incremental_dedup_sink(
     + append for a transactional MERGE into a key-bucketed table (or a
     key Bloom filter index) — the streaming plumbing (checkpoint,
     batch_id, idempotence) is identical, which is what this operator
-    demonstrates. Unlike ``dropDuplicates`` state, the store survives
-    restarts with NO watermark bound: dedup is against all history, not
-    a time window.
+    demonstrates. The near-dup sink below DOES make that swap (its
+    ``table_prefix`` mode anti-joins against a doc_id-bucketed store
+    with zero store-side shuffle). Unlike ``dropDuplicates`` state, the
+    store survives restarts with NO watermark bound: dedup is against
+    all history, not a time window.
     """
     keys = list(key_cols)
 
@@ -73,6 +78,86 @@ def incremental_dedup_sink(
     return q
 
 
+def _neardup_family(
+    hash_family: str,
+    n: int,
+    k: int,
+    bands: int | None,
+    threshold: float,
+    max_hamming: int,
+    combo_size: int | None,
+    max_docs_per_bucket: int,
+    hash_fn: str,
+):
+    """Adapter between the sink's generic store logic and one near-dup
+    hash family. Both families share the store shape — a per-doc
+    FEATURES table (one row per doc: shingle set resp. fingerprint,
+    bucket-by doc_id) and a per-doc KEYS table (blocking keys, bucket-by
+    band_hash) — and a delta-pairs function whose index side is only
+    consumed through broadcast semi-join prefilters."""
+    from ..operators import dedup as D
+
+    if hash_family == "minhash":
+        mh_bands = 4 if bands is None else bands
+        return SimpleNamespace(
+            keys_name="buckets",
+            feats_name="shingles",
+            keys_bucket_col="band_hash",
+            feats=lambda df, tokens_col, id_col: D._shingle_sets(
+                df, tokens_col, id_col, n
+            ),
+            keys=lambda feats: D._band_buckets_from_shingles(
+                feats, k, mh_bands, hash_fn
+            ),
+            delta_pairs=lambda fresh, keys, feats, tokens_col, id_col: D.minhash_delta_pairs(
+                fresh,
+                D.MinhashIndex(buckets=keys, shingles=feats),
+                tokens_col=tokens_col,
+                id_col=id_col,
+                n=n,
+                k=k,
+                bands=mh_bands,
+                threshold=threshold,
+                max_docs_per_bucket=max_docs_per_bucket,
+                hash_fn=hash_fn,
+            ),
+        )
+    if hash_family == "simhash":
+        sh_bands, sh_combo = D._simhash_blocking_params(max_hamming, bands, combo_size)
+        return SimpleNamespace(
+            keys_name="keys",
+            feats_name="fingerprints",
+            keys_bucket_col="band_hash",
+            feats=lambda df, tokens_col, id_col: D.simhash_fingerprints(
+                df, tokens_col, id_col, hash_fn
+            ),
+            keys=lambda feats: D._simhash_band_buckets(feats, sh_bands, sh_combo),
+            delta_pairs=lambda fresh, keys, feats, tokens_col, id_col: D.simhash_delta_pairs(
+                fresh,
+                D.SimhashIndex(keys=keys, fingerprints=feats),
+                tokens_col=tokens_col,
+                id_col=id_col,
+                max_hamming=max_hamming,
+                bands=sh_bands,
+                combo_size=sh_combo,
+                max_docs_per_bucket=max_docs_per_bucket,
+                hash_fn=hash_fn,
+            ),
+        )
+    raise ValueError(f"unknown hash_family {hash_family!r} (minhash | simhash)")
+
+
+def _parquet_file_count(path: str) -> int:
+    import glob as _glob
+    import os
+
+    return sum(
+        1
+        for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    )
+
+
 def neardup_upsert_batch(
     batch_df: DataFrame,
     store_path: str,
@@ -80,23 +165,51 @@ def neardup_upsert_batch(
     id_col: str = "doc_id",
     n: int = 3,
     k: int = 12,
-    bands: int = 4,
+    bands: int | None = None,
     threshold: float = 0.7,
     max_docs_per_bucket: int = 1000,
     hash_fn: str = "md5",
+    hash_family: str = "minhash",
+    max_hamming: int = 8,
+    combo_size: int | None = None,
+    table_prefix: str | None = None,
+    n_buckets: int = 32,
+    compact_threshold_files: int | None = None,
 ) -> None:
     """One near-dup dedup-on-ingest step: check ``batch_df`` against the
-    persistent store at ``store_path`` (layout: ``docs/`` surviving
-    documents, ``buckets/`` + ``shingles/`` their minhash index — the
-    :class:`~..operators.dedup.MinhashIndex` state), keep only documents
-    with no near-duplicate among EARLIER survivors or smaller-id batch
-    mates, and append the survivors plus their index rows.
+    persistent store, keep only documents with no near-duplicate among
+    EARLIER survivors or smaller-id batch mates, and append the
+    survivors plus their index rows. ``hash_family`` picks the
+    similarity notion: ``'minhash'`` (Jaccard ≥ ``threshold``, index =
+    ``buckets``/``shingles`` — the
+    :class:`~..operators.dedup.MinhashIndex` state) or ``'simhash'``
+    (Hamming ≤ ``max_hamming``, index = ``keys``/``fingerprints`` —
+    :class:`~..operators.dedup.SimhashIndex`).
+
+    Store layouts — the scale knob:
+
+    * default (plain): parquet dirs under ``store_path`` (``docs/`` +
+      the two index dirs). The replay/duplicate-id guard anti-joins the
+      batch against the store's id column; Spark cannot broadcast the
+      left side of a left-anti join, so this is a sort-merge shuffle of
+      the full stored id column per batch — fine for moderate stores,
+      wrong at a billion docs.
+    * ``table_prefix`` given (bucketed): the store is three bucketed
+      catalog tables (``{prefix}_docs`` by ``id_col``, the keys table
+      by band_hash, the features table by doc_id) with data under
+      ``store_path``. The guard's anti-join then reads the docs table
+      id column ALREADY partitioned on the join key: zero store-side
+      Exchange (asserted on the plan in tests/test_streaming.py); only
+      the O(delta) batch side shuffles. Index appends go through
+      ``append_to_minhash_index``-style bucket-preserving appends, so
+      the delta check's zero-Exchange index contract survives every
+      batch.
 
     Semantics — dedup-against-survivors, the standard incremental-ingest
     rule: a document is dropped iff its cluster (connected components
     over this batch's delta pairs) contains any already-stored doc, or a
     smaller-id doc of the same batch. Equivalently the store INVARIANT
-    is that ``minhash_dedup_pairs`` over the stored docs is always empty
+    is that batch near-dup pairs over the stored docs are always empty
     (pinned in tests/test_streaming.py). Note this is weaker than
     batch-global clustering ONLY on transitive non-clique clusters
     (a~b, b~c, not a~c, arriving in separate batches: batch clustering
@@ -104,69 +217,121 @@ def neardup_upsert_batch(
     among survivors). For a single batch the two coincide exactly
     (tested).
 
-    Idempotence / crash ordering: replayed batches anti-join against
-    the stored doc ids and append nothing. Index rows are appended
-    BEFORE docs: a crash between the two re-appends those index rows on
-    replay (duplicate index rows are harmless — pair candidates are
-    distinct-ed), whereas the docs-first order would leave stored docs
-    invisible to future near-dup checks, silently voiding the
-    invariant.
+    Idempotence / crash ordering: append order is keys → features →
+    docs, so the docs append is the commit point (docs-first would
+    leave stored docs invisible to future near-dup checks, silently
+    voiding the invariant). A crash before the commit point leaves
+    index rows for docs absent from ``docs/``; on replay those docs
+    re-enter as delta, and two per-batch repairs make the replay exact:
+    (1) SCRUB — the index views exclude rows whose doc_id is in the
+    current delta (broadcast anti-join), restoring the delta/index
+    doc-id disjointness the delta check requires and keeping stale
+    members from inflating bucket sizes against
+    ``max_docs_per_bucket``; (2) IDEMPOTENT APPEND — recomputation is
+    deterministic, so the replay's index rows equal the crashed
+    attempt's, and anti-joining the to-append rows against the stale
+    rows ((doc_id, band_id) for keys, doc_id for features — both
+    row-identifying) means no duplicate index row is ever stored, even
+    across partial job commits. Fully-replayed batches hit the docs
+    guard and append nothing.
 
-    Per-batch cost: the delta path of
-    :func:`~..operators.dedup.minhash_delta_pairs` — the store's index
-    is scanned keys-only under broadcast semi-join prefilters, never
-    shuffled, and the corpus text is never re-read. At 100 TB the
-    parquet index scan swaps for the bucketed-table variant
-    (``persist_minhash_index``); the decision logic is unchanged.
+    Per-batch cost: the delta path of ``*_delta_pairs`` — the store's
+    index is scanned keys-only under broadcast semi-join prefilters,
+    never shuffled, the corpus text is never re-read, and the
+    scrub/idempotence joins broadcast the (small) batch id list. Each
+    batch appends one file set; with ``compact_threshold_files`` set,
+    any store table whose parquet file count exceeds it is compacted
+    after the batch commits (``compact_parquet`` for the plain layout,
+    ``compact_bucketed_table`` — bucket-spec preserving — for the
+    bucketed one), and every load first runs ``recover_compact_swap``
+    so a crash inside a compaction swap never reads as an empty store.
     """
-    from pyspark.sql import functions as F
-
-    from ..operators.dedup import (
-        MinhashIndex,
-        _band_buckets_from_shingles,
-        _shingle_sets,
-        minhash_delta_pairs,
-    )
     from ..operators.graph import connected_components
+    from ..sources.io import (
+        append_to_bucketed_table,
+        compact_bucketed_table,
+        compact_parquet,
+        recover_compact_swap,
+        register_bucketed_table,
+        table_bucket_spec,
+        write_bucketed,
+    )
 
     spark = batch_df.sparkSession
+    fam = _neardup_family(
+        hash_family, n, k, bands, threshold, max_hamming, combo_size,
+        max_docs_per_bucket, hash_fn,
+    )
     docs_path = f"{store_path}/docs"
+    keys_path = f"{store_path}/{fam.keys_name}"
+    feats_path = f"{store_path}/{fam.feats_name}"
+    for p in (docs_path, keys_path, feats_path):
+        recover_compact_swap(p)
+
+    bucketed = table_prefix is not None
+    docs_tbl = f"{table_prefix}_docs" if bucketed else None
+    keys_tbl = f"{table_prefix}_{fam.keys_name}" if bucketed else None
+    feats_tbl = f"{table_prefix}_{fam.feats_name}" if bucketed else None
+
     fresh = batch_df.dropDuplicates([id_col])
-    index = None
-    try:
-        existing = spark.read.parquet(docs_path).select(id_col)
-        fresh = fresh.join(existing, id_col, "left_anti")
-        index = MinhashIndex(
-            buckets=spark.read.parquet(f"{store_path}/buckets"),
-            shingles=spark.read.parquet(f"{store_path}/shingles"),
+    keys_raw = feats_raw = None
+    if bucketed:
+        # restart self-heal: the in-memory catalog (tests, default local
+        # builds) loses table metadata across sessions while the data
+        # dirs survive — a store whose tables aren't registered must be
+        # re-registered, NOT treated as "first batch" (which would
+        # overwrite the corpus). No-op on a live metastore.
+        register_bucketed_table(spark, docs_tbl, id_col, n_buckets, docs_path)
+        register_bucketed_table(
+            spark, keys_tbl, fam.keys_bucket_col, n_buckets, keys_path
         )
-    except AnalysisException as exc:
-        # ONLY a missing store means "first batch" — same contract as
-        # incremental_dedup_sink above
-        cond = getattr(exc, "getErrorClass", lambda: None)() or str(exc)
-        if "PATH_NOT_FOUND" not in cond and "UNABLE_TO_INFER_SCHEMA" not in cond:
-            raise
+        register_bucketed_table(spark, feats_tbl, "doc_id", n_buckets, feats_path)
+        if spark.catalog.tableExists(docs_tbl):
+            for t in (docs_tbl, keys_tbl, feats_tbl):
+                spark.catalog.refreshTable(t)
+            # zero store-side Exchange: the docs table is bucketed by
+            # id_col, so its id column arrives at the sort-merge
+            # anti-join already partitioned on the join key — only the
+            # O(delta) batch side shuffles (plan pinned in tests)
+            fresh = fresh.join(
+                spark.table(docs_tbl).select(id_col), id_col, "left_anti"
+            )
+            keys_raw = spark.table(keys_tbl)
+            feats_raw = spark.table(feats_tbl)
+    else:
+        try:
+            existing = spark.read.parquet(docs_path).select(id_col)
+            fresh = fresh.join(existing, id_col, "left_anti")
+            keys_raw = spark.read.parquet(keys_path)
+            feats_raw = spark.read.parquet(feats_path)
+        except AnalysisException as exc:
+            # ONLY a missing store means "first batch" — same contract
+            # as incremental_dedup_sink above
+            cond = getattr(exc, "getErrorClass", lambda: None)() or str(exc)
+            if "PATH_NOT_FOUND" not in cond and "UNABLE_TO_INFER_SCHEMA" not in cond:
+                raise
     fresh = fresh.localCheckpoint()
     if fresh.limit(1).count() == 0:
         return
-    delta_sh = _shingle_sets(fresh, tokens_col, id_col, n).localCheckpoint()
-    delta_bands = _band_buckets_from_shingles(delta_sh, k, bands, hash_fn)
-    if index is None:
-        # empty index with the right schemas (band_hash type depends on
+    fresh_ids = fresh.select(F.col(id_col).alias("doc_id"))
+
+    delta_feats = fam.feats(fresh, tokens_col, id_col).localCheckpoint()
+    delta_keys = fam.keys(delta_feats)
+    if keys_raw is None:
+        # empty index with the right schemas (key types depend on
         # hash_fn) — the first batch then dedups purely within itself
-        index = MinhashIndex(buckets=delta_bands.limit(0), shingles=delta_sh.limit(0))
-    pairs = minhash_delta_pairs(
-        fresh,
-        index,
-        tokens_col=tokens_col,
-        id_col=id_col,
-        n=n,
-        k=k,
-        bands=bands,
-        threshold=threshold,
-        max_docs_per_bucket=max_docs_per_bucket,
-        hash_fn=hash_fn,
-    )
+        stale_keys = keys_view = delta_keys.limit(0)
+        stale_feats = feats_view = delta_feats.limit(0)
+    else:
+        # crash-window scrub (see docstring): stale index rows can only
+        # belong to the replaying batch's own ids — exclude them from
+        # the views, remember them for the idempotent append
+        stale_keys = keys_raw.join(F.broadcast(fresh_ids), "doc_id", "left_semi")
+        stale_feats = feats_raw.join(F.broadcast(fresh_ids), "doc_id", "left_semi")
+        keys_view = keys_raw.join(F.broadcast(fresh_ids), "doc_id", "left_anti")
+        feats_view = feats_raw.join(F.broadcast(fresh_ids), "doc_id", "left_anti")
+
+    pairs = fam.delta_pairs(fresh, keys_view, feats_view, tokens_col, id_col)
     asg = connected_components(pairs, src="doc_a", dst="doc_b").join(
         fresh.select(F.col(id_col).alias("node"), F.lit(1).alias("is_delta")),
         "node",
@@ -183,14 +348,49 @@ def neardup_upsert_batch(
         .select(F.col("node").alias(id_col))
     )
     survivors = fresh.join(drops, id_col, "left_anti").localCheckpoint()
-    surv_ids = survivors.select(id_col)
-    delta_bands.join(surv_ids, id_col, "left_semi").write.mode("append").parquet(
-        f"{store_path}/buckets"
+    surv_ids = survivors.select(F.col(id_col).alias("doc_id"))
+    new_keys = delta_keys.join(surv_ids, "doc_id", "left_semi")
+    new_feats = delta_feats.join(surv_ids, "doc_id", "left_semi")
+    # idempotent append: drop rows a crashed attempt already stored
+    # ((doc_id, band_id) identifies a key row — band_hash is a function
+    # of it; doc_id identifies a feature row)
+    new_keys = new_keys.join(
+        F.broadcast(stale_keys.select("doc_id", "band_id")),
+        ["doc_id", "band_id"],
+        "left_anti",
     )
-    delta_sh.join(surv_ids, id_col, "left_semi").write.mode("append").parquet(
-        f"{store_path}/shingles"
+    new_feats = new_feats.join(
+        F.broadcast(stale_feats.select("doc_id")), "doc_id", "left_anti"
     )
-    survivors.write.mode("append").parquet(docs_path)
+
+    if bucketed:
+        if keys_raw is None:
+            # first batch: CREATE the bucketed tables (overwrite clobbers
+            # any partial first-batch crash state)
+            write_bucketed(new_keys, keys_tbl, fam.keys_bucket_col, n_buckets,
+                           path=keys_path)
+            write_bucketed(new_feats, feats_tbl, "doc_id", n_buckets,
+                           path=feats_path)
+            write_bucketed(survivors, docs_tbl, id_col, n_buckets, path=docs_path)
+        else:
+            append_to_bucketed_table(new_keys, keys_tbl)
+            append_to_bucketed_table(new_feats, feats_tbl)
+            append_to_bucketed_table(survivors, docs_tbl)
+    else:
+        mode = "append" if keys_raw is not None else "overwrite"
+        new_keys.write.mode(mode).parquet(keys_path)
+        new_feats.write.mode(mode).parquet(feats_path)
+        survivors.write.mode("append").parquet(docs_path)
+
+    if compact_threshold_files is not None:
+        if bucketed:
+            for t in (keys_tbl, feats_tbl, docs_tbl):
+                if _parquet_file_count(table_bucket_spec(spark, t)[2]) > compact_threshold_files:
+                    compact_bucketed_table(spark, t)
+        else:
+            for p in (keys_path, feats_path, docs_path):
+                if _parquet_file_count(p) > compact_threshold_files:
+                    compact_parquet(spark, p)
 
 
 def neardup_dedup_sink(
@@ -202,11 +402,15 @@ def neardup_dedup_sink(
     threshold: float = 0.7,
     **kwargs,
 ):
-    """Streaming near-dup dedup-on-ingest: the minhash extension of
+    """Streaming near-dup dedup-on-ingest: the near-dup extension of
     ``incremental_dedup_sink`` (which dedups exact keys only). Each
     micro-batch runs :func:`neardup_upsert_batch` against the persistent
     store; the store's invariant — no near-dup pair among stored docs —
-    survives restarts and has no watermark bound."""
+    survives restarts and has no watermark bound. All
+    :func:`neardup_upsert_batch` knobs pass through: ``hash_family``
+    ('minhash' | 'simhash'), ``table_prefix`` (bucketed store — the
+    100 TB layout), ``compact_threshold_files`` (small-file
+    maintenance)."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         neardup_upsert_batch(

@@ -802,3 +802,357 @@ def test_neardup_sink_single_batch_equals_canonical(spark, sf_dir, tmp_path):
     pairs = minhash_dedup_pairs(toks, threshold=0.2)
     expected = {r.doc_id for r in canonical_corpus(docs, pairs).select("doc_id").collect()}
     assert got == expected
+
+
+def _neardup_toks(spark, sf_dir):
+    from nlp_with_pyspark_spark.functions.text import tokens_pipeline
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.withColumn("tokens", tokens_pipeline(F.col("text")))
+
+
+def _id_cuts(toks, parts=2):
+    ids = sorted(r.doc_id for r in toks.select("doc_id").collect())
+    return [ids[(i + 1) * len(ids) // parts] for i in range(parts - 1)]
+
+
+def test_neardup_upsert_simhash_family_single_batch(spark, sf_dir, tmp_path):
+    """hash_family='simhash': single-batch ingest coincides with the
+    batch pipeline (simhash pairs → components → keep-first canonical),
+    and the store invariant holds under the SAME blocking config."""
+    from nlp_with_pyspark_spark.operators.dedup import (
+        canonical_corpus,
+        simhash_near_pairs,
+    )
+    from nlp_with_pyspark_spark.streaming.sinks import neardup_upsert_batch
+
+    toks = _neardup_toks(spark, sf_dir)
+    store = str(tmp_path / "sim_store")
+    neardup_upsert_batch(toks, store, hash_family="simhash", max_hamming=3)
+    got = {r.doc_id for r in spark.read.parquet(f"{store}/docs").select("doc_id").collect()}
+    pairs = simhash_near_pairs(toks, max_hamming=3)
+    assert pairs.count() > 0, "no simhash structure; test is vacuous"
+    expected = {
+        r.doc_id
+        for r in canonical_corpus(toks.select("doc_id", "text"), pairs)
+        .select("doc_id")
+        .collect()
+    }
+    assert got == expected
+    # invariant: re-checking the stored docs finds nothing
+    stored = spark.read.parquet(f"{store}/docs")
+    assert simhash_near_pairs(stored, max_hamming=3).count() == 0
+    # index layout: simhash family stores keys/ + fingerprints/
+    assert spark.read.parquet(f"{store}/keys").columns == ["doc_id", "band_id", "band_hash"]
+    assert spark.read.parquet(f"{store}/fingerprints").columns == ["doc_id", "simhash"]
+
+
+def test_neardup_upsert_bucketed_store_matches_plain_and_plan(spark, sf_dir, tmp_path):
+    """table_prefix mode: (1) same survivors as the plain-parquet store
+    over the same arrival order; (2) replayed batch appends nothing;
+    (3) the replay-guard anti-join reads the docs table with ZERO
+    store-side shuffle Exchange (the whole point of the bucketed
+    layout); (4) the delta check against the bucketed index tables is
+    likewise index-side Exchange-free."""
+    from nlp_with_pyspark_spark.operators.dedup import minhash_dedup_pairs
+    from nlp_with_pyspark_spark.plans import exchanges_covering, plan_string
+    from nlp_with_pyspark_spark.streaming.sinks import neardup_upsert_batch
+
+    toks = _neardup_toks(spark, sf_dir).localCheckpoint()
+    cut = _id_cuts(toks)[0]
+    batches = [toks.where(F.col("doc_id") < cut), toks.where(F.col("doc_id") >= cut)]
+    prefix = "t_ndsink"
+    try:
+        plain = str(tmp_path / "plain")
+        buck = str(tmp_path / "buck")
+        for b in batches:
+            neardup_upsert_batch(b, plain, threshold=0.2)
+            neardup_upsert_batch(
+                b, buck, threshold=0.2, table_prefix=prefix, n_buckets=8
+            )
+        plain_ids = {
+            r.doc_id for r in spark.read.parquet(f"{plain}/docs").select("doc_id").collect()
+        }
+        buck_ids = {r.doc_id for r in spark.table(f"{prefix}_docs").select("doc_id").collect()}
+        assert buck_ids == plain_ids and buck_ids
+        # store invariant on the bucketed store
+        assert minhash_dedup_pairs(spark.table(f"{prefix}_docs"), threshold=0.2).count() == 0
+        # replay: nothing appended
+        neardup_upsert_batch(
+            batches[1], buck, threshold=0.2, table_prefix=prefix, n_buckets=8
+        )
+        assert {
+            r.doc_id for r in spark.table(f"{prefix}_docs").select("doc_id").collect()
+        } == buck_ids
+
+        # plan shape, with broadcast disabled so the join can't degrade
+        # to a (store-side) BroadcastExchange that hides the contract
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            guard = batches[1].dropDuplicates(["doc_id"]).join(
+                spark.table(f"{prefix}_docs").select("doc_id"), "doc_id", "left_anti"
+            )
+            plan = plan_string(guard)
+            assert "SortMergeJoin" in plan and "LeftAnti" in plan, plan
+            assert exchanges_covering(guard, f"{prefix}_docs") == 0, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+        # the index side of the delta check stays broadcast-prefiltered:
+        # no UNFILTERED index row crosses an Exchange — the first join
+        # ancestor of each index-table scan is a BroadcastHashJoin
+        # LeftSemi (rows that survive the filter — collisions — cross
+        # later shuffles by design; that's the O(delta + collisions)
+        # shuffle volume, not O(store))
+        from nlp_with_pyspark_spark.operators.dedup import (
+            load_minhash_index,
+            minhash_delta_pairs,
+        )
+        from nlp_with_pyspark_spark.plans import ancestor_chains
+
+        delta = toks.limit(20).withColumn("doc_id", F.col("doc_id") + 10_000_000)
+        unmat = minhash_delta_pairs(
+            delta, load_minhash_index(spark, prefix), threshold=0.2, materialize=False
+        )
+        for table in (f"{prefix}_buckets", f"{prefix}_shingles"):
+            chains = ancestor_chains(unmat, table)
+            assert chains, f"no scan of {table}"
+            for chain in chains:
+                first_join = next((op for op in chain if "Join" in op), None)
+                assert first_join and "BroadcastHashJoin" in first_join and "LeftSemi" in first_join, (
+                    table,
+                    first_join,
+                )
+    finally:
+        for t in ("docs", "buckets", "shingles"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+@pytest.mark.parametrize("bucketed", [False, True])
+def test_neardup_upsert_crash_replay_no_duplicate_index_rows(spark, sf_dir, tmp_path, bucketed):
+    """Simulate the worst crash window — index rows appended, docs
+    append never ran — then replay the batch. The scrub + idempotent
+    append must leave the store EXACTLY as a crash-free run would:
+    no duplicate index rows, disjointness repaired, same survivors.
+
+    The crash state is produced FAITHFULLY: run the real upsert, then
+    delete exactly the files its docs append created (the docs append
+    is the last write = the commit point), so the leftover index rows
+    are precisely what a crashed attempt stores."""
+    import glob as _glob
+    import os
+
+    from nlp_with_pyspark_spark.streaming.sinks import neardup_upsert_batch
+
+    toks = _neardup_toks(spark, sf_dir).localCheckpoint()
+    cut = _id_cuts(toks)[0]
+    b1 = toks.where(F.col("doc_id") < cut)
+    b2 = toks.where(F.col("doc_id") >= cut)
+    prefix = "t_ndcrash" if bucketed else None
+    kw = dict(threshold=0.2)
+    if bucketed:
+        kw.update(table_prefix=prefix, n_buckets=8)
+    try:
+        store = str(tmp_path / "store")
+        ref_store = str(tmp_path / "ref")
+        neardup_upsert_batch(b1, store, **kw)
+        # crash-free reference run of both batches (plain layout is
+        # enough for the expected id set — layouts agree, tested above)
+        neardup_upsert_batch(b1, ref_store, threshold=0.2)
+        neardup_upsert_batch(b2, ref_store, threshold=0.2)
+        expected_ids = {
+            r.doc_id
+            for r in spark.read.parquet(f"{ref_store}/docs").select("doc_id").collect()
+        }
+
+        if bucketed:
+            from nlp_with_pyspark_spark.sources.io import table_bucket_spec
+
+            docs_path = table_bucket_spec(spark, f"{prefix}_docs")[2]
+        else:
+            docs_path = f"{store}/docs"
+
+        def docs_files():
+            return set(_glob.glob(os.path.join(docs_path, "*.parquet")))
+
+        before = docs_files()
+        neardup_upsert_batch(b2, store, **kw)
+        for f in docs_files() - before:  # crash: undo ONLY the commit point
+            os.remove(f)
+        if bucketed:
+            spark.catalog.refreshTable(f"{prefix}_docs")
+
+        # replay b2 (foreachBatch at-least-once)
+        neardup_upsert_batch(b2, store, **kw)
+
+        def tbl(name):
+            if bucketed:
+                spark.catalog.refreshTable(f"{prefix}_{name}")
+                return spark.table(f"{prefix}_{name}")
+            return spark.read.parquet(f"{store}/{name}")
+
+        got_ids = {r.doc_id for r in tbl("docs").select("doc_id").collect()}
+        assert got_ids == expected_ids
+        # no duplicate index rows anywhere, and the index tracks the
+        # stored docs EXACTLY (a real crashed attempt appends survivor
+        # rows only, and the idempotent replay append cancels them)
+        buckets = tbl("buckets")
+        dup_buckets = (
+            buckets.groupBy("doc_id", "band_id").count().where(F.col("count") > 1)
+        )
+        assert dup_buckets.count() == 0
+        dup_sh = tbl("shingles").groupBy("doc_id").count().where(F.col("count") > 1)
+        assert dup_sh.count() == 0
+        stored_bucket_ids = {
+            r.doc_id for r in buckets.select("doc_id").distinct().collect()
+        }
+        # shingle pre-filter: docs with < n tokens have no index rows
+        assert stored_bucket_ids <= got_ids
+        sh_ids = {r.doc_id for r in tbl("shingles").select("doc_id").distinct().collect()}
+        assert sh_ids == stored_bucket_ids
+    finally:
+        if bucketed:
+            for t in ("docs", "buckets", "shingles"):
+                spark.sql(f"DROP TABLE IF EXISTS t_ndcrash_{t}")
+
+
+@pytest.mark.parametrize("bucketed", [False, True])
+def test_neardup_sink_compaction_keeps_invariants(spark, sf_dir, tmp_path, bucketed):
+    """compact_threshold_files wiring: with an aggressive threshold the
+    store is compacted mid-stream; the invariant, the replay guard, and
+    (bucketed) the zero-Exchange guard plan all survive compaction and
+    a post-compaction batch."""
+    from nlp_with_pyspark_spark.operators.dedup import minhash_dedup_pairs
+    from nlp_with_pyspark_spark.plans import exchanges_covering, plan_string
+    from nlp_with_pyspark_spark.streaming.sinks import (
+        _parquet_file_count,
+        neardup_upsert_batch,
+    )
+
+    toks = _neardup_toks(spark, sf_dir).localCheckpoint()
+    cuts = _id_cuts(toks, parts=3)
+    batches = [
+        toks.where(F.col("doc_id") < cuts[0]),
+        toks.where((F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])),
+        toks.where(F.col("doc_id") >= cuts[1]),
+    ]
+    prefix = "t_ndcomp" if bucketed else None
+    kw = dict(threshold=0.2, compact_threshold_files=2)
+    if bucketed:
+        kw.update(table_prefix=prefix, n_buckets=4)
+    try:
+        store = str(tmp_path / "store")
+        for b in batches[:2]:
+            neardup_upsert_batch(b, store, **kw)
+        if bucketed:
+            from nlp_with_pyspark_spark.sources.io import table_bucket_spec
+
+            docs_path = table_bucket_spec(spark, f"{prefix}_docs")[2]
+            col, nb, _ = table_bucket_spec(spark, f"{prefix}_buckets")
+            assert (col, nb) == ("band_hash", 4)  # spec survived compaction
+        else:
+            docs_path = f"{store}/docs"
+        files_mid = _parquet_file_count(docs_path)
+        # threshold 2 with ≥2 appended file sets: compaction ran
+        assert files_mid <= 4 + 2  # ~one file per bucket (+1 fresh append)
+
+        # post-compaction batch + replay
+        neardup_upsert_batch(batches[2], store, **kw)
+        neardup_upsert_batch(batches[2], store, **kw)
+        stored = (
+            spark.table(f"{prefix}_docs") if bucketed else spark.read.parquet(docs_path)
+        )
+        assert minhash_dedup_pairs(stored, threshold=0.2).count() == 0
+        # reference: same batches, no compaction → same survivors
+        ref = str(tmp_path / "ref")
+        for b in batches:
+            neardup_upsert_batch(b, ref, threshold=0.2)
+        ref_ids = {
+            r.doc_id for r in spark.read.parquet(f"{ref}/docs").select("doc_id").collect()
+        }
+        assert {r.doc_id for r in stored.select("doc_id").collect()} == ref_ids
+        if bucketed:
+            thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                guard = batches[2].join(
+                    spark.table(f"{prefix}_docs").select("doc_id"), "doc_id", "left_anti"
+                )
+                assert "SortMergeJoin" in plan_string(guard)
+                assert exchanges_covering(guard, f"{prefix}_docs") == 0
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    finally:
+        if bucketed:
+            for t in ("docs", "buckets", "shingles"):
+                spark.sql(f"DROP TABLE IF EXISTS t_ndcomp_{t}")
+
+
+def test_neardup_upsert_simhash_bucketed_two_batches(spark, sf_dir, tmp_path):
+    """hash_family='simhash' + table_prefix: the bucketed store works
+    for the second family too — invariant holds across two batches,
+    replay appends nothing, simhash index tables carry the bucketed
+    layout."""
+    from nlp_with_pyspark_spark.operators.dedup import simhash_near_pairs
+    from nlp_with_pyspark_spark.sources.io import table_bucket_spec
+    from nlp_with_pyspark_spark.streaming.sinks import neardup_upsert_batch
+
+    toks = _neardup_toks(spark, sf_dir).localCheckpoint()
+    cut = _id_cuts(toks)[0]
+    batches = [toks.where(F.col("doc_id") < cut), toks.where(F.col("doc_id") >= cut)]
+    prefix = "t_ndsim"
+    kw = dict(
+        hash_family="simhash", max_hamming=3, table_prefix=prefix, n_buckets=8
+    )
+    try:
+        store = str(tmp_path / "simbuck")
+        for b in batches:
+            neardup_upsert_batch(b, store, **kw)
+        stored = spark.table(f"{prefix}_docs")
+        ids = {r.doc_id for r in stored.select("doc_id").collect()}
+        assert ids
+        assert simhash_near_pairs(stored, max_hamming=3).count() == 0
+        assert table_bucket_spec(spark, f"{prefix}_keys")[:2] == ("band_hash", 8)
+        assert table_bucket_spec(spark, f"{prefix}_fingerprints")[:2] == ("doc_id", 8)
+        neardup_upsert_batch(batches[1], store, **kw)  # replay
+        assert {r.doc_id for r in spark.table(f"{prefix}_docs").select("doc_id").collect()} == ids
+    finally:
+        for t in ("docs", "keys", "fingerprints"):
+            spark.sql(f"DROP TABLE IF EXISTS t_ndsim_{t}")
+
+
+def test_neardup_upsert_bucketed_survives_catalog_loss(spark, sf_dir, tmp_path):
+    """Restart story for the session-scoped catalog: dropping the table
+    METADATA (what a new session sees) while the data dirs survive must
+    NOT read as 'first batch' — the sink re-registers the tables over
+    the existing files and keeps deduping against the full store."""
+    from nlp_with_pyspark_spark.streaming.sinks import neardup_upsert_batch
+
+    toks = _neardup_toks(spark, sf_dir).localCheckpoint()
+    cut = _id_cuts(toks)[0]
+    b1 = toks.where(F.col("doc_id") < cut)
+    b2 = toks.where(F.col("doc_id") >= cut)
+    prefix = "t_ndrestart"
+    kw = dict(threshold=0.2, table_prefix=prefix, n_buckets=8)
+    try:
+        store = str(tmp_path / "store")
+        neardup_upsert_batch(b1, store, **kw)
+        ids1 = {r.doc_id for r in spark.table(f"{prefix}_docs").select("doc_id").collect()}
+        # simulate a restart: metadata gone, files intact
+        for t in ("docs", "buckets", "shingles"):
+            spark.sql(f"DROP TABLE {prefix}_{t}")
+        neardup_upsert_batch(b2, store, **kw)
+        ids2 = {r.doc_id for r in spark.table(f"{prefix}_docs").select("doc_id").collect()}
+        assert ids1 <= ids2 and len(ids2) > len(ids1)
+        # reference: same two batches without the catalog loss
+        ref = str(tmp_path / "ref")
+        neardup_upsert_batch(b1, ref, threshold=0.2)
+        neardup_upsert_batch(b2, ref, threshold=0.2)
+        ref_ids = {
+            r.doc_id for r in spark.read.parquet(f"{ref}/docs").select("doc_id").collect()
+        }
+        assert ids2 == ref_ids
+    finally:
+        for t in ("docs", "buckets", "shingles"):
+            spark.sql(f"DROP TABLE IF EXISTS t_ndrestart_{t}")
