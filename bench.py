@@ -51,7 +51,6 @@ HEADLINE = [
     "customer_nation_revenue",
     "salted_nation_revenue",
     "top_orders_per_customer",
-    "order_priority_counts",
     "revenue_rollup",
     "events_tumbling_5m",
     "events_sliding_10m",
@@ -75,7 +74,6 @@ HEADLINE = [
     "click_purchase_attribution",
     "customer_rolling_7d_revenue",
     "session_event_overlap",
-    "supplier_nation_revenue",
     "local_supplier_volume",
     "dormant_customers",
     "price_percentiles",
@@ -84,11 +82,6 @@ HEADLINE = [
     "order_priority_pivot",
     "customer_order_setops",
     "confusion_metrics",
-    "doc_token_stats",
-    "small_qty_part_revenue",
-    "high_balance_inactive",
-    "promo_revenue_share",
-    "latest_event_per_user",
     "bigram_top50",
     "embedding_centroid_topk",
     "repetition_features",
@@ -112,24 +105,43 @@ HEADLINE = [
     "dedup_delta_pairs",
     "bpe_merge_stats",
     "simhash_delta_pairs",
+    # round 8 rotation — see MEMBERSHIP POLICY below
+    "tfidf_smoothed_long",
+    "simhash_fingerprints",
+    "order_priority_melt",
+    "multimodal_resize",
+    "corpus_train_split",
+    "doc_length_histogram",
+    "zorder_file_envelopes",
 ]
-# Excluded on purpose: dedup_ngram_jaccard / embedding_near_dups are the
-# exact all-pairs VERIFIERS for the LSH/minhash scale paths (quadratic by
-# definition). Round 6 also pruned nine near-duplicate
-# parameterizations of still-benched entries (order_status_cube,
-# corpus_train_split, token_budget, multimodal_resize,
-# order_priority_melt, customer_running_revenue, doc_length_histogram,
-# tfidf_smoothed_long — IDF-formula twin of tfidf_long —
-# and simhash_fingerprints — the projection sub-step of
-# simhash_near_pairs) so the printed JSON line keeps headroom under
-# the driver's 2000-char tail capture; the suite total is accordingly
-# not directly comparable to rounds ≤ 5 on those names. Round 7 pruned
-# two more for the same headroom reason after adding dedup_delta_pairs
-# and bpe_merge_stats (the full 70-entry line measured 1873 chars even
-# at 1-decimal precision): multimodal_asset_stats (metadata-only agg;
-# decode_features and frame_sample keep the multimodal family benched)
-# and events_distinct_users (countDistinct; the events family keeps
-# five benched entries).
+# MEMBERSHIP POLICY (round 8). The printed JSON line must stay under
+# ~1850 chars (the driver captures only the last 2000 chars of stdout),
+# which caps the suite at ~68 entries — fewer than the registry. The
+# check window got an explicit rotation discipline in round 6; bench
+# membership follows the same rule from round 8:
+#
+#   1. PERMANENTLY excluded — quadratic-by-definition all-pairs
+#      VERIFIERS for the LSH/minhash scale paths, never meaningful as
+#      throughput numbers: dedup_ngram_jaccard, embedding_near_dups.
+#   2. Every other registered query must be benched at least once every
+#      3 rounds. Each round swaps the stalest never-/least-recently-
+#      benched queries IN and rotates OUT long-benched queries whose
+#      perf shape a still-benched kin covers (swap, never grow).
+#
+# Round 8 swap — IN (never benched before): tfidf_smoothed_long,
+# simhash_fingerprints, order_priority_melt, multimodal_resize,
+# corpus_train_split, doc_length_histogram, and the new
+# zorder_file_envelopes. OUT (benched r1-r7, kin in parentheses stays
+# benched): order_priority_counts (order_priority_pivot composes it),
+# small_qty_part_revenue + high_balance_inactive + promo_revenue_share
+# (filter-join-agg family → pricing_summary / customer_nation_revenue /
+# dormant_customers), doc_token_stats (grouped token agg →
+# corpus_clean_stats … vocab_top100), latest_event_per_user (window
+# top-1 → top_orders_per_customer), supplier_nation_revenue (3-way dim
+# join → customer_nation_revenue / local_supplier_volume).
+# Rotation debt for round 9 (registered, still never benched):
+# order_status_cube, customer_running_revenue, token_budget,
+# events_distinct_users, multimodal_asset_stats — swap these in next.
 
 
 def run_one(name: str, sf_dir: str, runs: int) -> None:

@@ -3395,6 +3395,81 @@ def bpe_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Data layout (operators/layout.py — Z-order clustering read-back)
+# ---------------------------------------------------------------------------
+
+
+def _zorder_envelope_sql() -> str:
+    """DuckDB twin of operators/layout.zorder_key for the read-back
+    query below: 16-bit normalized ranks per column (floor-truncation
+    matches Spark's double→long cast), 32-term shift/OR interleave,
+    fixed-range file assignment on the top 3 key bits."""
+    bits, ncols = 16, 2
+    terms = [
+        f"((({s} >> {i}) & 1) << {i * ncols + j})"
+        for i in range(bits)
+        for j, s in enumerate(("sx", "sy"))
+    ]
+    key = " | ".join(terms)
+    return f"""
+    WITH bounds AS (
+        SELECT min(CAST(o_custkey AS DOUBLE)) AS lo_c, max(CAST(o_custkey AS DOUBLE)) AS hi_c,
+               min(CAST(o_totalprice AS DOUBLE)) AS lo_p, max(CAST(o_totalprice AS DOUBLE)) AS hi_p
+        FROM orders
+    ),
+    scaled AS (
+        SELECT o_custkey, o_totalprice,
+               least(CAST(floor(least(greatest((CAST(o_custkey AS DOUBLE) - lo_c) / (hi_c - lo_c), 0.0), 1.0) * 65536.0) AS BIGINT), 65535) AS sx,
+               least(CAST(floor(least(greatest((CAST(o_totalprice AS DOUBLE) - lo_p) / (hi_p - lo_p), 0.0), 1.0) * 65536.0) AS BIGINT), 65535) AS sy
+        FROM orders, bounds
+    ),
+    keyed AS (SELECT o_custkey, o_totalprice, ({key}) AS zkey FROM scaled)
+    SELECT CAST(zkey >> 29 AS INT) AS file_id,
+           count(*) AS n_rows,
+           min(o_custkey) AS lo_custkey, max(o_custkey) AS hi_custkey,
+           round(min(o_totalprice), 2) AS lo_price, round(max(o_totalprice), 2) AS hi_price,
+           min(zkey) AS z_lo, max(zkey) AS z_hi
+    FROM keyed GROUP BY file_id ORDER BY file_id
+    """
+
+
+@query("zorder_file_envelopes", _zorder_envelope_sql())
+def zorder_file_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout family under the external oracle gate: the Z-order key
+    (operators/layout.zorder_key — a pure bit-interleave Catalyst
+    expression, no UDFs) with a FIXED-RANGE file assignment (top 3 key
+    bits → 8 files — the deterministic stand-in for write_zordered's
+    repartitionByRange, whose sampled boundaries an SQL oracle can't
+    replay) and each file's [min, max] envelope on BOTH z columns plus
+    the key range itself. Narrow per-file envelopes on every clustered
+    column are exactly what parquet footer pruning consumes; the actual
+    footer-stats assertion against a real write lives in
+    tests/test_layout.py. Bounds are measured by one bounded-fetch agg
+    (operators/layout.measure_bounds) in Spark and scalar subqueries in
+    the oracle — same values, so identical keys."""
+    from .operators.layout import measure_bounds, zorder_key
+
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    bounds = measure_bounds(orders, ["o_custkey", "o_totalprice"])
+    key = zorder_key([F.col("o_custkey"), F.col("o_totalprice")], bounds, bits=16)
+    return (
+        orders.withColumn("zkey", key)
+        .withColumn("file_id", F.shiftright("zkey", 29).cast("int"))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_custkey").alias("lo_custkey"),
+            F.max("o_custkey").alias("hi_custkey"),
+            F.round(F.min("o_totalprice"), 2).alias("lo_price"),
+            F.round(F.max("o_totalprice"), 2).alias("hi_price"),
+            F.min("zkey").alias("z_lo"),
+            F.max("zkey").alias("z_hi"),
+        )
+        .orderBy("file_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-check curation
 # ---------------------------------------------------------------------------
 
@@ -3405,7 +3480,8 @@ def bpe_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: checks or compositions whose constituents are each checked — every
 #: one still covered by a local DuckDB parity test
 #: (tests/test_oracle_parity.py and friends) and, where headline-
-#: relevant, by bench.py:
+#: relevant, by bench.py. (Rationales below are for queries CURRENTLY
+#: demoted; round-8 returns had their lines removed.)
 #:
 #: Round-6 rotation: the six queries that had NEVER received a driver
 #: correctness row in any round (corpus_pipeline_funnel,
@@ -3414,10 +3490,6 @@ def bpe_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: window; six formula/parameter variants that already carry green
 #: r4/r5 driver rows take their place here.
 #:
-#:   salted_nation_revenue    — skew-salted variant of customer_nation_revenue
-#:                              (identical oracle by construction)
-#:   tfidf_smoothed_long      — one-line IDF-formula variant of tfidf_long
-#:   simhash_fingerprints     — projection sub-step of simhash_near_pairs
 #:   order_priority_melt      — inverse of order_priority_pivot
 #:   embedding_near_dups      — exact all-pairs VERIFIER for the LSH paths
 #:   dedup_ngram_jaccard      — exact inverted-index VERIFIER for minhash
@@ -3428,11 +3500,6 @@ def bpe_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #:   doc_length_histogram     — binning groupBy, covered by doc_token_stats
 #:   supplier_nation_revenue  — 3-way dim join, covered by
 #:                              customer_nation_revenue + local_supplier_volume
-#:   order_status_cube        — CUBE grouping-set variant of revenue_rollup
-#:   customer_running_revenue — running-sum window, covered by
-#:                              customer_rolling_7d_revenue (range frame)
-#:   token_budget             — token-count projection, covered by
-#:                              doc_token_stats + repetition_features
 #:   events_sliding_10m       — sliding variant of events_tumbling_5m
 #:                              (green r4/r5)
 #:   order_priority_pivot     — CASE-sum twin of order_priority_counts
@@ -3465,10 +3532,14 @@ def bpe_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #:   ann_brute_force_topk     — the exact verifier shape, green in all
 #:                              five rounds; the ANN family stays repped
 #:                              by ann_lsh / ann_ivf / ann_ivfpq
+#: Round-8 rotation (freshness pass, VERDICT r7 ask #5): six of the
+#: demoted queries last driver-checked in r4 rotate BACK into the
+#: window (salted_nation_revenue, tfidf_smoothed_long,
+#: simhash_fingerprints, order_status_cube, token_budget,
+#: customer_running_revenue), plus the new zorder_file_envelopes
+#: (never checked). Seven multi-round-green queries take their place
+#: below, each with its in-window kin named.
 _DEMOTED_PAST_CHECK_WINDOW = [
-    "salted_nation_revenue",
-    "tfidf_smoothed_long",
-    "simhash_fingerprints",
     "order_priority_melt",
     "embedding_near_dups",
     "dedup_ngram_jaccard",
@@ -3477,9 +3548,6 @@ _DEMOTED_PAST_CHECK_WINDOW = [
     "corpus_train_split",
     "doc_length_histogram",
     "supplier_nation_revenue",
-    "order_status_cube",
-    "customer_running_revenue",
-    "token_budget",
     "events_sliding_10m",
     "order_priority_pivot",
     "small_qty_part_revenue",
@@ -3516,6 +3584,32 @@ _DEMOTED_PAST_CHECK_WINDOW = [
     #                              components clustering end-to-end);
     #                              demoted for simhash_delta_pairs
     "dedup_components",
+    # round 8: demoted (all green r7 AND in multiple earlier rounds) for
+    # the freshness returns + zorder_file_envelopes:
+    #   order_priority_counts    — green r1-r7; order_status_cube (cube
+    #                              superset of the same grouping) returns
+    #                              to the window, revenue_rollup stays
+    #   doc_token_stats          — green r1-r7; token_budget (token-count
+    #                              kin) returns, quality_scores stays
+    #   lang_id_counts           — green r3-r7; textstats family keeps
+    #                              quality_scores + repetition_features
+    #                              in-window
+    #   ann_lsh_topk             — green r3-r7; ANN family keeps
+    #                              ann_ivf_topk + ann_ivfpq_topk
+    #   events_tumbling_5m       — green r1-r7; events family keeps
+    #                              session_stats / json_stats / asof /
+    #                              rolling-7d in-window
+    #   doc_fingerprints         — green r4-r7; simhash_fingerprints
+    #                              (the heavier fingerprint rep) returns
+    #   embedding_centroid_topk  — green r4-r7; embedding family keeps
+    #                              quantization/rp/pq in-window
+    "order_priority_counts",
+    "doc_token_stats",
+    "lang_id_counts",
+    "ann_lsh_topk",
+    "events_tumbling_5m",
+    "doc_fingerprints",
+    "embedding_centroid_topk",
 ]
 
 

@@ -13,26 +13,32 @@ from nlp_with_pyspark_spark.queries import (
 #: one representative per operator family that MUST sit inside the
 #: driver's 50-query window
 REQUIRED_IN_WINDOW = {
-    # relational / TPC-H-ish
+    # relational / TPC-H-ish (round 8: order_priority_counts demoted,
+    # the returning order_status_cube covers the grouping family)
     "pricing_summary", "customer_nation_revenue", "top_orders_per_customer",
-    "revenue_rollup", "order_priority_counts",
+    "revenue_rollup", "order_status_cube",
     "customer_order_setops", "sql_top_unshipped_orders",
     "customer_rolling_7d_revenue",
     "dormant_customers",
-    # event-time
-    "events_tumbling_5m", "events_session_stats",
+    # event-time (round 8: events_tumbling_5m demoted after 7 green
+    # rounds; session/json/asof/rolling keep the family repped)
+    "events_session_stats",
     "session_event_overlap", "events_asof_click_purchase",
     "events_json_stats",
     "click_purchase_funnel",
-    # text / NLP
-    "vocab_top100", "tfidf_long", "doc_token_stats",
-    "lang_id_counts", "quality_scores",
-    "doc_fingerprints", "repetition_features", "confusion_metrics",
+    # text / NLP (round 8: doc_token_stats/lang_id_counts/
+    # doc_fingerprints demoted — token_budget + simhash_fingerprints
+    # return in their place)
+    "vocab_top100", "tfidf_long", "token_budget",
+    "quality_scores",
+    "simhash_fingerprints", "repetition_features", "confusion_metrics",
     # dedup / similarity (dedup_components demoted round 7: green r1-r6,
-    # constituents covered by dedup_minhash_pairs + dedup_canonical_corpus)
+    # constituents covered by dedup_minhash_pairs + dedup_canonical_corpus;
+    # round 8: ann_lsh_topk + embedding_centroid_topk demoted, ivf/ivfpq
+    # + quantization/rp/pq keep both families repped)
     "dedup_exact_groups", "dedup_minhash_pairs",
-    "simhash_near_pairs", "ann_lsh_topk",
-    "ann_ivf_topk", "embedding_centroid_topk",
+    "simhash_near_pairs",
+    "ann_ivf_topk",
     # pipeline / corpus hygiene
     "stratified_sample_by_lang", "token_pack_assignments",
     "multimodal_decode_features",
@@ -52,6 +58,10 @@ REQUIRED_IN_WINDOW = {
     # doc_token_chunks / click_purchase_attribution demoted to make
     # room, both green in r6)
     "dedup_delta_pairs", "bpe_merge_stats", "simhash_delta_pairs",
+    # round-8 freshness returns (last driver-checked r4) + the new
+    # layout read-back query (never checked)
+    "zorder_file_envelopes", "salted_nation_revenue", "tfidf_smoothed_long",
+    "customer_running_revenue",
 }
 
 
