@@ -25,6 +25,9 @@ def incremental_dedup_sink(
     path: str,
     checkpoint: str,
     key_cols: tuple[str, ...] = ("event_id",),
+    table: str | None = None,
+    n_buckets: int = 32,
+    compact_threshold_files: int | None = None,
 ):
     """Continuously ingest a stream into a parquet store, keeping only
     the FIRST occurrence of each key — streaming exact dedup with a
@@ -37,23 +40,49 @@ def incremental_dedup_sink(
     batches are no-ops (idempotent under foreachBatch's at-least-once
     contract).
 
-    Scale notes: the per-batch cost is one key-column scan of the store,
-    which grows with the store. That is the honest trade of a plain
-    parquet store; at 100 TB the same function body swaps the anti-join
-    + append for a transactional MERGE into a key-bucketed table (or a
-    key Bloom filter index) — the streaming plumbing (checkpoint,
-    batch_id, idempotence) is identical, which is what this operator
-    demonstrates. The near-dup sink below DOES make that swap (its
-    ``table_prefix`` mode anti-joins against a doc_id-bucketed store
-    with zero store-side shuffle). Unlike ``dropDuplicates`` state, the
-    store survives restarts with NO watermark bound: dedup is against
-    all history, not a time window.
+    Scale notes: with the default plain-parquet layout the per-batch
+    guard is a sort-merge shuffle of the store's full key column —
+    honest but wrong at a billion rows. Passing ``table`` switches the
+    store to a bucketed catalog table (bucketed by ``key_cols[0]``,
+    data at ``path``): the guard's anti-join then reads the key column
+    already partitioned on the join key — zero store-side Exchange,
+    only the O(batch) side shuffles — exactly the layout the near-dup
+    sink below uses. ``compact_threshold_files`` wires in the
+    small-file maintenance pass (appends add one file set per batch).
+    Unlike ``dropDuplicates`` state, the store survives restarts with
+    NO watermark bound: dedup is against all history, not a time
+    window; a bucketed table also survives a session-scoped catalog
+    loss (metadata is re-registered over the surviving files).
     """
     keys = list(key_cols)
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        from ..sources.io import (
+            append_to_bucketed_table,
+            compact_bucketed_table,
+            compact_parquet,
+            recover_compact_swap,
+            register_bucketed_table,
+            write_bucketed,
+        )
+
         spark = batch_df.sparkSession
+        recover_compact_swap(path)
         fresh = batch_df.dropDuplicates(keys)
+        if table is not None:
+            register_bucketed_table(spark, table, keys[0], n_buckets, path)
+            if spark.catalog.tableExists(table):
+                spark.catalog.refreshTable(table)
+                fresh = fresh.join(spark.table(table).select(*keys), keys, "left_anti")
+                append_to_bucketed_table(fresh, table)
+            else:
+                write_bucketed(fresh, table, keys[0], n_buckets, path=path)
+            if (
+                compact_threshold_files is not None
+                and _parquet_file_count(path) > compact_threshold_files
+            ):
+                compact_bucketed_table(spark, table)
+            return
         try:
             existing = spark.read.parquet(path).select(*keys)
             fresh = fresh.join(existing, keys, "left_anti")
@@ -67,6 +96,11 @@ def incremental_dedup_sink(
             if "PATH_NOT_FOUND" not in cond and "UNABLE_TO_INFER_SCHEMA" not in cond:
                 raise
         fresh.write.mode("append").parquet(path)
+        if (
+            compact_threshold_files is not None
+            and _parquet_file_count(path) > compact_threshold_files
+        ):
+            compact_parquet(spark, path)
 
     q = (
         stream_df.writeStream.foreachBatch(upsert)

@@ -57,6 +57,27 @@ DEFAULT_QUERIES = (
 )
 
 
+def _dedup_components_distributed(spark, sf_dir):
+    """dedup_components with ``driver_threshold=0``: forces the
+    large-star/small-star distributed contraction even on edge lists
+    small enough for the driver-side union-find shortcut, so the probe
+    times the path a 100 TB edge list actually takes (the registered
+    query's adaptive default would route every test-scale run through
+    the driver and the probe would measure nothing)."""
+    from nlp_with_pyspark_spark.operators.dedup import minhash_dedup_pairs
+    from nlp_with_pyspark_spark.operators.graph import duplicate_clusters
+    from nlp_with_pyspark_spark.queries import _tokenized_documents
+
+    docs = _tokenized_documents(spark, sf_dir)
+    pairs = minhash_dedup_pairs(docs, n=3, k=12, bands=4, threshold=0.2)
+    return duplicate_clusters(pairs, driver_threshold=0)
+
+
+#: probe-only query variants (forced code paths the registered queries
+#: deliberately don't take at test scale)
+EXTRA_QUERIES = {"dedup_components_distributed": _dedup_components_distributed}
+
+
 def build_replicated_dir(
     spark, base_dir: str, out_dir: str, factor: int, tables: tuple[str, ...] = ("documents",)
 ) -> None:
@@ -201,7 +222,7 @@ def materialize(df) -> None:
 
 
 def time_query(spark, name: str, sf_dir: str, runs: int = 3) -> tuple[float, int]:
-    fn = QUERIES[name]
+    fn = EXTRA_QUERIES.get(name) or QUERIES[name]
     # TWO warm runs: cold-JVM JIT takes more than one pass to reach
     # steady state (measured on dedup_minhash_pairs at sf0.1 in a fresh
     # session: 19.2s, 3.9s, then ~2.1s steady — a single warm run left

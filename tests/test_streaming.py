@@ -1156,3 +1156,56 @@ def test_neardup_upsert_bucketed_survives_catalog_loss(spark, sf_dir, tmp_path):
     finally:
         for t in ("docs", "buckets", "shingles"):
             spark.sql(f"DROP TABLE IF EXISTS t_ndrestart_{t}")
+
+
+def test_incremental_dedup_sink_bucketed_table(spark, tmp_path):
+    """Exact-dedup sink, bucketed-store mode: same dedup semantics as
+    the plain layout, replay appends nothing, compaction wired, and the
+    replay guard reads the store with zero store-side Exchange."""
+    from nlp_with_pyspark_spark.plans import exchanges_covering, plan_string
+    from nlp_with_pyspark_spark.streaming.sinks import incremental_dedup_sink
+    from nlp_with_pyspark_spark.streaming.windows import events_stream_from_dir
+
+    base = 1_700_000_000_000_000
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_events_file(
+        spark,
+        src / "f1",
+        [(1, base, 10, "click", 1.0, "{}"), (2, base + 1_000_000, 11, "view", 2.0, "{}")],
+    )
+    _write_events_file(
+        spark,
+        src / "f2",
+        [(2, base + 1_000_000, 11, "view", 2.0, "{}"), (3, base + 2_000_000, 12, "click", 3.0, "{}")],
+    )
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    tbl = "t_exact_sink"
+    try:
+        stream = events_stream_from_dir(spark, str(src / "f*"), max_files_per_trigger=1)
+        incremental_dedup_sink(
+            stream, store, ckpt, table=tbl, n_buckets=4, compact_threshold_files=2
+        )
+        ids = sorted(r.event_id for r in spark.table(tbl).select("event_id").collect())
+        assert ids == [1, 2, 3]
+        # resume from the same checkpoint: no new input ⇒ unchanged
+        stream2 = events_stream_from_dir(spark, str(src / "f*"), max_files_per_trigger=1)
+        incremental_dedup_sink(stream2, store, ckpt, table=tbl, n_buckets=4)
+        assert sorted(
+            r.event_id for r in spark.table(tbl).select("event_id").collect()
+        ) == [1, 2, 3]
+        # guard plan: store side crosses no shuffle Exchange
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            batch = spark.range(100).withColumnRenamed("id", "event_id")
+            guard = batch.join(
+                spark.table(tbl).select("event_id"), ["event_id"], "left_anti"
+            )
+            assert "SortMergeJoin" in plan_string(guard)
+            assert exchanges_covering(guard, tbl) == 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
