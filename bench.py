@@ -95,13 +95,11 @@ HEADLINE = [
     "embedding_pq_codes",
     "corpus_stats_card",
     "model_auc_eval",
-    "markup_strip_stats",
     "line_dedup_stats",
     "ann_ivfpq_topk",
     "click_purchase_funnel",
     "corpus_pipeline_funnel",
     "doc_lm_scores",
-    "embedding_rp_project",
     "dedup_delta_pairs",
     "bpe_merge_stats",
     "simhash_delta_pairs",
@@ -113,6 +111,9 @@ HEADLINE = [
     "corpus_train_split",
     "doc_length_histogram",
     "zorder_file_envelopes",
+    # round 8 (second swap): the new semantic-dedup family, never benched
+    "semantic_dedup_pairs",
+    "semantic_dedup_stats",
 ]
 # MEMBERSHIP POLICY (round 8). The printed JSON line must stay under
 # ~1850 chars (the driver captures only the last 2000 chars of stdout),
@@ -139,9 +140,16 @@ HEADLINE = [
 # corpus_clean_stats … vocab_top100), latest_event_per_user (window
 # top-1 → top_orders_per_customer), supplier_nation_revenue (3-way dim
 # join → customer_nation_revenue / local_supplier_volume).
+# Round 8 second swap — IN (new registrations, never benched):
+# semantic_dedup_pairs, semantic_dedup_stats. OUT (benched r6-r7, kin
+# stays): embedding_rp_project (projection-shaped embedding transform →
+# embedding_quantization_stats / embedding_pq_codes), markup_strip_stats
+# (regex-scrub projection → pii_scrub_stats).
 # Rotation debt for round 9 (registered, still never benched):
 # order_status_cube, customer_running_revenue, token_budget,
-# events_distinct_users, multimodal_asset_stats — swap these in next.
+# events_distinct_users, multimodal_asset_stats — swap these in next;
+# embedding_rp_project and markup_strip_stats re-enter by round 10
+# under the every-3-rounds rule.
 
 
 def run_one(name: str, sf_dir: str, runs: int) -> None:

@@ -865,6 +865,136 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_cluster_assign(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, vec, list_id): each vector labeled with its nearest centroid.
+
+    The quantizer is literal-compiled (similarity.centroid_assign_col),
+    so assignment is a pure projection — zero shuffle, zero join, rides
+    inside whole-stage codegen at any corpus size. Ties break to the
+    lowest list_id, matching the IVF assign and the DuckDB oracle.
+    """
+    from .similarity import centroid_assign_col
+
+    return embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        centroid_assign_col(f"`{vec_col}`", centroids).alias("list_id"),
+    )
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_vecs_per_cluster: int = 100_000,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: (list_id, id_a, id_b,
+    cosine) with cosine ≥ ``threshold``, RESTRICTED to pairs assigned to
+    the same centroid (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication" — cluster the
+    embedding space, search for duplicates only within a cluster).
+
+    This is the scale path for :func:`embedding_near_dup_pairs` (the
+    exact all-pairs verifier): the quadratic term drops from O(n²) to
+    Σ|cluster|² — with k balanced clusters, n²/k — and the only corpus
+    shuffle is the self-join's hash partition on ``list_id``. Recall is
+    < 1 by design: a pair split across two clusters is never compared
+    (SemDeDup's documented approximation; measured per-corpus in tests
+    against the exact verifier, not hidden).
+
+    Skew guard: clusters larger than ``max_vecs_per_cluster`` are
+    excluded WHOLE (both pair generation and, in
+    :func:`semantic_dedup_stats`, the drop counts) — same policy as the
+    MinHash combined-bucket cap, and like it a recall knob, not a
+    correctness one. Cluster sizes are one aggregated row per centroid,
+    so the eligibility filter is a broadcast semi-join — the corpus is
+    never re-shuffled to apply it.
+    """
+    from ..functions.vector import dot, unit_normalized
+
+    assigned = semantic_cluster_assign(embeddings, centroids, vec_col, id_col)
+    ok = (
+        assigned.groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") <= max_vecs_per_cluster)
+        .select("list_id")
+    )
+    normed = unit_normalized(
+        assigned.join(F.broadcast(ok), "list_id", "left_semi"), vec_col, "nv"
+    )
+    a = normed.select(
+        "list_id", F.col(id_col).alias("id_a"), F.col("nv").alias("na")
+    )
+    b = normed.select(
+        "list_id", F.col(id_col).alias("id_b"), F.col("nv").alias("nb")
+    )
+    cos = F.round(dot(F.col("na"), F.col("nb")), 6)
+    return (
+        a.join(b, "list_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("list_id", "id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup_stats(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_vecs_per_cluster: int = 100_000,
+) -> DataFrame:
+    """Per-cluster SemDeDup prune report: (list_id, n_vectors, n_dropped,
+    n_kept), every centroid present even when nothing is dropped.
+
+    Drop rule — keep-lowest-id: a vector is dropped iff some SMALLER-id
+    vector in the same cluster is within the cosine threshold, i.e.
+    ``n_dropped = |distinct id_b over semantic_dedup_pairs|``. This is
+    the deterministic id-ordered variant of SemDeDup's keep-one-per-
+    epsilon-ball (the paper ranks by distance-to-centroid; any fixed
+    total order gives the same dedup guarantee). Deliberately NOT
+    transitive-closure clustering: on a chain a~b, b~c, ¬a~c it drops
+    both b and c, where the components-based :func:`canonical_corpus`
+    keeps c — the simple rule is a single anti-join-able predicate (the
+    SQL oracle mirrors it exactly) and is the one production pipelines
+    run per-cluster, where chains are short by construction.
+
+    Scale shape: pairs are cluster-local (see
+    :func:`semantic_dedup_pairs`); the drop count is a groupBy over the
+    (sparse) pair set; the final join is centroid-count-sized on both
+    sides — broadcastable at any corpus size.
+    """
+    assigned = semantic_cluster_assign(embeddings, centroids, vec_col, id_col)
+    sizes = assigned.groupBy("list_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    pairs = semantic_dedup_pairs(
+        embeddings, centroids, threshold, vec_col, id_col, max_vecs_per_cluster
+    )
+    dropped = (
+        pairs.select("list_id", "id_b")
+        .distinct()
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dropped"))
+    )
+    return sizes.join(dropped, "list_id", "left").select(
+        "list_id",
+        "n_vectors",
+        F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+        (F.col("n_vectors") - F.coalesce("n_dropped", F.lit(0)))
+        .cast("long")
+        .alias("n_kept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # incremental (delta) dedup against a persisted index
 # ---------------------------------------------------------------------------

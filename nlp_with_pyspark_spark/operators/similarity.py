@@ -112,6 +112,31 @@ def _d2_sql(vec_sql: str, centroid: list[float]) -> str:
     )
 
 
+def centroid_entries_sql(
+    vec_sql: str, centroids: list[tuple[int, list[float]]]
+) -> str:
+    """SQL text of the ``array(struct(d2, list_id), ...)`` literal-centroid
+    distance table — the shared building block of every fixed-quantizer
+    operator (IVF probe/assign, IVF-PQ, semantic dedup). One parsed
+    expression instead of n_lists × dim py4j calls (see :func:`_dot_sql`
+    for the measured build-time motivation)."""
+    items = ", ".join(
+        f"struct({_d2_sql(vec_sql, c)} AS d2, {int(lid)} AS list_id)"
+        for lid, c in centroids
+    )
+    return f"array({items})"
+
+
+def centroid_assign_col(
+    vec_sql: str, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """Nearest-centroid assignment as a PURE PROJECTION: per-row argmin
+    over the literal (d2, list_id) structs via ``array_min``
+    (lexicographic — nearest list, ties to the lowest id). Zero shuffle,
+    zero join: at 100 TB the quantizer rides inside whole-stage codegen."""
+    return F.expr(f"array_min({centroid_entries_sql(vec_sql, centroids)}).list_id")
+
+
 def signature_col(vec: Column | str, planes: list[list[float]]) -> Column:
     """Sign-bit signature string, one char per hyperplane. ``vec`` may be
     a Column (legacy) or a SQL fragment string (fast build path)."""
@@ -339,27 +364,19 @@ def fixed_centroid_ivf_topk(
     whole operator is DuckDB-oracle-able (queries.py inlines the same
     centroid literals into SQL).
     """
-    def entries_sql(vec_sql: str) -> str:
-        # one parsed expression instead of n_lists * dim py4j calls
-        items = ", ".join(
-            f"struct({_d2_sql(vec_sql, c)} AS d2, {int(lid)} AS list_id)"
-            for lid, c in centroids
-        )
-        return f"array({items})"
-
     vs = f"`{vec_col}`"
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        F.expr(f"array_min({entries_sql(vs)}).list_id").alias("list_id"),
+        centroid_assign_col(vs, centroids).alias("list_id"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         F.explode(
             F.expr(
-                f"transform(slice(array_sort({entries_sql(vs)}), 1, {n_probe}),"
-                " s -> s.list_id)"
+                f"transform(slice(array_sort({centroid_entries_sql(vs, centroids)}),"
+                f" 1, {n_probe}), s -> s.list_id)"
             )
         ).alias("list_id"),
     )
@@ -577,13 +594,6 @@ def ivfpq_topk(
     dsub = len(codebooks[0][0])
     vs = f"`{vec_col}`"
 
-    def centroid_entries_sql(vec_sql: str) -> str:
-        items = ", ".join(
-            f"struct({_d2_sql(vec_sql, c)} AS d2, {int(lid)} AS list_id)"
-            for lid, c in centroids
-        )
-        return f"array({items})"
-
     def code_sql(s: int) -> str:
         sub_sql = f"slice({vs}, {s * dsub + 1}, {dsub})"
         items = ", ".join(
@@ -594,7 +604,7 @@ def ivfpq_topk(
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.expr(f"array_min({centroid_entries_sql(vs)}).list_id").alias("list_id"),
+        centroid_assign_col(vs, centroids).alias("list_id"),
         F.expr(f"array({', '.join(code_sql(s) for s in range(m))})").alias("codes"),
     )
 
@@ -612,8 +622,8 @@ def ivfpq_topk(
         F.col(id_col).alias("query_id"),
         F.explode(
             F.expr(
-                f"transform(slice(array_sort({centroid_entries_sql(vs)}), 1, {n_probe}),"
-                " s -> s.list_id)"
+                f"transform(slice(array_sort({centroid_entries_sql(vs, centroids)}),"
+                f" 1, {n_probe}), s -> s.list_id)"
             )
         ).alias("list_id"),
         F.expr(f"array({', '.join(lut_sql(s) for s in range(m))})").alias("lut"),

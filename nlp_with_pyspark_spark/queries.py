@@ -850,6 +850,125 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _collect_centroids(spark: SparkSession, sf_dir: str, n_lists: int = 16):
+    """The deterministic coarse quantizer shared by the IVF and semantic-
+    dedup queries: the embeddings of vec_id < n_lists (a pinned sample —
+    classic sampled-centroid init), collected (bounded: n_lists rows) for
+    literal compilation into the plan."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    rows = emb.where(F.col("vec_id") < n_lists).select("vec_id", "embedding").collect()
+    return [(int(r.vec_id), [float(x) for x in r.embedding]) for r in rows]
+
+
+def _semantic_assign_sql(n_lists: int = 16) -> str:
+    """CTE text of the nearest-centroid assignment (cent + sem_assign),
+    mirroring dedup.semantic_cluster_assign: argmin of squared distance
+    over the vec_id < n_lists quantizer, ties to the lowest list_id —
+    identical to the IVF assignment CTE (_ann_ivf_sql)."""
+    d2 = (
+        "list_sum(list_transform(list_zip(e.embedding, centroid),"
+        " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+        " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    )
+    return f"""
+    cent AS (
+        SELECT vec_id AS list_id, embedding AS centroid
+        FROM embeddings WHERE vec_id < {n_lists}
+    ),
+    sem_assign AS (
+        SELECT vec_id, embedding, list_id FROM (
+            SELECT e.vec_id, e.embedding, cent.list_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {d2} ASC, cent.list_id ASC
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cent
+        ) WHERE rn = 1
+    )"""
+
+
+_SEM_COS = (
+    "round("
+    "list_sum(list_transform(list_zip(a.embedding, b.embedding),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"
+    ", 6)"
+)
+
+
+def _semantic_ctes(threshold: float, cap: int, n_lists: int = 16) -> str:
+    """WITH-body through ``sem_hits`` (thresholded within-cluster pairs),
+    shared by the pair and stats oracles."""
+    return f"""{_semantic_assign_sql(n_lists)},
+    ok AS (
+        SELECT list_id FROM sem_assign GROUP BY list_id HAVING count(*) <= {cap}
+    ),
+    sem_hits AS (
+        SELECT list_id, id_a, id_b, cosine FROM (
+            SELECT a.list_id, a.vec_id AS id_a, b.vec_id AS id_b,
+                   {_SEM_COS} AS cosine
+            FROM sem_assign a
+            JOIN sem_assign b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+            JOIN ok ON a.list_id = ok.list_id
+        ) WHERE cosine >= {threshold}
+    )"""
+
+
+@query(
+    "semantic_dedup_pairs",
+    f"""
+    WITH {_semantic_ctes(threshold=0.3, cap=100_000)}
+    SELECT list_id, id_a, id_b, cosine FROM sem_hits
+    """,
+)
+def semantic_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cluster-bounded near-dup pairs (threshold 0.3 — see
+    embedding_near_dups for why the canonical 0.95 is vacuous on the
+    near-orthogonal synthetic vectors): nearest-centroid assignment is a
+    literal-compiled projection, the quadratic search never crosses a
+    cluster boundary. embedding_near_dups (the exact all-pairs verifier)
+    bounds this query's recall in tests/test_dedup_similarity.py."""
+    from .operators.dedup import semantic_dedup_pairs
+
+    return semantic_dedup_pairs(
+        read_table(spark, sf_dir, "embeddings"),
+        _collect_centroids(spark, sf_dir),
+        threshold=0.3,
+    )
+
+
+@query(
+    "semantic_dedup_stats",
+    f"""
+    WITH {_semantic_ctes(threshold=0.3, cap=100_000)},
+    dropped AS (
+        SELECT list_id, count(*) AS n_dropped
+        FROM (SELECT DISTINCT list_id, id_b FROM sem_hits) GROUP BY list_id
+    ),
+    sizes AS (
+        SELECT list_id, count(*) AS n_vectors FROM sem_assign GROUP BY list_id
+    )
+    SELECT s.list_id,
+           CAST(s.n_vectors AS BIGINT) AS n_vectors,
+           CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+           CAST(s.n_vectors - coalesce(d.n_dropped, 0) AS BIGINT) AS n_kept
+    FROM sizes s LEFT JOIN dropped d ON s.list_id = d.list_id
+    """,
+)
+def semantic_dedup_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster SemDeDup prune report under the keep-lowest-id drop
+    rule (n_dropped = distinct id_b over the pair set; every centroid
+    present even with zero drops)."""
+    from .operators.dedup import semantic_dedup_stats
+
+    return semantic_dedup_stats(
+        read_table(spark, sf_dir, "embeddings"),
+        _collect_centroids(spark, sf_dir),
+        threshold=0.3,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (ANN)
 # ---------------------------------------------------------------------------
@@ -3610,6 +3729,16 @@ _DEMOTED_PAST_CHECK_WINDOW = [
     "events_tumbling_5m",
     "doc_fingerprints",
     "embedding_centroid_topk",
+    # round 8 (second rotation): demoted for the never-checked
+    # semantic_dedup_pairs + semantic_dedup_stats:
+    #   embedding_rp_project — green r6-r7; embedding family keeps
+    #                          embedding_quantization_stats +
+    #                          embedding_pq_codes in-window
+    #   markup_strip_stats   — green r6-r7; regex-scrub family keeps
+    #                          pii_scrub_stats in-window, textstats
+    #                          keeps quality_scores + repetition_features
+    "embedding_rp_project",
+    "markup_strip_stats",
 ]
 
 

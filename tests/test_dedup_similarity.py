@@ -554,3 +554,104 @@ def test_ivfpq_pruned_probe_is_subset_with_same_scores(emb):
     assert pruned
     for r in pruned:
         assert plain[(r.query_id, r.neighbor_id)] == r.adc_d2
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+def _sem_centroids(emb, n_lists=8):
+    return [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < n_lists)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+
+
+def test_semantic_pairs_equal_brute_force_restricted_to_clusters(emb):
+    """The cluster restriction is the ONLY approximation: semantic pairs
+    == exact all-pairs cosine pairs filtered to co-clustered endpoints
+    (same threshold, same rounding). Subset AND completeness in one."""
+    from nlp_with_pyspark_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        semantic_cluster_assign,
+        semantic_dedup_pairs,
+    )
+
+    cents = _sem_centroids(emb)
+    assign = {
+        r.vec_id: r.list_id
+        for r in semantic_cluster_assign(emb, cents).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_near_dup_pairs(emb, threshold=0.3).collect()
+    }
+    want = {
+        (a, b, c) for a, b, c in exact if assign[a] == assign[b]
+    }
+    got = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in semantic_dedup_pairs(emb, cents, threshold=0.3).collect()
+    }
+    assert got == want
+    assert got and len(got) < len(exact)  # non-vacuous, genuinely pruned
+
+
+def test_semantic_cluster_cap_drops_whole_cluster(emb):
+    """Clusters above max_vecs_per_cluster contribute ZERO pairs (the
+    skew guard drops the cluster whole, like the minhash bucket cap)."""
+    from nlp_with_pyspark_spark.operators.dedup import (
+        semantic_cluster_assign,
+        semantic_dedup_pairs,
+    )
+
+    cents = _sem_centroids(emb)
+    sizes = (
+        semantic_cluster_assign(emb, cents)
+        .groupBy("list_id")
+        .count()
+        .collect()
+    )
+    cap = int(sorted(r["count"] for r in sizes)[len(sizes) // 2])  # median
+    over = {r.list_id for r in sizes if r["count"] > cap}
+    assert over, "fixture should have at least one above-median cluster"
+    capped = semantic_dedup_pairs(
+        emb, cents, threshold=0.0, max_vecs_per_cluster=cap
+    ).collect()
+    assert capped, "capped run should still produce pairs from small clusters"
+    assert not {r.list_id for r in capped} & over
+
+
+def test_semantic_stats_consistent_with_pairs(emb):
+    """n_vectors sums to the corpus; n_dropped equals |distinct id_b|
+    per cluster; every centroid row present."""
+    from nlp_with_pyspark_spark.operators.dedup import (
+        semantic_dedup_pairs,
+        semantic_dedup_stats,
+    )
+
+    cents = _sem_centroids(emb)
+    stats = {r.list_id: r for r in semantic_dedup_stats(emb, cents, threshold=0.3).collect()}
+    assert set(stats) == {lid for lid, _ in cents}
+    assert sum(r.n_vectors for r in stats.values()) == emb.count()
+    pairs = semantic_dedup_pairs(emb, cents, threshold=0.3).collect()
+    dropped = {}
+    for r in pairs:
+        dropped.setdefault(r.list_id, set()).add(r.id_b)
+    for lid, row in stats.items():
+        assert row.n_dropped == len(dropped.get(lid, ()))
+        assert row.n_kept == row.n_vectors - row.n_dropped
+
+
+def test_semantic_assign_is_pure_projection(emb):
+    """The literal-compiled quantizer never joins or shuffles: zero
+    Exchange anywhere in the assignment plan."""
+    from nlp_with_pyspark_spark.operators.dedup import semantic_cluster_assign
+    from nlp_with_pyspark_spark.plans.inspect import final_plan_string
+
+    plan = final_plan_string(semantic_cluster_assign(emb, _sem_centroids(emb)))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
