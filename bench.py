@@ -71,9 +71,7 @@ HEADLINE = [
     "multimodal_decode_features",
     "multimodal_frame_sample",
     "events_asof_click_purchase",
-    "click_purchase_attribution",
     "customer_rolling_7d_revenue",
-    "session_event_overlap",
     "local_supplier_volume",
     "dormant_customers",
     "price_percentiles",
@@ -114,6 +112,7 @@ HEADLINE = [
     # round 8 (second swap): the new semantic-dedup family, never benched
     "semantic_dedup_pairs",
     "semantic_dedup_stats",
+    "semantic_delta_pairs",
 ]
 # MEMBERSHIP POLICY (round 8). The printed JSON line must stay under
 # ~1850 chars (the driver captures only the last 2000 chars of stdout),
@@ -144,7 +143,10 @@ HEADLINE = [
 # semantic_dedup_pairs, semantic_dedup_stats. OUT (benched r6-r7, kin
 # stays): embedding_rp_project (projection-shaped embedding transform →
 # embedding_quantization_stats / embedding_pq_codes), markup_strip_stats
-# (regex-scrub projection → pii_scrub_stats).
+# (regex-scrub projection → pii_scrub_stats), session_event_overlap
+# (interval-join family → events_asof_click_purchase +
+# click_purchase_funnel), click_purchase_attribution (same kin, line-
+# budget headroom for the three longer semantic_* names).
 # Rotation debt for round 9 (registered, still never benched):
 # order_status_cube, customer_running_revenue, token_budget,
 # events_distinct_users, multimodal_asset_stats — swap these in next;

@@ -1375,3 +1375,152 @@ def simhash_delta_pairs(
     return joined.select("doc_a", "doc_b", ham.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+class SemanticIndex(NamedTuple):
+    """Persisted semantic-dedup state of an embedding corpus: one table,
+    ``assigned`` — (id, list_id, nv): the nearest-centroid cluster label
+    plus the UNIT-NORMALIZED vector (so a delta check never re-normalizes
+    the corpus). Persist bucketed by ``list_id``
+    (:func:`persist_semantic_index`): the delta check's corpus-side join
+    key is the cluster label, so a bucketed store crosses zero index-side
+    Exchange. The centroid set is part of the index's identity — a delta
+    check MUST use the same centroids the index was built with, or
+    cluster labels (and therefore candidate generation) silently drift.
+    """
+
+    assigned: DataFrame
+
+
+def build_semantic_index(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> SemanticIndex:
+    """Compute the semantic index state (in-memory; pair with
+    :func:`persist_semantic_index` to write it down). localCheckpoint-ed:
+    a delta check consumes the table for members AND cluster sizes."""
+    from ..functions.vector import unit_normalized
+
+    assigned = unit_normalized(
+        semantic_cluster_assign(embeddings, centroids, vec_col, id_col),
+        vec_col,
+        "nv",
+    ).select(id_col, "list_id", "nv")
+    return SemanticIndex(assigned=assigned.localCheckpoint())
+
+
+def persist_semantic_index(
+    index: SemanticIndex, table_prefix: str, n_buckets: int = 32, path: str | None = None
+) -> None:
+    """Write the index as one bucketed+sorted catalog table,
+    ``{prefix}_assigned`` (by list_id) — same fixed-bucket-count layout
+    contract as :func:`persist_minhash_index`."""
+    from ..sources.io import write_bucketed
+
+    write_bucketed(
+        index.assigned,
+        f"{table_prefix}_assigned",
+        "list_id",
+        n_buckets,
+        path=None if path is None else f"{path}/assigned",
+    )
+
+
+def load_semantic_index(spark, table_prefix: str) -> SemanticIndex:
+    """Reopen a persisted semantic index by catalog name."""
+    return SemanticIndex(assigned=spark.table(f"{table_prefix}_assigned"))
+
+
+def append_to_semantic_index(index_delta: SemanticIndex, table_prefix: str) -> None:
+    """Semantic twin of :func:`append_to_minhash_index` — bucket counts
+    come from the catalog, so appends preserve the layout contract."""
+    from ..sources.io import append_to_bucketed_table
+
+    append_to_bucketed_table(index_delta.assigned, f"{table_prefix}_assigned")
+
+
+def semantic_delta_pairs(
+    delta_vecs: DataFrame,
+    index: SemanticIndex,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_vecs_per_cluster: int = 100_000,
+    materialize: bool = True,
+) -> DataFrame:
+    """Semantic near-dup pairs of a NEW batch against (and within) an
+    indexed embedding corpus — without re-assigning or re-normalizing
+    the corpus. Returns (list_id, id_a, id_b, cosine) for every
+    co-clustered pair with ≥1 delta-side vector: delta↔index and
+    delta↔delta, never index↔index. Delta and index id spaces must be
+    disjoint.
+
+    **Equivalence contract** (pinned in tests/test_dedup_delta.py, same
+    shape as :func:`minhash_delta_pairs`): the output is EXACTLY
+    ``semantic_dedup_pairs(index_corpus ∪ delta)`` restricted to pairs
+    touching the delta — including ``max_vecs_per_cluster``, which here
+    counts the COMBINED cluster membership (index + delta), exactly as
+    the batch run would.
+
+    Plan shape at scale: the delta's cluster labels (≤ |delta| distinct
+    values) broadcast-semi-filter the index, so only members of TOUCHED
+    clusters are read — and those members must be read, because each one
+    is cosine-compared against the co-clustered delta vectors (the
+    irreducible SemDeDup delta cost). With the index persisted bucketed
+    by list_id, the per-cluster joins consume it pre-partitioned on the
+    join key: no index-side Exchange (asserted on the plan). Shuffle
+    volume is O(delta); index rows stream from the bucketed scan.
+    """
+    from ..functions.vector import dot, unit_normalized
+
+    d = unit_normalized(
+        semantic_cluster_assign(delta_vecs, centroids, vec_col, id_col),
+        vec_col,
+        "nv",
+    ).select(F.col(id_col).alias("vid"), "list_id", "nv")
+    if materialize:
+        d = d.localCheckpoint()
+    idx = index.assigned.select(F.col(id_col).alias("vid"), "list_id", "nv")
+    touched = d.select("list_id").distinct()
+    idx_t = idx.join(F.broadcast(touched), "list_id", "left_semi")
+
+    # combined-size skew cap: per-cluster counts computed on each side
+    # SEPARATELY (the index side aggregates on its own bucket key — no
+    # Exchange on a persisted index), then added; eligible clusters are
+    # ≤ |touched| rows — always broadcastable
+    idx_n = idx_t.groupBy("list_id").agg(F.count(F.lit(1)).alias("n_idx"))
+    d_n = d.groupBy("list_id").agg(F.count(F.lit(1)).alias("n_delta"))
+    ok = (
+        d_n.join(idx_n, "list_id", "left")
+        .where(
+            (F.col("n_delta") + F.coalesce("n_idx", F.lit(0)))
+            <= max_vecs_per_cluster
+        )
+        .select("list_id")
+    )
+    d_ok = d.join(F.broadcast(ok), "list_id", "left_semi")
+    i_ok = idx_t.join(F.broadcast(ok), "list_id", "left_semi")
+
+    cos = F.round(dot(F.col("na"), F.col("nb")), 6)
+    da = d_ok.select("list_id", F.col("vid").alias("id_a"), F.col("nv").alias("na"))
+    db = d_ok.select("list_id", F.col("vid").alias("id_b"), F.col("nv").alias("nb"))
+    dd = da.join(db, "list_id").where(F.col("id_a") < F.col("id_b"))
+    iv = i_ok.select("list_id", F.col("vid").alias("iid"), F.col("nv").alias("nb"))
+    di = (
+        d_ok.select("list_id", F.col("vid").alias("did"), F.col("nv").alias("na"))
+        .join(iv, "list_id")
+        .select(
+            "list_id",
+            F.least("did", "iid").alias("id_a"),
+            F.greatest("did", "iid").alias("id_b"),
+            F.col("na"),
+            F.col("nb"),
+        )
+    )
+    both = dd.select("list_id", "id_a", "id_b", cos.alias("cosine")).unionByName(
+        di.select("list_id", "id_a", "id_b", cos.alias("cosine"))
+    )
+    return both.where(F.col("cosine") >= threshold)

@@ -969,6 +969,33 @@ def semantic_dedup_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "semantic_delta_pairs",
+    f"""
+    WITH {_semantic_ctes(threshold=0.3, cap=100_000)}
+    SELECT list_id, id_a, id_b, cosine FROM sem_hits
+    WHERE id_a % 10 = 7 OR id_b % 10 = 7
+    """,
+)
+def semantic_delta_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental semantic dedup (operators/dedup.semantic_delta_pairs):
+    vectors with ``vec_id % 10 == 7`` play the new batch; the rest are
+    the indexed corpus, whose assignments and normalized vectors are
+    never recomputed. The oracle is the BATCH within-cluster pair set
+    restricted to delta-touching pairs — green only because the
+    incremental path is exactly equivalent (combined-cluster cap
+    semantics included; equivalence pinned in tests/test_dedup_delta.py)."""
+    from .operators.dedup import build_semantic_index, semantic_delta_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = _collect_centroids(spark, sf_dir)
+    delta = emb.where(F.col("vec_id") % 10 == 7)
+    corpus = emb.where(F.col("vec_id") % 10 != 7)
+    return semantic_delta_pairs(
+        delta, build_semantic_index(corpus, cents), cents, threshold=0.3
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (ANN)
 # ---------------------------------------------------------------------------
@@ -3739,6 +3766,12 @@ _DEMOTED_PAST_CHECK_WINDOW = [
     #                          keeps quality_scores + repetition_features
     "embedding_rp_project",
     "markup_strip_stats",
+    #   session_event_overlap — green r5-r7; events family keeps
+    #                          events_session_stats + events_asof +
+    #                          customer_rolling_7d_revenue +
+    #                          click_purchase_funnel in-window; demoted
+    #                          for the never-checked semantic_delta_pairs
+    "session_event_overlap",
 ]
 
 

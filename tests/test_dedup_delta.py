@@ -252,3 +252,159 @@ def test_simhash_index_persist_append_roundtrip(spark, toks, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_keys")
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_fingerprints")
+
+
+# ---------------------------------------------------------------------------
+# semantic (embedding) delta dedup
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings").localCheckpoint()
+
+
+def _sem_cents(emb, n_lists=8):
+    return [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < n_lists)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+
+
+def _emb_split(emb, mod, rem):
+    return (
+        emb.where(F.col("vec_id") % mod == rem),
+        emb.where(F.col("vec_id") % mod != rem),
+    )
+
+
+@pytest.mark.parametrize("mod,rem", [(10, 3), (3, 0)])
+def test_semantic_delta_equals_batch_restricted(spark, emb, mod, rem):
+    from nlp_with_pyspark_spark.operators.dedup import (
+        build_semantic_index,
+        semantic_dedup_pairs,
+        semantic_delta_pairs,
+    )
+
+    cents = _sem_cents(emb)
+    batch = semantic_dedup_pairs(emb, cents, threshold=0.3)
+    restricted = batch.where(
+        (F.col("id_a") % mod == rem) | (F.col("id_b") % mod == rem)
+    )
+    delta, corpus = _emb_split(emb, mod, rem)
+    out = semantic_delta_pairs(
+        delta, build_semantic_index(corpus, cents), cents, threshold=0.3
+    )
+    assert _rows(out) == _rows(restricted)
+    assert batch.count() > 0
+
+
+def test_semantic_delta_combined_cluster_cap_matches_batch(spark, emb):
+    """The skew cap counts COMBINED cluster membership (index + delta):
+    with a cap small enough to bind, the incremental path must drop
+    exactly the clusters the batch path drops."""
+    from nlp_with_pyspark_spark.operators.dedup import (
+        build_semantic_index,
+        semantic_cluster_assign,
+        semantic_dedup_pairs,
+        semantic_delta_pairs,
+    )
+
+    cents = _sem_cents(emb)
+    sizes = sorted(
+        r["count"]
+        for r in semantic_cluster_assign(emb, cents).groupBy("list_id").count().collect()
+    )
+    cap = sizes[len(sizes) // 2]  # median total size: binds on larger clusters
+    batch = semantic_dedup_pairs(
+        emb, cents, threshold=0.0, max_vecs_per_cluster=cap
+    )
+    restricted = batch.where((F.col("id_a") % 4 == 1) | (F.col("id_b") % 4 == 1))
+    delta, corpus = _emb_split(emb, 4, 1)
+    out = semantic_delta_pairs(
+        delta,
+        build_semantic_index(corpus, cents),
+        cents,
+        threshold=0.0,
+        max_vecs_per_cluster=cap,
+    )
+    assert _rows(out) == _rows(restricted)
+    uncapped = semantic_dedup_pairs(emb, cents, threshold=0.0)
+    assert uncapped.count() > batch.count()  # the cap bound somewhere
+
+
+def test_semantic_persisted_index_equal_and_exchange_free(spark, emb, tmp_path):
+    from nlp_with_pyspark_spark.operators.dedup import (
+        build_semantic_index,
+        load_semantic_index,
+        persist_semantic_index,
+        semantic_delta_pairs,
+    )
+    from nlp_with_pyspark_spark.plans import exchanges_covering
+
+    cents = _sem_cents(emb)
+    delta, corpus = _emb_split(emb, 10, 3)
+    idx = build_semantic_index(corpus, cents)
+    persist_semantic_index(idx, "t_sem_idx", n_buckets=8, path=str(tmp_path / "idx"))
+    try:
+        loaded = load_semantic_index(spark, "t_sem_idx")
+        out = semantic_delta_pairs(delta, loaded, cents, threshold=0.3)
+        inmem = semantic_delta_pairs(delta, idx, cents, threshold=0.3)
+        assert _rows(out) == _rows(inmem)
+
+        # no unfiltered index row ever crosses a shuffle: zero Exchange
+        # anywhere above the index table's scans (the delta side is
+        # broadcast; the size agg rides the bucketed layout)
+        unmat = semantic_delta_pairs(
+            delta, loaded, cents, threshold=0.3, materialize=False
+        )
+        assert exchanges_covering(unmat, "t_sem_idx_assigned") == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_sem_idx_assigned")
+
+
+def test_semantic_index_append_preserves_plan_and_equivalence(spark, emb, tmp_path):
+    """Appending delta survivors through append_to_semantic_index keeps
+    the bucketed layout (zero-Exchange contract) and the appended index
+    answers the next delta check exactly like a from-scratch build."""
+    from nlp_with_pyspark_spark.operators.dedup import (
+        append_to_semantic_index,
+        build_semantic_index,
+        load_semantic_index,
+        persist_semantic_index,
+        semantic_delta_pairs,
+    )
+    from nlp_with_pyspark_spark.plans import exchanges_covering
+
+    cents = _sem_cents(emb)
+    batch1 = emb.where(F.col("vec_id") % 3 == 1)
+    batch2 = emb.where(F.col("vec_id") % 3 == 2)
+    base = emb.where(F.col("vec_id") % 3 == 0)
+    persist_semantic_index(
+        build_semantic_index(base, cents),
+        "t_sem_app",
+        n_buckets=8,
+        path=str(tmp_path / "app"),
+    )
+    try:
+        loaded = load_semantic_index(spark, "t_sem_app")
+        append_to_semantic_index(build_semantic_index(batch1, cents), "t_sem_app")
+        spark.catalog.refreshTable("t_sem_app_assigned")
+        out = semantic_delta_pairs(batch2, loaded, cents, threshold=0.3)
+        scratch = semantic_delta_pairs(
+            batch2,
+            build_semantic_index(
+                base.unionByName(batch1), cents
+            ),
+            cents,
+            threshold=0.3,
+        )
+        assert _rows(out) == _rows(scratch)
+        unmat = semantic_delta_pairs(
+            batch2, loaded, cents, threshold=0.3, materialize=False
+        )
+        assert exchanges_covering(unmat, "t_sem_app_assigned") == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_sem_app_assigned")
