@@ -122,13 +122,20 @@ def _neardup_family(
     combo_size: int | None,
     max_docs_per_bucket: int,
     hash_fn: str,
+    centroids=None,
 ):
     """Adapter between the sink's generic store logic and one near-dup
-    hash family. Both families share the store shape — a per-doc
-    FEATURES table (one row per doc: shingle set resp. fingerprint,
-    bucket-by doc_id) and a per-doc KEYS table (blocking keys, bucket-by
-    band_hash) — and a delta-pairs function whose index side is only
-    consumed through broadcast semi-join prefilters."""
+    hash family. All families share the store shape — a per-doc
+    FEATURES table (one row per doc: shingle set / fingerprint /
+    normalized embedding, bucketed by ``feats_bucket_col``) and a
+    per-doc KEYS table (blocking keys, bucket-by band_hash) — and a
+    delta-pairs function whose index side is only consumed through
+    broadcast semi-join prefilters. For ``'semantic'`` the blocking key
+    IS the cluster label (band_id = 0, band_hash = list_id) and the
+    features table carries the assignment + unit-normalized vector,
+    bucketed by list_id — the :class:`~..operators.dedup.SemanticIndex`
+    layout, so the per-batch delta check reads it with zero store-side
+    Exchange."""
     from ..operators import dedup as D
 
     if hash_family == "minhash":
@@ -137,6 +144,7 @@ def _neardup_family(
             keys_name="buckets",
             feats_name="shingles",
             keys_bucket_col="band_hash",
+            feats_bucket_col="doc_id",
             feats=lambda df, tokens_col, id_col: D._shingle_sets(
                 df, tokens_col, id_col, n
             ),
@@ -162,6 +170,7 @@ def _neardup_family(
             keys_name="keys",
             feats_name="fingerprints",
             keys_bucket_col="band_hash",
+            feats_bucket_col="doc_id",
             feats=lambda df, tokens_col, id_col: D.simhash_fingerprints(
                 df, tokens_col, id_col, hash_fn
             ),
@@ -178,7 +187,55 @@ def _neardup_family(
                 hash_fn=hash_fn,
             ),
         )
-    raise ValueError(f"unknown hash_family {hash_family!r} (minhash | simhash)")
+    if hash_family == "semantic":
+        if centroids is None:
+            raise ValueError("hash_family='semantic' requires centroids")
+
+        def sem_feats(df, vec_col, id_col):
+            from ..functions.vector import unit_normalized
+
+            return unit_normalized(
+                D.semantic_cluster_assign(df, centroids, vec_col, id_col),
+                vec_col,
+                "nv",
+            ).select(F.col(id_col).alias("doc_id"), "list_id", "nv")
+
+        def sem_delta(fresh, keys, feats, vec_col, id_col):
+            idx = D.SemanticIndex(
+                assigned=feats.select(
+                    F.col("doc_id").alias(id_col), "list_id", "nv"
+                )
+            )
+            return D.semantic_delta_pairs(
+                fresh,
+                idx,
+                centroids,
+                threshold=threshold,
+                vec_col=vec_col,
+                id_col=id_col,
+                max_vecs_per_cluster=max_docs_per_bucket,
+            ).select(
+                F.col("id_a").alias("doc_a"),
+                F.col("id_b").alias("doc_b"),
+                "cosine",
+            )
+
+        return SimpleNamespace(
+            keys_name="keys",
+            feats_name="assigned",
+            keys_bucket_col="band_hash",
+            feats_bucket_col="list_id",
+            feats=sem_feats,
+            keys=lambda feats: feats.select(
+                "doc_id",
+                F.lit(0).alias("band_id"),
+                F.col("list_id").cast("long").alias("band_hash"),
+            ),
+            delta_pairs=sem_delta,
+        )
+    raise ValueError(
+        f"unknown hash_family {hash_family!r} (minhash | simhash | semantic)"
+    )
 
 
 def _parquet_file_count(path: str) -> int:
@@ -209,6 +266,7 @@ def neardup_upsert_batch(
     table_prefix: str | None = None,
     n_buckets: int = 32,
     compact_threshold_files: int | None = None,
+    centroids=None,
 ) -> None:
     """One near-dup dedup-on-ingest step: check ``batch_df`` against the
     persistent store, keep only documents with no near-duplicate among
@@ -216,9 +274,16 @@ def neardup_upsert_batch(
     survivors plus their index rows. ``hash_family`` picks the
     similarity notion: ``'minhash'`` (Jaccard ≥ ``threshold``, index =
     ``buckets``/``shingles`` — the
-    :class:`~..operators.dedup.MinhashIndex` state) or ``'simhash'``
+    :class:`~..operators.dedup.MinhashIndex` state), ``'simhash'``
     (Hamming ≤ ``max_hamming``, index = ``keys``/``fingerprints`` —
-    :class:`~..operators.dedup.SimhashIndex`).
+    :class:`~..operators.dedup.SimhashIndex`), or ``'semantic'``
+    (cosine ≥ ``threshold`` within nearest-centroid clusters — SemDeDup
+    on ingest; requires ``centroids``, the SAME quantizer for the life
+    of the store, and ``tokens_col`` names the embedding column; index
+    = ``keys``/``assigned`` — the
+    :class:`~..operators.dedup.SemanticIndex` layout with the cluster
+    label as blocking key; ``max_docs_per_bucket`` caps the combined
+    cluster size).
 
     Store layouts — the scale knob:
 
@@ -294,7 +359,7 @@ def neardup_upsert_batch(
     spark = batch_df.sparkSession
     fam = _neardup_family(
         hash_family, n, k, bands, threshold, max_hamming, combo_size,
-        max_docs_per_bucket, hash_fn,
+        max_docs_per_bucket, hash_fn, centroids,
     )
     docs_path = f"{store_path}/docs"
     keys_path = f"{store_path}/{fam.keys_name}"
@@ -319,7 +384,9 @@ def neardup_upsert_batch(
         register_bucketed_table(
             spark, keys_tbl, fam.keys_bucket_col, n_buckets, keys_path
         )
-        register_bucketed_table(spark, feats_tbl, "doc_id", n_buckets, feats_path)
+        register_bucketed_table(
+            spark, feats_tbl, fam.feats_bucket_col, n_buckets, feats_path
+        )
         if spark.catalog.tableExists(docs_tbl):
             for t in (docs_tbl, keys_tbl, feats_tbl):
                 spark.catalog.refreshTable(t)
@@ -403,7 +470,7 @@ def neardup_upsert_batch(
             # any partial first-batch crash state)
             write_bucketed(new_keys, keys_tbl, fam.keys_bucket_col, n_buckets,
                            path=keys_path)
-            write_bucketed(new_feats, feats_tbl, "doc_id", n_buckets,
+            write_bucketed(new_feats, feats_tbl, fam.feats_bucket_col, n_buckets,
                            path=feats_path)
             write_bucketed(survivors, docs_tbl, id_col, n_buckets, path=docs_path)
         else:
@@ -442,9 +509,10 @@ def neardup_dedup_sink(
     store; the store's invariant — no near-dup pair among stored docs —
     survives restarts and has no watermark bound. All
     :func:`neardup_upsert_batch` knobs pass through: ``hash_family``
-    ('minhash' | 'simhash'), ``table_prefix`` (bucketed store — the
-    100 TB layout), ``compact_threshold_files`` (small-file
-    maintenance)."""
+    ('minhash' | 'simhash' | 'semantic' — the latter needs
+    ``centroids`` and an embedding ``tokens_col``), ``table_prefix``
+    (bucketed store — the 100 TB layout), ``compact_threshold_files``
+    (small-file maintenance)."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         neardup_upsert_batch(

@@ -1209,3 +1209,98 @@ def test_incremental_dedup_sink_bucketed_table(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_neardup_upsert_semantic_family_single_batch(spark, sf_dir, tmp_path):
+    """hash_family='semantic': single-batch ingest coincides with the
+    batch pipeline (semantic pairs → components → keep-first canonical),
+    and the store invariant holds under the same centroids/threshold."""
+    from nlp_with_pyspark_spark.operators.dedup import (
+        canonical_corpus,
+        semantic_dedup_pairs,
+    )
+    from nlp_with_pyspark_spark.streaming.sinks import neardup_upsert_batch
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    ]
+    store = str(tmp_path / "sem_store")
+    neardup_upsert_batch(
+        emb,
+        store,
+        tokens_col="embedding",
+        id_col="vec_id",
+        hash_family="semantic",
+        centroids=cents,
+        threshold=0.3,
+    )
+    got = {r.vec_id for r in spark.read.parquet(f"{store}/docs").select("vec_id").collect()}
+    pairs = semantic_dedup_pairs(emb, cents, threshold=0.3).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    assert pairs.count() > 0, "no semantic structure; test is vacuous"
+    expected = {
+        r.vec_id
+        for r in canonical_corpus(emb, pairs, id_col="vec_id").select("vec_id").collect()
+    }
+    assert got == expected
+    stored = spark.read.parquet(f"{store}/docs")
+    assert semantic_dedup_pairs(stored, cents, threshold=0.3).count() == 0
+    # index layout: semantic family stores keys/ (band_hash = cluster
+    # label) + assigned/ (label + normalized vector)
+    assert spark.read.parquet(f"{store}/keys").columns == ["doc_id", "band_id", "band_hash"]
+    assert spark.read.parquet(f"{store}/assigned").columns == ["doc_id", "list_id", "nv"]
+
+
+def test_neardup_upsert_semantic_bucketed_multi_batch(spark, sf_dir, tmp_path):
+    """Semantic family across batches, bucketed store: plain and
+    bucketed layouts agree, the invariant holds after every batch, a
+    replayed batch appends nothing, and the assigned table is bucketed
+    by the cluster label (the delta join key)."""
+    from nlp_with_pyspark_spark.operators.dedup import semantic_dedup_pairs
+    from nlp_with_pyspark_spark.sources.io import table_bucket_spec
+    from nlp_with_pyspark_spark.streaming.sinks import neardup_upsert_batch
+
+    emb = read_table(spark, sf_dir, "embeddings").localCheckpoint()
+    cents = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    ]
+    mid = sorted(r.vec_id for r in emb.select("vec_id").collect())[emb.count() // 2]
+    batches = [emb.where(F.col("vec_id") < mid), emb.where(F.col("vec_id") >= mid)]
+    prefix = "t_semsink"
+    kw = dict(
+        tokens_col="embedding",
+        id_col="vec_id",
+        hash_family="semantic",
+        centroids=cents,
+        threshold=0.3,
+    )
+    try:
+        plain = str(tmp_path / "plain")
+        buck = str(tmp_path / "buck")
+        for b in batches:
+            neardup_upsert_batch(b, plain, **kw)
+            neardup_upsert_batch(b, buck, table_prefix=prefix, n_buckets=8, **kw)
+        plain_ids = {
+            r.vec_id for r in spark.read.parquet(f"{plain}/docs").select("vec_id").collect()
+        }
+        buck_ids = {r.vec_id for r in spark.table(f"{prefix}_docs").select("vec_id").collect()}
+        assert buck_ids == plain_ids and buck_ids
+        assert (
+            semantic_dedup_pairs(spark.table(f"{prefix}_docs"), cents, threshold=0.3).count()
+            == 0
+        )
+        # replay is a no-op
+        neardup_upsert_batch(batches[1], buck, table_prefix=prefix, n_buckets=8, **kw)
+        assert {
+            r.vec_id for r in spark.table(f"{prefix}_docs").select("vec_id").collect()
+        } == buck_ids
+        # the assigned table is bucketed by list_id — the delta join key
+        col, n, _ = table_bucket_spec(spark, f"{prefix}_assigned")
+        assert col == "list_id" and n == 8
+    finally:
+        for t in ("docs", "keys", "assigned"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
