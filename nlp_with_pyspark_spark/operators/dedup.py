@@ -870,20 +870,62 @@ def semantic_cluster_assign(
     centroids: list[tuple[int, list[float]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    via: str = "literal",
 ) -> DataFrame:
     """(id, vec, list_id): each vector labeled with its nearest centroid.
+    Ties break to the lowest list_id either way. Both paths are pure
+    per-row work — zero shuffle, zero join — but they trade off by
+    quantizer size:
 
-    The quantizer is literal-compiled (similarity.centroid_assign_col),
-    so assignment is a pure projection — zero shuffle, zero join, rides
-    inside whole-stage codegen at any corpus size. Ties break to the
-    lowest list_id, matching the IVF assign and the DuckDB oracle.
+      * ``via='literal'`` — the quantizer is literal-compiled
+        (similarity.centroid_assign_col) into one whole-stage-codegen
+        expression. Exactly mirrors the DuckDB oracle; right for small
+        quantizers (≲64 lists — beyond that the expression itself is
+        O(k·dim) plan text and plan BUILD time dominates, see
+        similarity._dot_sql).
+      * ``via='pandas'`` — Arrow-batched pandas_udf: the centroid matrix
+        rides the UDF closure once per executor and each batch is ONE
+        BLAS matmul (b×d @ d×k). The production path for
+        SemDeDup-scale quantizers (k grows with the corpus to hold
+        cluster size constant); equality with the literal path is
+        pinned in tests on the driver corpora.
     """
-    from .similarity import centroid_assign_col
+    if via == "literal":
+        from .similarity import centroid_assign_col
+
+        return embeddings.select(
+            F.col(id_col),
+            F.col(vec_col),
+            centroid_assign_col(f"`{vec_col}`", centroids).alias("list_id"),
+        )
+    if via != "pandas":
+        raise ValueError(f"unknown assignment path {via!r} (literal | pandas)")
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    order = sorted(range(len(centroids)), key=lambda i: centroids[i][0])
+    lids = np.array([centroids[i][0] for i in order], dtype=np.int64)
+    cmat = np.array([centroids[i][1] for i in order], dtype=np.float64)
+    half_c2 = 0.5 * (cmat * cmat).sum(axis=1)
+
+    def _assign_fn(v):
+        x = np.array(v.tolist(), dtype=np.float64)
+        # argmin d2 == argmin(-x·c + |c|²/2); np.argmin takes the FIRST
+        # minimum and rows are sorted by list_id, so ties break low
+        scores = x @ (-cmat.T) + half_c2
+        return pd.Series(lids[np.argmin(scores, axis=1)])
+
+    # real class objects, not string hints: pandas is imported function-
+    # locally, so deferred-annotation strings would not resolve here
+    _assign_fn.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    _assign = pandas_udf(_assign_fn, "int")
 
     return embeddings.select(
         F.col(id_col),
         F.col(vec_col),
-        centroid_assign_col(f"`{vec_col}`", centroids).alias("list_id"),
+        _assign(F.col(vec_col)).cast("int").alias("list_id"),
     )
 
 
@@ -894,6 +936,7 @@ def semantic_dedup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_vecs_per_cluster: int = 100_000,
+    assign_via: str = "literal",
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: (list_id, id_a, id_b,
     cosine) with cosine ≥ ``threshold``, RESTRICTED to pairs assigned to
@@ -919,7 +962,9 @@ def semantic_dedup_pairs(
     """
     from ..functions.vector import dot, unit_normalized
 
-    assigned = semantic_cluster_assign(embeddings, centroids, vec_col, id_col)
+    assigned = semantic_cluster_assign(
+        embeddings, centroids, vec_col, id_col, via=assign_via
+    )
     ok = (
         assigned.groupBy("list_id")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1397,6 +1442,7 @@ def build_semantic_index(
     centroids: list[tuple[int, list[float]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assign_via: str = "literal",
 ) -> SemanticIndex:
     """Compute the semantic index state (in-memory; pair with
     :func:`persist_semantic_index` to write it down). localCheckpoint-ed:
@@ -1404,7 +1450,7 @@ def build_semantic_index(
     from ..functions.vector import unit_normalized
 
     assigned = unit_normalized(
-        semantic_cluster_assign(embeddings, centroids, vec_col, id_col),
+        semantic_cluster_assign(embeddings, centroids, vec_col, id_col, via=assign_via),
         vec_col,
         "nv",
     ).select(id_col, "list_id", "nv")
@@ -1450,6 +1496,7 @@ def semantic_delta_pairs(
     id_col: str = "vec_id",
     max_vecs_per_cluster: int = 100_000,
     materialize: bool = True,
+    assign_via: str = "literal",
 ) -> DataFrame:
     """Semantic near-dup pairs of a NEW batch against (and within) an
     indexed embedding corpus — without re-assigning or re-normalizing
@@ -1477,7 +1524,7 @@ def semantic_delta_pairs(
     from ..functions.vector import dot, unit_normalized
 
     d = unit_normalized(
-        semantic_cluster_assign(delta_vecs, centroids, vec_col, id_col),
+        semantic_cluster_assign(delta_vecs, centroids, vec_col, id_col, via=assign_via),
         vec_col,
         "nv",
     ).select(F.col(id_col).alias("vid"), "list_id", "nv")

@@ -73,9 +73,67 @@ def _dedup_components_distributed(spark, sf_dir):
     return duplicate_clusters(pairs, driver_threshold=0)
 
 
+def _scaled_quantizer(spark, sf_dir):
+    """The SemDeDup scaling discipline: the quantizer grows WITH the
+    corpus so cluster size stays constant (k = 16 per 2000 vectors —
+    the registered query's density). Centroids are the 16
+    lowest-base-id vectors of EVERY replica (vec_id % 10_000_000 < 16),
+    so at factor 1 this is exactly the registered quantizer and at
+    factor N it is 16N centroids spread across the whole id space.
+    Collected (k rows) for the pandas/BLAS assignment path — the
+    literal-compiled path is the small-quantizer oracle form and its
+    plan TEXT is O(k·dim), so production-size quantizers take the
+    pandas path by design (see dedup.semantic_cluster_assign)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    rows = (
+        emb.where(F.col("vec_id") % 10_000_000 < 16)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cents = [
+        (i, [float(x) for x in r.embedding])
+        for i, r in enumerate(sorted(rows, key=lambda r: r.vec_id))
+    ]
+    return emb, cents
+
+
+def _semantic_pairs_scaledk(spark, sf_dir):
+    """semantic_dedup_pairs with the scaled quantizer + BLAS assign —
+    the shape a production SemDeDup run takes at any corpus size."""
+    from nlp_with_pyspark_spark.operators.dedup import semantic_dedup_pairs
+
+    emb, cents = _scaled_quantizer(spark, sf_dir)
+    return semantic_dedup_pairs(emb, cents, threshold=0.3, assign_via="pandas")
+
+
+def _semantic_delta_scaledk(spark, sf_dir):
+    """semantic_delta_pairs (vec_id % 10 == 7 plays the new batch)
+    with the scaled quantizer + BLAS assign; includes the full index
+    build, so this is the worst case, not the day-to-day delta cost."""
+    from nlp_with_pyspark_spark.operators.dedup import (
+        build_semantic_index,
+        semantic_delta_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    emb, cents = _scaled_quantizer(spark, sf_dir)
+    delta = emb.where(F.col("vec_id") % 10 == 7)
+    corpus = emb.where(F.col("vec_id") % 10 != 7)
+    idx = build_semantic_index(corpus, cents, assign_via="pandas")
+    return semantic_delta_pairs(
+        delta, idx, cents, threshold=0.3, assign_via="pandas"
+    )
+
+
 #: probe-only query variants (forced code paths the registered queries
 #: deliberately don't take at test scale)
-EXTRA_QUERIES = {"dedup_components_distributed": _dedup_components_distributed}
+EXTRA_QUERIES = {
+    "dedup_components_distributed": _dedup_components_distributed,
+    "semantic_pairs_scaledk": _semantic_pairs_scaledk,
+    "semantic_delta_scaledk": _semantic_delta_scaledk,
+}
 
 
 def build_replicated_dir(
@@ -114,6 +172,8 @@ def build_replicated_dir(
             _replicate_events(spark, base_dir, out_dir, factor)
         elif t == "orders":
             _replicate_orders(spark, base_dir, out_dir, factor)
+        elif t == "embeddings":
+            _replicate_embeddings(spark, base_dir, out_dir, factor)
         else:
             raise SystemExit(f"scale_probe: no replication rule for table {t}")
     with open(stamp, "w") as fh:
@@ -201,6 +261,40 @@ def _replicate_orders(spark, base_dir: str, out_dir: str, factor: int) -> None:
         "o_totalprice",
         "o_orderdate",
         "o_orderpriority",
+    )
+    out.repartition(32).write.mode("overwrite").parquet(dst + ".tmp")
+    os.rename(dst + ".tmp", dst)
+
+
+def _replicate_embeddings(spark, base_dir: str, out_dir: str, factor: int) -> None:
+    """embeddings x factor: replica r's vectors get fresh ids (vec_id +
+    r*10_000_000 — a multiple of 10, preserving the % 10 delta split
+    rate) and a deterministic SIGN-MASK perturbation for r > 0: each
+    dimension is multiplied by ±1 from the parity of xxhash64(r, dim).
+    A sign flip preserves the norm exactly while making the cosine
+    between any two replicas of the same base vector a ±1/√d random
+    walk (≈ N(0, 1/64) here) — i.e. replicas look like fresh generic
+    near-orthogonal vectors, the same statistical population as the
+    base corpus. Near-dup pair output of a threshold query therefore
+    grows ~linearly with the factor under the scaled-quantizer
+    discipline (cluster count ∝ corpus, cluster size constant), not
+    quadratically as verbatim copies would (every replica pair of a
+    base pair at cosine 1)."""
+    dst = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.exists(dst):
+        return
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(os.path.join(base_dir, "embeddings.parquet"))
+    reps = spark.range(factor).withColumnRenamed("id", "r")
+    flipped = F.expr(
+        "transform(embedding, (x, j) -> float(x * IF(pmod(xxhash64("
+        "concat(cast(r AS string), '-', cast(j AS string))), 2) = 0, 1.0D, -1.0D)))"
+    )
+    out = emb.crossJoin(F.broadcast(reps)).select(
+        (F.col("vec_id") + F.col("r") * F.lit(10_000_000)).alias("vec_id"),
+        F.when(F.col("r") == 0, F.col("embedding")).otherwise(flipped).alias("embedding"),
+        "label",
     )
     out.repartition(32).write.mode("overwrite").parquet(dst + ".tmp")
     os.rename(dst + ".tmp", dst)

@@ -22,8 +22,10 @@ REQUIRED_IN_WINDOW = {
     "dormant_customers",
     # event-time (round 8: events_tumbling_5m demoted after 7 green
     # rounds; session/json/asof/rolling keep the family repped)
+    # (second round-8 rotation: session_event_overlap demoted, interval
+    # joins covered by events_asof + click_purchase_funnel)
     "events_session_stats",
-    "session_event_overlap", "events_asof_click_purchase",
+    "events_asof_click_purchase",
     "events_json_stats",
     "click_purchase_funnel",
     # text / NLP (round 8: doc_token_stats/lang_id_counts/
@@ -46,13 +48,16 @@ REQUIRED_IN_WINDOW = {
     "embedding_quantization_stats",
     # round-5 flagship compositions, promoted in round 6 — these six had
     # never received a driver correctness row before the rotation
+    # (second round-8 rotation: embedding_rp_project demoted, embedding
+    # family covered by quantization_stats + pq_codes)
     "corpus_pipeline_funnel", "dedup_canonical_corpus", "doc_lm_scores",
-    "embedding_rp_project",
     # new in round 6 (never driver-checked — must be in the window;
     # local_supplier_volume / events_distinct_users / latest_event_per_user
     # / top_parts_by_revenue demoted to make room, all green in r5)
     "dup_ngram_coverage", "domain_mixture_weights", "embedding_pq_codes",
-    "corpus_stats_card", "model_auc_eval", "markup_strip_stats",
+    # (second round-8 rotation: markup_strip_stats demoted, regex-scrub
+    # covered by pii_scrub_stats)
+    "corpus_stats_card", "model_auc_eval",
     "line_dedup_stats", "ann_ivfpq_topk",
     # new in round 7 (never driver-checked — must be in the window;
     # doc_token_chunks / click_purchase_attribution demoted to make
@@ -62,6 +67,10 @@ REQUIRED_IN_WINDOW = {
     # layout read-back query (never checked)
     "zorder_file_envelopes", "salted_nation_revenue", "tfidf_smoothed_long",
     "customer_running_revenue",
+    # new in round 8, second rotation (never driver-checked — must be in
+    # the window; session_event_overlap / embedding_rp_project /
+    # markup_strip_stats demoted to make room, all green r6-r7)
+    "semantic_dedup_pairs", "semantic_dedup_stats", "semantic_delta_pairs",
 }
 
 

@@ -655,3 +655,65 @@ def test_semantic_assign_is_pure_projection(emb):
     plan = final_plan_string(semantic_cluster_assign(emb, _sem_centroids(emb)))
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_semantic_pandas_assign_equals_literal(emb):
+    """The BLAS production assignment path (via='pandas') agrees with
+    the literal-compiled oracle path vector-for-vector, ties included
+    (both order centroids by list_id; argmin-first == lexicographic
+    (d2, list_id) min)."""
+    from nlp_with_pyspark_spark.operators.dedup import semantic_cluster_assign
+
+    cents = _sem_centroids(emb, n_lists=12)
+    lit = {
+        r.vec_id: r.list_id
+        for r in semantic_cluster_assign(emb, cents, via="literal").collect()
+    }
+    pan = {
+        r.vec_id: r.list_id
+        for r in semantic_cluster_assign(emb, cents, via="pandas").collect()
+    }
+    assert pan == lit and len(lit) == emb.count()
+
+
+def test_semantic_pairs_pandas_assign_end_to_end(emb):
+    """semantic_dedup_pairs(assign_via='pandas') returns the same pair
+    set as the literal path."""
+    from nlp_with_pyspark_spark.operators.dedup import semantic_dedup_pairs
+
+    cents = _sem_centroids(emb)
+    lit = sorted(map(tuple, semantic_dedup_pairs(emb, cents, threshold=0.3).collect()))
+    pan = sorted(
+        map(
+            tuple,
+            semantic_dedup_pairs(emb, cents, threshold=0.3, assign_via="pandas").collect(),
+        )
+    )
+    assert pan == lit and lit
+
+
+def test_semantic_dedup_with_trained_quantizer(emb):
+    """Production composition: the k-means quantizer from
+    build_ivf_index feeds semantic dedup directly (centroids are a
+    plain (list_id, vector) list either way). Output is a subset of the
+    exact all-pairs verifier with identical cosines."""
+    from nlp_with_pyspark_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        semantic_dedup_pairs,
+    )
+    from nlp_with_pyspark_spark.operators.similarity import build_ivf_index
+
+    _, cent_df = build_ivf_index(emb, n_lists=8)
+    cents = [
+        (int(r.list_id), [float(x) for x in r.centroid]) for r in cent_df.collect()
+    ]
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in semantic_dedup_pairs(emb, cents, threshold=0.3, assign_via="pandas").collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs(emb, threshold=0.3).collect()
+    }
+    assert got and set(got) <= set(exact)
+    assert all(exact[k] == v for k, v in got.items())
