@@ -60,7 +60,6 @@ HEADLINE = [
     "stratified_sample_by_lang",
     "dedup_minhash_pairs",
     "dedup_components",
-    "simhash_near_pairs",
     "ann_brute_force_topk",
     "ann_lsh_topk",
     "lang_id_counts",
@@ -113,6 +112,8 @@ HEADLINE = [
     "semantic_dedup_pairs",
     "semantic_dedup_stats",
     "semantic_delta_pairs",
+    # round 8 (third swap): fuzzy decontamination, new registration
+    "decontam_fuzzy_overlap",
 ]
 # MEMBERSHIP POLICY (round 8). The printed JSON line must stay under
 # ~1850 chars (the driver captures only the last 2000 chars of stdout),
@@ -147,11 +148,16 @@ HEADLINE = [
 # (interval-join family → events_asof_click_purchase +
 # click_purchase_funnel), click_purchase_attribution (same kin, line-
 # budget headroom for the three longer semantic_* names).
+# Round 8 third swap — IN (new registration, never benched):
+# decontam_fuzzy_overlap. OUT (benched r5-r7, kin stays):
+# simhash_near_pairs (its full blocking+verify chain runs inside the
+# benched simhash_delta_pairs driver form; simhash_fingerprints also
+# benched this round).
 # Rotation debt for round 9 (registered, still never benched):
 # order_status_cube, customer_running_revenue, token_budget,
 # events_distinct_users, multimodal_asset_stats — swap these in next;
-# embedding_rp_project and markup_strip_stats re-enter by round 10
-# under the every-3-rounds rule.
+# embedding_rp_project and markup_strip_stats re-enter by round 10,
+# simhash_near_pairs by round 11, under the every-3-rounds rule.
 
 
 def run_one(name: str, sf_dir: str, runs: int) -> None:

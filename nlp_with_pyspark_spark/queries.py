@@ -2621,6 +2621,45 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decontam_fuzzy_overlap",
+    f"""
+    WITH {_MINHASH_SIG_CTES},
+    cb AS (SELECT doc_id, band_id, band_hash FROM bands WHERE doc_id % 10 != 0),
+    bb AS (SELECT doc_id AS bench_id, band_id, band_hash FROM bands WHERE doc_id % 10 = 0),
+    cands AS (
+        SELECT DISTINCT c.doc_id, b.bench_id
+        FROM cb c JOIN bb b USING (band_id, band_hash)
+    ),
+    verified AS (
+        SELECT cands.doc_id AS doc_id, cands.bench_id AS bench_id,
+               round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                     / (len(a.shingles) + len(b.shingles)
+                        - len(list_intersect(a.shingles, b.shingles))), 8) AS jaccard
+        FROM cands
+        JOIN sig a ON cands.doc_id = a.doc_id
+        JOIN sig b ON cands.bench_id = b.doc_id
+    )
+    SELECT doc_id, bench_id, jaccard FROM verified WHERE jaccard >= 0.2
+    """,
+)
+def decontam_fuzzy_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination (operators/decontam.fuzzy_benchmark_overlap):
+    the MinHash-LSH complement of ``decontamination_overlap`` — corpus
+    docs that are whole-document near-dups of a benchmark doc (same
+    every-tenth-doc benchmark split, same k=12/4-band family as
+    dedup_minhash_pairs, Jaccard ≥ 0.2 exact-verified). Asymmetric plan:
+    benchmark band keys and shingle sets ride broadcasts; the corpus is
+    scanned twice, shuffled never (only collision pairs cross an
+    Exchange)."""
+    from .operators.decontam import fuzzy_benchmark_overlap
+
+    docs = _tokenized_documents(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return fuzzy_benchmark_overlap(corpus, bench, n=3, k=12, bands=4, threshold=0.2)
+
+
+@query(
     "pii_scrub_stats",
     """
     WITH aug AS (
@@ -3772,6 +3811,15 @@ _DEMOTED_PAST_CHECK_WINDOW = [
     #                          click_purchase_funnel in-window; demoted
     #                          for the never-checked semantic_delta_pairs
     "session_event_overlap",
+    # round 8 (third rotation): demoted for the never-checked
+    # decontam_fuzzy_overlap:
+    #   simhash_near_pairs — green r5-r7; the simhash family keeps
+    #                        simhash_fingerprints (the fingerprint fold)
+    #                        and simhash_delta_pairs (whose driver-query
+    #                        form rebuilds the full blocking+verify
+    #                        chain inside the plan) in-window, so every
+    #                        constituent stays externally checked
+    "simhash_near_pairs",
 ]
 
 

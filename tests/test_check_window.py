@@ -39,7 +39,11 @@ REQUIRED_IN_WINDOW = {
     # round 8: ann_lsh_topk + embedding_centroid_topk demoted, ivf/ivfpq
     # + quantization/rp/pq keep both families repped)
     "dedup_exact_groups", "dedup_minhash_pairs",
-    "simhash_near_pairs",
+    # (third round-8 rotation: simhash_near_pairs demoted for
+    # decontam_fuzzy_overlap; simhash family covered in-window by
+    # simhash_fingerprints + simhash_delta_pairs, whose driver-query
+    # form rebuilds the full blocking+verify chain)
+    "simhash_fingerprints", "simhash_delta_pairs",
     "ann_ivf_topk",
     # pipeline / corpus hygiene
     "stratified_sample_by_lang", "token_pack_assignments",
@@ -71,6 +75,9 @@ REQUIRED_IN_WINDOW = {
     # the window; session_event_overlap / embedding_rp_project /
     # markup_strip_stats demoted to make room, all green r6-r7)
     "semantic_dedup_pairs", "semantic_dedup_stats", "semantic_delta_pairs",
+    # new in round 8, third rotation (never driver-checked — must be in
+    # the window; simhash_near_pairs demoted to make room, green r5-r7)
+    "decontam_fuzzy_overlap",
 }
 
 

@@ -47,6 +47,142 @@ def test_benchmark_overlap_threshold_filters(spark):
     assert benchmark_overlap(corpus, bench, n=3, threshold=0.5).count() == 0
 
 
+def test_fuzzy_overlap_equals_symmetric_cross_pairs(spark):
+    """Equivalence contract (mirrors the delta-dedup contract): the
+    asymmetric broadcast path emits EXACTLY the corpus↔bench pairs of
+    the symmetric batch run over the union — same signatures, same
+    banding, same verify — with the uncapped batch path (the asymmetric
+    plan has no bucket cap by design: its docstring explains why)."""
+    from nlp_with_pyspark_spark.operators.decontam import fuzzy_benchmark_overlap
+    from nlp_with_pyspark_spark.operators.dedup import minhash_dedup_pairs
+
+    base = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "pack my box with five dozen liquor jugs right now",
+        "how vexingly quick daft zebras jump over fences daily",
+        "sphinx of black quartz judge my vow completely again",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((10 * i, t))  # bench side (doc_id % 10 == 0)
+        rows.append((10 * i + 1, t + " extra"))  # near-dup corpus twin
+        rows.append((10 * i + 2, t.replace("the", "a")))  # fuzzier twin
+    docs = _docs(spark, rows)
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+
+    got = {
+        (r.doc_id, r.bench_id, r.jaccard)
+        for r in fuzzy_benchmark_overlap(
+            corpus, bench, n=3, k=12, bands=4, threshold=0.1
+        ).collect()
+    }
+    batch = minhash_dedup_pairs(
+        docs, n=3, k=12, bands=4, threshold=0.1, max_docs_per_bucket=10**9
+    ).collect()
+    want = set()
+    for r in batch:
+        a_is_bench, b_is_bench = r.doc_a % 10 == 0, r.doc_b % 10 == 0
+        if a_is_bench == b_is_bench:
+            continue  # bench↔bench and corpus↔corpus pairs are out of scope
+        if a_is_bench:
+            want.add((r.doc_b, r.doc_a, r.jaccard))
+        else:
+            want.add((r.doc_a, r.doc_b, r.jaccard))
+    assert got == want and got  # non-vacuous: the twins must collide
+
+
+def test_fuzzy_overlap_plan_is_broadcast_only(spark):
+    """The 100 TB claim: every join in the fuzzy-decontam plan
+    broadcasts its benchmark/candidate side — no join ever shuffles the
+    corpus. (The distinct on collision pairs is the plan's only shuffle
+    and moves O(collisions) id-pair rows, not corpus rows.)"""
+    from nlp_with_pyspark_spark.operators.decontam import fuzzy_benchmark_overlap
+    from nlp_with_pyspark_spark.plans.inspect import assert_no_shuffle_joins
+
+    docs = _docs(
+        spark, [(i, f"doc number {i} with some shared filler text here") for i in range(20)]
+    )
+    out = fuzzy_benchmark_overlap(
+        docs.where(F.col("doc_id") % 10 != 0),
+        docs.where(F.col("doc_id") % 10 == 0),
+        n=3,
+        threshold=0.1,
+        materialize=False,
+    )
+    assert_no_shuffle_joins(out)
+
+
+def test_decontaminated_corpus_applies_both_passes(spark):
+    from nlp_with_pyspark_spark.operators.decontam import decontaminated_corpus
+
+    bench = _docs(spark, [(100, "the quick brown fox jumps over the lazy dog")])
+    corpus = _docs(
+        spark,
+        [
+            # exact pass: quotes the whole benchmark inside a long doc
+            # (high containment; whole-doc jaccard low)
+            (
+                1,
+                "a very long introduction paragraph and then "
+                "the quick brown fox jumps over the lazy dog "
+                "followed by much more unrelated trailing content "
+                "that dilutes the whole document jaccard far below any "
+                "fuzzy threshold while containment stays at one hundred percent",
+            ),
+            # fuzzy pass: whole-doc near-dup paraphrase (one token off →
+            # containment 6/7 ≈ 0.857 < the 0.9 exact threshold, but
+            # whole-doc jaccard 6/8 = 0.75 ≥ the 0.5 fuzzy threshold)
+            (2, "the quick brown fox jumps over the lazy cat"),
+            # clean
+            (3, "completely different text with no shared phrases at all"),
+        ],
+    )
+    kept = sorted(
+        r.doc_id
+        for r in decontaminated_corpus(
+            corpus, bench, n=3, exact_threshold=0.9, fuzzy_threshold=0.5
+        ).collect()
+    )
+    assert kept == [3]
+    # fuzzy pass off: only the exact flag applies
+    kept_exact_only = sorted(
+        r.doc_id
+        for r in decontaminated_corpus(
+            corpus, bench, n=3, exact_threshold=0.9, fuzzy_threshold=None
+        ).collect()
+    )
+    assert kept_exact_only == [2, 3]
+
+
+def test_decontaminated_corpus_batchwise_equals_global(spark):
+    """The statelessness claim in the docstring: gating each micro-batch
+    independently equals gating the union — the operator never compares
+    corpus docs to each other."""
+    from nlp_with_pyspark_spark.operators.decontam import decontaminated_corpus
+
+    bench = _docs(spark, [(100, "pack my box with five dozen liquor jugs")])
+    rows = [
+        (1, "pack my box with five dozen liquor jugs indeed"),
+        (2, "how vexingly quick daft zebras jump over fences"),
+        (3, "pack my box with five dozen pickle jars instead"),
+        (4, "sphinx of black quartz judge my vow again"),
+    ]
+    docs = _docs(spark, rows)
+    whole = {
+        r.doc_id
+        for r in decontaminated_corpus(docs, bench, n=3, fuzzy_threshold=0.3).collect()
+    }
+    b1 = docs.where(F.col("doc_id") <= 2)
+    b2 = docs.where(F.col("doc_id") > 2)
+    per_batch = {
+        r.doc_id
+        for b in (b1, b2)
+        for r in decontaminated_corpus(b, bench, n=3, fuzzy_threshold=0.3).collect()
+    }
+    assert whole == per_batch
+
+
 def test_pii_scrub_golden(spark):
     from nlp_with_pyspark_spark.operators.textstats import pii_scrub
 
