@@ -937,6 +937,7 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     max_vecs_per_cluster: int = 100_000,
     assign_via: str = "literal",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: (list_id, id_a, id_b,
     cosine) with cosine ≥ ``threshold``, RESTRICTED to pairs assigned to
@@ -959,12 +960,21 @@ def semantic_dedup_pairs(
     correctness one. Cluster sizes are one aggregated row per centroid,
     so the eligibility filter is a broadcast semi-join — the corpus is
     never re-shuffled to apply it.
+
+    ``assigned``: optional pre-computed (id, vec, list_id) frame with
+    ``semantic_cluster_assign(embeddings, centroids, ...)`` semantics —
+    when the caller already holds the assignment (the stats report, a
+    persisted index build, any pipeline that assigns once and fans out),
+    pass it here and this operator skips re-deriving the O(k·d)
+    argmin projection (same reuse seam as
+    ``decontam.benchmark_overlap(corpus_shingles=...)``).
     """
     from ..functions.vector import dot, unit_normalized
 
-    assigned = semantic_cluster_assign(
-        embeddings, centroids, vec_col, id_col, via=assign_via
-    )
+    if assigned is None:
+        assigned = semantic_cluster_assign(
+            embeddings, centroids, vec_col, id_col, via=assign_via
+        )
     ok = (
         assigned.groupBy("list_id")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1021,8 +1031,16 @@ def semantic_dedup_stats(
     sizes = assigned.groupBy("list_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors")
     )
+    # reuse the one assignment frame — without the passthrough the pair
+    # path re-derives the O(k·d) argmin projection on a second scan
     pairs = semantic_dedup_pairs(
-        embeddings, centroids, threshold, vec_col, id_col, max_vecs_per_cluster
+        embeddings,
+        centroids,
+        threshold,
+        vec_col,
+        id_col,
+        max_vecs_per_cluster,
+        assigned=assigned,
     )
     dropped = (
         pairs.select("list_id", "id_b")
