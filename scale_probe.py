@@ -300,6 +300,81 @@ def _replicate_embeddings(spark, base_dir: str, out_dir: str, factor: int) -> No
     os.rename(dst + ".tmp", dst)
 
 
+def sink_probe_leg(corpus_dir: str, tag: str, batch_docs: int, runs: int) -> dict:
+    """One store leg of the ingest-sink probe: seed a BUCKETED near-dup
+    store with the full corpus at ``corpus_dir``, then time ``runs``
+    fixed-size delta-batch upserts against it (first upsert is a JIT
+    warm, discarded). Printed claim under test: per-batch ingest cost
+    tracks the BATCH, not the store — the round-7 review flagged the
+    plain store's per-batch O(store) anti-join; the bucketed layout +
+    broadcast-prefiltered delta check are supposed to flatten it, and
+    this measures whether they did.
+
+    Delta batches are the corpus's first ``batch_docs`` docs with fresh
+    ids (offset 900M + 1M per batch — far above any replica offset) and
+    a per-batch LETTER-ONLY token salt ('qz' + batch letter, disjoint
+    from the replicas' 'x'+digit-letters salt), so batches are near-dup
+    of neither the store nor each other and the timing measures the
+    typical bucket-lookup + verify + append path, not mass drops."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from nlp_with_pyspark_spark.queries import _tokenized_documents
+    from nlp_with_pyspark_spark.streaming.sinks import neardup_upsert_batch
+
+    spark = get_spark(app_name=f"sink-probe-{tag}")
+    spark.sparkContext.setLogLevel("ERROR")
+    store = f"/tmp/sinkprobe_{tag}"
+    prefix = f"sinkprobe_{tag}"
+    shutil.rmtree(store, ignore_errors=True)
+    for t in ("docs", "buckets", "shingles"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+    toks = _tokenized_documents(spark, corpus_dir).select("doc_id", "tokens")
+    t0 = time.perf_counter()
+    neardup_upsert_batch(
+        toks, store, threshold=0.2, table_prefix=prefix, n_buckets=32
+    )
+    t_seed = time.perf_counter() - t0
+    store_docs = spark.table(f"{prefix}_docs").count()
+
+    base = (
+        _tokenized_documents(spark, corpus_dir)
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 10_000_000)  # base replica only
+        .limit(batch_docs)
+        .localCheckpoint()
+    )
+    samples = []
+    for b in range(runs + 1):  # +1: first batch is the JIT warm
+        salt = "qz" + "abcdefghij"[b]
+        batch = base.select(
+            (F.col("doc_id") + F.lit(900_000_000 + b * 1_000_000)).alias("doc_id"),
+            F.expr(
+                "array_join(transform(split(text, ' '), "
+                f"(t, i) -> IF(i % 2 = 0, concat(t, '{salt}'), t)), ' ')"
+            ).alias("text"),
+        )
+        from nlp_with_pyspark_spark.functions.text import tokens_pipeline
+
+        batch = batch.select(
+            "doc_id", tokens_pipeline(F.col("text")).alias("tokens")
+        ).localCheckpoint()
+        t0 = time.perf_counter()
+        neardup_upsert_batch(
+            batch, store, threshold=0.2, table_prefix=prefix, n_buckets=32
+        )
+        if b > 0:
+            samples.append(round(time.perf_counter() - t0, 2))
+    return {
+        "store_docs": store_docs,
+        "t_seed": round(t_seed, 1),
+        "t_upsert_med": sorted(samples)[len(samples) // 2],
+        "t_upsert_all": samples,
+    }
+
+
 def materialize(df) -> None:
     """Force FULL evaluation of every output column.
 
@@ -344,7 +419,56 @@ def main() -> None:
         help="comma list of tables to replicate (documents,events,orders); "
         "the rest are symlinked from --base",
     )
+    ap.add_argument(
+        "--sink-probe",
+        action="store_true",
+        help="ingest-sink probe: per-batch upsert cost vs store size "
+        "(seeds a bucketed near-dup store at 1x and at --factor x, "
+        "times fixed-size delta upserts against each)",
+    )
+    ap.add_argument("--batch-docs", type=int, default=2000)
+    ap.add_argument(
+        "--sink-leg", default=None, help="internal: run one sink-probe leg "
+        "(value = leg tag; corpus dir taken from --base)"
+    )
     args = ap.parse_args()
+
+    if args.sink_leg:
+        result = sink_probe_leg(args.base, args.sink_leg, args.batch_docs, args.runs)
+        print(json.dumps({args.sink_leg: result}))
+        return
+
+    if args.sink_probe:
+        import subprocess
+
+        tables = ("documents",)
+        out_dir = args.out or f"/tmp/scale{args.factor}x_documents"
+        spark = get_spark(app_name=f"sink-probe-build-{args.factor}x")
+        spark.sparkContext.setLogLevel("ERROR")
+        build_replicated_dir(spark, args.base, out_dir, args.factor, tables)
+        spark.stop()
+        results = {}
+        for tag, corpus_dir in (("1x", args.base), (f"{args.factor}x", out_dir)):
+            out = subprocess.run(
+                [
+                    sys.executable, os.path.abspath(__file__),
+                    "--sink-leg", tag,
+                    "--base", corpus_dir,
+                    "--batch-docs", str(args.batch_docs),
+                    "--runs", str(args.runs),
+                ],
+                capture_output=True, text=True, check=True,
+            )
+            results.update(json.loads(out.stdout.strip().splitlines()[-1]))
+            print(json.dumps({tag: results[tag]}), flush=True)
+        small, big = results["1x"], results[f"{args.factor}x"]
+        print(json.dumps({
+            "factor": args.factor,
+            "batch_docs": args.batch_docs,
+            "results": results,
+            "upsert_ratio": round(big["t_upsert_med"] / small["t_upsert_med"], 2),
+        }))
+        return
     tables = tuple(sorted(t.strip() for t in args.tables.split(",") if t.strip()))
     out_dir = args.out or f"/tmp/scale{args.factor}x_{'_'.join(tables)}"
 
