@@ -76,7 +76,6 @@ HEADLINE = [
     "price_percentiles",
     "corpus_clean_stats",
     "sql_top_unshipped_orders",
-    "order_priority_pivot",
     "customer_order_setops",
     "confusion_metrics",
     "bigram_top50",
@@ -114,6 +113,8 @@ HEADLINE = [
     "semantic_delta_pairs",
     # round 8 (third swap): fuzzy decontamination, new registration
     "decontam_fuzzy_overlap",
+    # round 8 (fourth swap): deterministic training order, new registration
+    "corpus_shuffle_order",
 ]
 # MEMBERSHIP POLICY (round 8). The printed JSON line must stay under
 # ~1850 chars (the driver captures only the last 2000 chars of stdout),
@@ -153,6 +154,10 @@ HEADLINE = [
 # simhash_near_pairs (its full blocking+verify chain runs inside the
 # benched simhash_delta_pairs driver form; simhash_fingerprints also
 # benched this round).
+# Round 8 fourth swap — IN (new registration, never benched):
+# corpus_shuffle_order. OUT (benched r1-r7, kin stays):
+# order_priority_pivot (pivot shape → order_priority_melt, its inverse,
+# benched this round; the grouping itself → revenue_rollup).
 # Rotation debt for round 9 (registered, still never benched):
 # order_status_cube, customer_running_revenue, token_budget,
 # events_distinct_users, multimodal_asset_stats — swap these in next;

@@ -180,3 +180,51 @@ def domain_mixture_weights(
             "mixture_weight"
         ),
     )
+
+
+def deterministic_shuffle(
+    docs: DataFrame,
+    seed: str = "epoch-0",
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Seed-reproducible global training order: every row gets a
+    (shard, pos) address that is a pure function of (seed, id) — the
+    scale-safe "global shuffle" a training data loader wants per epoch.
+    A new ``seed`` ("epoch-1", ...) is a fresh, independent permutation.
+
+    Why not ``orderBy(rand())``: non-reproducible across runs and
+    partitionings, and a single global sort. Here the order key is
+    ``md5(seed:id)`` (the same engine-independent uniform draw the
+    sampling family uses), the shard is a uniform bin of the key's
+    first 16 bits — ``floor(v·n/2¹⁶)``, bias ≤ n/2¹⁶ — and ``pos`` is
+    the rank of the key within the shard. Reading shards in
+    (shard, pos) order IS the permutation; it is pseudo-random by
+    construction, so the shard-major concatenation needs no global
+    sort.
+
+    100 TB shape: ONE hash shuffle (the window's partition on shard;
+    n_shards parallelism — size it like any output-file count), a sort
+    within each shard, zero joins; write with
+    ``io.write_partitioned(..., ["shard"])`` and a training job streams
+    shard files in pos order. The md5/bin/rank chain is expressible
+    verbatim in ANSI SQL, so the whole permutation is DuckDB-oracled
+    (queries.corpus_shuffle_order).
+    """
+    key = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    keep = [id_col, *(payload_cols or [])]
+    from pyspark.sql import Window
+
+    v = F.conv(F.substring(F.col("_sk"), 1, 4), 16, 10).cast("long")
+    w = Window.partitionBy("shard").orderBy("_sk", id_col)
+    return (
+        docs.select(*keep, key.alias("_sk"))
+        .withColumn(
+            # exact in doubles (operands < 2^53), floor matches the
+            # oracle SQL's floor() bit-for-bit
+            "shard", F.floor((v * F.lit(int(n_shards))) / F.lit(65536)).cast("int")
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_sk")
+    )

@@ -2212,6 +2212,47 @@ def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(docs, _SPLIT_FRACTIONS).select("doc_id", "split")
 
 
+def _hex4_to_int_sql(key: str) -> str:
+    """ANSI-SQL value of the first 4 hex chars of ``key`` — the oracle
+    mirror of Spark's ``conv(substring(k,1,4),16,10)``. ``strpos`` over
+    the hex alphabet is the engine-portable digit decode."""
+    digit = "(strpos('0123456789abcdef', substr({k}, {i}, 1)) - 1)"
+    d = [digit.format(k=key, i=i) for i in (1, 2, 3, 4)]
+    return f"((({d[0]} * 16 + {d[1]}) * 16 + {d[2]}) * 16 + {d[3]})"
+
+
+@query(
+    "corpus_shuffle_order",
+    f"""
+    WITH k AS (
+        SELECT doc_id,
+               md5(concat('epoch-0', ':', CAST(doc_id AS VARCHAR))) AS sk
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, sk,
+               CAST(floor({_hex4_to_int_sql('sk')} * 8 / 65536) AS INT) AS shard
+        FROM k
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY sk, doc_id)
+                AS BIGINT) AS pos
+    FROM b
+    """,
+)
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-reproducible global training order
+    (operators/sampling.deterministic_shuffle): every doc addressed by
+    (shard, pos), a pure function of (seed, doc_id) — the scale-safe
+    per-epoch "global shuffle". One hash shuffle (the rank window's
+    partition on shard), no global sort: the order key is already
+    pseudo-random, so shard-major concatenation IS the permutation."""
+    from .operators.sampling import deterministic_shuffle
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(docs, seed="epoch-0", n_shards=8)
+
+
 # ---------------------------------------------------------------------------
 # Relational additions: multi-fact join (TPC-H Q5 shape) + anti join
 # ---------------------------------------------------------------------------
@@ -3820,6 +3861,15 @@ _DEMOTED_PAST_CHECK_WINDOW = [
     #                        chain inside the plan) in-window, so every
     #                        constituent stays externally checked
     "simhash_near_pairs",
+    # round 8 (fourth rotation): demoted for the never-checked
+    # corpus_shuffle_order:
+    #   sql_top_unshipped_orders — green r2-r7; the spark.sql/relational
+    #                              family keeps pricing_summary,
+    #                              customer_nation_revenue, revenue_rollup,
+    #                              order_status_cube, top_orders_per_customer,
+    #                              customer_running_revenue and
+    #                              dormant_customers in-window
+    "sql_top_unshipped_orders",
 ]
 
 

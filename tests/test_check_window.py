@@ -17,7 +17,10 @@ REQUIRED_IN_WINDOW = {
     # the returning order_status_cube covers the grouping family)
     "pricing_summary", "customer_nation_revenue", "top_orders_per_customer",
     "revenue_rollup", "order_status_cube",
-    "customer_order_setops", "sql_top_unshipped_orders",
+    # (fourth round-8 rotation: sql_top_unshipped_orders demoted for
+    # corpus_shuffle_order; the relational family above keeps seven
+    # members in-window)
+    "customer_order_setops",
     "customer_rolling_7d_revenue",
     "dormant_customers",
     # event-time (round 8: events_tumbling_5m demoted after 7 green
@@ -78,6 +81,9 @@ REQUIRED_IN_WINDOW = {
     # new in round 8, third rotation (never driver-checked — must be in
     # the window; simhash_near_pairs demoted to make room, green r5-r7)
     "decontam_fuzzy_overlap",
+    # new in round 8, fourth rotation (never driver-checked — must be in
+    # the window; sql_top_unshipped_orders demoted, green r2-r7)
+    "corpus_shuffle_order",
 }
 
 

@@ -112,3 +112,65 @@ def test_sampling_filter_reaches_scan(docs):
     anywhere in the sampled plan (scan-speed at 100 TB)."""
     plan = hash_sample(docs, 0.25)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_shuffle_deterministic_and_partition_invariant(docs, spark):
+    from nlp_with_pyspark_spark.operators.sampling import deterministic_shuffle
+
+    ids = docs.select("doc_id")
+    a = {(r.doc_id, r.shard, r.pos) for r in deterministic_shuffle(ids).collect()}
+    b = {
+        (r.doc_id, r.shard, r.pos)
+        for r in deterministic_shuffle(ids.repartition(7)).collect()
+    }
+    assert a == b and a  # same permutation under any input partitioning
+
+
+def test_shuffle_new_seed_is_new_permutation(docs):
+    from nlp_with_pyspark_spark.operators.sampling import deterministic_shuffle
+
+    ids = docs.select("doc_id")
+    e0 = {r.doc_id: (r.shard, r.pos) for r in deterministic_shuffle(ids, "epoch-0").collect()}
+    e1 = {r.doc_id: (r.shard, r.pos) for r in deterministic_shuffle(ids, "epoch-1").collect()}
+    assert set(e0) == set(e1)  # same docs...
+    moved = sum(1 for d in e0 if e0[d] != e1[d])
+    assert moved > 0.9 * len(e0)  # ...nearly all at new addresses
+
+
+def test_shuffle_addresses_are_dense_and_uniform(docs):
+    """(shard, pos) is a valid address space: every shard 0..n-1
+    present, pos contiguous 1..|shard| within each, shard sizes within
+    binomial noise of uniform."""
+    from collections import defaultdict
+
+    from nlp_with_pyspark_spark.operators.sampling import deterministic_shuffle
+
+    n_shards = 8
+    rows = deterministic_shuffle(docs.select("doc_id"), n_shards=n_shards).collect()
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r.shard].append(r.pos)
+    assert set(by_shard) == set(range(n_shards))
+    total = len(rows)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), f"shard {s} pos not dense"
+        # 5-sigma binomial bound around total/n
+        mean = total / n_shards
+        sigma = math.sqrt(total * (1 / n_shards) * (1 - 1 / n_shards))
+        assert abs(len(ps) - mean) < 5 * sigma, (s, len(ps), mean)
+
+
+def test_shuffle_single_exchange(docs):
+    """The 100 TB claim: the whole permutation costs ONE shuffle (the
+    rank window's hash partition on shard)."""
+    from nlp_with_pyspark_spark.operators.sampling import deterministic_shuffle
+    from nlp_with_pyspark_spark.plans.inspect import plan_string
+
+    out = deterministic_shuffle(docs.select("doc_id"))
+    plan = plan_string(out)
+    n_ex = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    )
+    assert n_ex == 1, plan
