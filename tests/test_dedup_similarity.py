@@ -717,3 +717,41 @@ def test_semantic_dedup_with_trained_quantizer(emb):
     }
     assert got and set(got) <= set(exact)
     assert all(exact[k] == v for k, v in got.items())
+
+
+def test_semantic_pairs_with_trained_quantizer(emb):
+    """End-to-end SemDeDup with a TRAINED quantizer: build_ivf_index's
+    seeded k-means centroids feed semantic_dedup_pairs through the
+    assigned= passthrough — the production composition (train once,
+    assign once, dedup within clusters) — and the output obeys the same
+    contract as the fixed-quantizer path: exactly the brute-force cosine
+    pairs restricted to co-clustered endpoints."""
+    from nlp_with_pyspark_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        semantic_dedup_pairs,
+    )
+    from nlp_with_pyspark_spark.operators.similarity import build_ivf_index
+
+    assignments, centroids = build_ivf_index(emb, n_lists=8, seed=42)
+    cents = [
+        (int(r.list_id), [float(x) for x in r.centroid])
+        for r in centroids.collect()
+    ]
+    assigned = assignments.select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("cv").alias("embedding"),
+        "list_id",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in semantic_dedup_pairs(
+            emb, cents, threshold=0.3, assigned=assigned
+        ).collect()
+    }
+    cluster = {r.vec_id: r.list_id for r in assigned.collect()}
+    brute = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(emb, threshold=0.3).collect()
+    }
+    want = {(a, b) for a, b in brute if cluster[a] == cluster[b]}
+    assert got == want and got
