@@ -1018,9 +1018,19 @@ def semantic_dedup_stats(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_vecs_per_cluster: int = 100_000,
+    assign_via: str = "literal",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Per-cluster SemDeDup prune report: (list_id, n_vectors, n_dropped,
     n_kept), every centroid present even when nothing is dropped.
+
+    ``assigned``: optional pre-computed (id, vec, list_id) assignment —
+    at production quantizer sizes, compute it once via
+    ``semantic_cluster_assign(..., via='pandas')`` (or reuse a persisted
+    index's frame), localCheckpoint/persist it, and pass it here: the
+    report's plan consumes the assignment in FOUR subtrees (sizes, the
+    cap filter, both self-join sides), so an unmaterialized lineage
+    re-evaluates the argmin once per subtree.
 
     Drop rule — keep-lowest-id: a vector is dropped iff some SMALLER-id
     vector in the same cluster is within the cosine threshold, i.e.
@@ -1039,12 +1049,17 @@ def semantic_dedup_stats(
     (sparse) pair set; the final join is centroid-count-sized on both
     sides — broadcastable at any corpus size.
     """
-    assigned = semantic_cluster_assign(embeddings, centroids, vec_col, id_col)
+    if assigned is None:
+        assigned = semantic_cluster_assign(
+            embeddings, centroids, vec_col, id_col, via=assign_via
+        )
     sizes = assigned.groupBy("list_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors")
     )
-    # reuse the one assignment frame — without the passthrough the pair
-    # path re-derives the O(k·d) argmin projection on a second scan
+    # one assignment DEFINITION shared by sizes and the pair path; note
+    # sharing the frame dedupes the lineage, not the evaluation — each
+    # consumer subtree still evaluates it unless the caller materialized
+    # `assigned` (see docstring)
     pairs = semantic_dedup_pairs(
         embeddings,
         centroids,
@@ -1243,9 +1258,16 @@ def minhash_delta_pairs(
     max_docs_per_bucket: int = 1000,
     hash_fn: str = "md5",
     materialize: bool = True,
+    delta_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs of a NEW batch against (and within) an existing
     indexed corpus — WITHOUT rescanning the corpus.
+
+    ``delta_shingles``: optional pre-computed (doc_id, shingles) frame
+    with ``_shingle_sets(delta_docs, ...)`` semantics — the ingest sink
+    already materializes it for the index append, so passing it here
+    skips re-shingling the batch (assumed already materialized; the
+    ``materialize`` flag then only governs the candidate checkpoint).
 
     Returns (doc_a, doc_b, jaccard) for every pair with ≥1 delta-side
     doc: delta↔index pairs and delta↔delta pairs, never index↔index
@@ -1271,9 +1293,12 @@ def minhash_delta_pairs(
     shingles, candidates) so the WHOLE lineage stays in one inspectable
     plan — the plan test's hook; production keeps the default.
     """
-    delta_sh = _shingle_sets(delta_docs, tokens_col, id_col, n)
-    if materialize:
-        delta_sh = delta_sh.localCheckpoint()
+    if delta_shingles is not None:
+        delta_sh = delta_shingles
+    else:
+        delta_sh = _shingle_sets(delta_docs, tokens_col, id_col, n)
+        if materialize:
+            delta_sh = delta_sh.localCheckpoint()
     delta_bands = _band_buckets_from_shingles(delta_sh, k, bands, hash_fn)
     cands = _delta_bucket_pairs(delta_bands, index.buckets, max_docs_per_bucket)
     if materialize:
@@ -1414,6 +1439,7 @@ def simhash_delta_pairs(
     max_docs_per_bucket: int = 1000,
     hash_fn: str = "md5",
     materialize: bool = True,
+    delta_fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash twin of :func:`minhash_delta_pairs`: Hamming-radius
     near-dup pairs of a NEW batch against (and within) an indexed
@@ -1428,9 +1454,14 @@ def simhash_delta_pairs(
     index build (see :class:`SimhashIndex`).
     """
     bands, combo_size = _simhash_blocking_params(max_hamming, bands, combo_size)
-    delta_fp = simhash_fingerprints(delta_docs, tokens_col, id_col, hash_fn)
-    if materialize:
-        delta_fp = delta_fp.localCheckpoint()
+    if delta_fingerprints is not None:
+        # pre-computed (doc_id, simhash) — the sink's reuse seam, same
+        # contract as minhash_delta_pairs' delta_shingles
+        delta_fp = delta_fingerprints
+    else:
+        delta_fp = simhash_fingerprints(delta_docs, tokens_col, id_col, hash_fn)
+        if materialize:
+            delta_fp = delta_fp.localCheckpoint()
     delta_keys = _simhash_band_buckets(delta_fp, bands, combo_size)
     cands = _delta_bucket_pairs(delta_keys, index.keys, max_docs_per_bucket)
     if materialize:
@@ -1527,6 +1558,7 @@ def semantic_delta_pairs(
     max_vecs_per_cluster: int = 100_000,
     materialize: bool = True,
     assign_via: str = "literal",
+    delta_assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Semantic near-dup pairs of a NEW batch against (and within) an
     indexed embedding corpus — without re-assigning or re-normalizing
@@ -1553,13 +1585,23 @@ def semantic_delta_pairs(
     """
     from ..functions.vector import dot, unit_normalized
 
-    d = unit_normalized(
-        semantic_cluster_assign(delta_vecs, centroids, vec_col, id_col, via=assign_via),
-        vec_col,
-        "nv",
-    ).select(F.col(id_col).alias("vid"), "list_id", "nv")
-    if materialize:
-        d = d.localCheckpoint()
+    if delta_assigned is not None:
+        # pre-computed (id_col, list_id, nv) with build_semantic_index
+        # semantics — the sink's reuse seam: the batch's assignment +
+        # normalization is already materialized for the index append,
+        # so the delta check must not pay the O(|batch|·k·d) argmin
+        # twice per micro-batch
+        d = delta_assigned.select(F.col(id_col).alias("vid"), "list_id", "nv")
+    else:
+        d = unit_normalized(
+            semantic_cluster_assign(
+                delta_vecs, centroids, vec_col, id_col, via=assign_via
+            ),
+            vec_col,
+            "nv",
+        ).select(F.col(id_col).alias("vid"), "list_id", "nv")
+        if materialize:
+            d = d.localCheckpoint()
     idx = index.assigned.select(F.col(id_col).alias("vid"), "list_id", "nv")
     touched = d.select("list_id").distinct()
     idx_t = idx.join(F.broadcast(touched), "list_id", "left_semi")

@@ -308,6 +308,46 @@ def read_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: read_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
 
 
+def parquet_data_files(path: str) -> list[str]:
+    """Parquet data files under ``path`` (recursive) — THE one glob all
+    store-existence probes and compaction triggers share, so a future
+    change (hidden-dir filtering, remote FS) lands in one place.
+    Local-filesystem only, like every maintenance helper in this module
+    (see ``_require_local_path``)."""
+    import glob as _glob
+    import os
+
+    return [
+        f
+        for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+
+
+def parquet_file_count(path: str) -> int:
+    return len(parquet_data_files(path))
+
+
+def _require_local_path(path: str, op: str) -> None:
+    """The store-maintenance helpers (existence probes, compaction
+    swaps, bucket-spec sidecars) act on the filesystem directly, so a
+    remote scheme would make them silently see an EMPTY store — and the
+    sinks treat "no store" as "first batch, overwrite". Fail loudly
+    instead of losing data."""
+    if "://" in path:
+        raise NotImplementedError(
+            f"{op} is local-filesystem-only; got {path!r}. For object "
+            "stores, port the probes/sidecars to the Hadoop FileSystem "
+            "API (sc._jvm.org.apache.hadoop.fs) before using this path."
+        )
+
+
+def _bucket_spec_sidecar(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_BUCKET_SPEC")
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -323,7 +363,14 @@ def write_bucketed(
     at 100 TB this turns every recurring fact-fact join on the bucket
     key into a zero-shuffle sort-merge. Bucketing requires the table
     catalog (``saveAsTable``); ``path`` places the data externally.
-    """
+
+    External writes also drop a ``_BUCKET_SPEC`` sidecar (bucket column,
+    bucket count, schema DDL) next to the data: the spec IS the table's
+    join-layout contract, and after a session restart the catalog entry
+    is gone while the files — whose names encode bucket ids under THIS
+    spec — remain. ``register_bucketed_table`` re-registers from the
+    sidecar, so a caller can never silently re-declare a different
+    bucket count over existing files."""
     writer = (
         df.write.mode(mode)
         .bucketBy(n_buckets, bucket_col)
@@ -333,6 +380,13 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+    if path is not None:
+        _require_local_path(path, "write_bucketed(path=...)")
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        with open(_bucket_spec_sidecar(path), "w") as fh:
+            fh.write(f"{bucket_col}\n{n_buckets}\n{ddl}\n")
 
 
 def table_bucket_spec(spark: SparkSession, table: str) -> tuple[str, int, str]:
@@ -355,21 +409,45 @@ def register_bucketed_table(
     session-scoped catalog: the data (with bucket ids encoded in the
     file names) outlives the session, the metadata does not. Returns
     True if a table was registered, False if it already existed or the
-    path holds no data (schema comes from the parquet footers, so an
-    empty path has nothing to register). No-op on live metastores where
-    the entry survives."""
-    import glob as _glob
+    path holds no data. No-op on live metastores where the entry
+    survives.
+
+    The spec comes from the ``_BUCKET_SPEC`` sidecar ``write_bucketed``
+    left next to the data, NOT from the caller: the files' bucket ids
+    were computed under the sidecar's spec, and registering a different
+    bucket count over them would silently break every Exchange-free
+    join built on the layout (the caller's values are validated against
+    the sidecar and a mismatch is an error). The sidecar also carries
+    the schema, so a table whose data dirs exist but hold zero rows yet
+    (e.g. an index table whose first batches produced no keys) still
+    re-registers — parquet-footer inference would have nothing to read.
+    Sidecar-less paths (pre-existing stores) fall back to footer
+    inference + the caller's spec."""
     import os
 
+    _require_local_path(path, "register_bucketed_table")
     if spark.catalog.tableExists(table):
         return False
-    if not any(
-        os.path.isfile(f)
-        for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-    ):
-        return False
-    schema = spark.read.parquet(path).schema
-    ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    sidecar = _bucket_spec_sidecar(path)
+    if os.path.exists(sidecar):
+        with open(sidecar) as fh:
+            s_col, s_n, ddl = fh.read().splitlines()[:3]
+        if s_col != bucket_col or int(s_n) != n_buckets:
+            raise ValueError(
+                f"bucket spec mismatch for {table} at {path}: store was "
+                f"written as ({s_col}, {s_n} buckets), caller asked for "
+                f"({bucket_col}, {n_buckets}) — the stored spec is the "
+                "layout contract; pass the original values"
+            )
+        n_buckets = int(s_n)
+        bucket_col = s_col
+    else:
+        if parquet_file_count(path) == 0:
+            return False
+        schema = spark.read.parquet(path).schema
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
     spark.sql(
         f"CREATE TABLE {table} ({ddl}) USING parquet "
         f"CLUSTERED BY (`{bucket_col}`) SORTED BY (`{bucket_col}`) "
@@ -415,7 +493,6 @@ def compact_bucketed_table(spark: SparkSession, table: str) -> dict[str, int]:
     write uses the same Murmur3-pmod hashing as the bucketing itself,
     so each task holds exactly one bucket's rows → one file per bucket.
     """
-    import glob as _glob
     import os
     import shutil
 
@@ -430,14 +507,9 @@ def compact_bucketed_table(spark: SparkSession, table: str) -> dict[str, int]:
         shutil.rmtree(tmp)  # stale staging data from a crashed rewrite
     spark.catalog.refreshTable(table)
 
-    def parquet_files(p: str) -> list[str]:
-        return [
-            f
-            for f in _glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
-            if os.path.isfile(f)
-        ]
-
-    files = parquet_files(path)
+    files = parquet_data_files(path)
+    # (sidecar note: the tmp dir is written by write_bucketed with the
+    # SAME spec, so its _BUCKET_SPEC travels through the directory swap)
     # Read the data as a PLAIN parquet scan, not spark.table: the
     # bucketed relation reports HashPartitioning(col, n) so Catalyst
     # elides the explicit repartition as redundant — but the write then
@@ -464,7 +536,7 @@ def compact_bucketed_table(spark: SparkSession, table: str) -> dict[str, int]:
     spark.catalog.refreshTable(table)
     return {
         "files_before": len(files),
-        "files_after": len(parquet_files(path)),
+        "files_after": parquet_file_count(path),
         "rows": rows,
     }
 
@@ -580,7 +652,6 @@ def compact_parquet(
     parallelize over partitions); the single-directory form here is the
     unit of that loop.
     """
-    import glob as _glob
     import math
     import os
     import shutil
@@ -596,11 +667,7 @@ def compact_parquet(
         # stale tmp from a crashed/incomplete rewrite: discard
         shutil.rmtree(tmp)
 
-    files = [
-        f
-        for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-        if os.path.isfile(f)
-    ]
+    files = parquet_data_files(path)
     total_bytes = sum(os.path.getsize(f) for f in files)
     df = spark.read.parquet(path)
     rows = df.count()
@@ -615,9 +682,8 @@ def compact_parquet(
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
-    after = [
-        f
-        for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-        if os.path.isfile(f)
-    ]
-    return {"files_before": len(files), "files_after": len(after), "rows": rows}
+    return {
+        "files_before": len(files),
+        "files_after": parquet_file_count(path),
+        "rows": rows,
+    }

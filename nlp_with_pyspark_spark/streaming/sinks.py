@@ -123,6 +123,7 @@ def _neardup_family(
     max_docs_per_bucket: int,
     hash_fn: str,
     centroids=None,
+    assign_via: str = "literal",
 ):
     """Adapter between the sink's generic store logic and one near-dup
     hash family. All families share the store shape — a per-doc
@@ -151,7 +152,7 @@ def _neardup_family(
             keys=lambda feats: D._band_buckets_from_shingles(
                 feats, k, mh_bands, hash_fn
             ),
-            delta_pairs=lambda fresh, keys, feats, tokens_col, id_col: D.minhash_delta_pairs(
+            delta_pairs=lambda fresh, keys, feats, tokens_col, id_col, dfeats: D.minhash_delta_pairs(
                 fresh,
                 D.MinhashIndex(buckets=keys, shingles=feats),
                 tokens_col=tokens_col,
@@ -162,6 +163,7 @@ def _neardup_family(
                 threshold=threshold,
                 max_docs_per_bucket=max_docs_per_bucket,
                 hash_fn=hash_fn,
+                delta_shingles=dfeats,
             ),
         )
     if hash_family == "simhash":
@@ -175,7 +177,7 @@ def _neardup_family(
                 df, tokens_col, id_col, hash_fn
             ),
             keys=lambda feats: D._simhash_band_buckets(feats, sh_bands, sh_combo),
-            delta_pairs=lambda fresh, keys, feats, tokens_col, id_col: D.simhash_delta_pairs(
+            delta_pairs=lambda fresh, keys, feats, tokens_col, id_col, dfeats: D.simhash_delta_pairs(
                 fresh,
                 D.SimhashIndex(keys=keys, fingerprints=feats),
                 tokens_col=tokens_col,
@@ -185,6 +187,7 @@ def _neardup_family(
                 combo_size=sh_combo,
                 max_docs_per_bucket=max_docs_per_bucket,
                 hash_fn=hash_fn,
+                delta_fingerprints=dfeats,
             ),
         )
     if hash_family == "semantic":
@@ -195,12 +198,14 @@ def _neardup_family(
             from ..functions.vector import unit_normalized
 
             return unit_normalized(
-                D.semantic_cluster_assign(df, centroids, vec_col, id_col),
+                D.semantic_cluster_assign(
+                    df, centroids, vec_col, id_col, via=assign_via
+                ),
                 vec_col,
                 "nv",
             ).select(F.col(id_col).alias("doc_id"), "list_id", "nv")
 
-        def sem_delta(fresh, keys, feats, vec_col, id_col):
+        def sem_delta(fresh, keys, feats, vec_col, id_col, dfeats):
             idx = D.SemanticIndex(
                 assigned=feats.select(
                     F.col("doc_id").alias(id_col), "list_id", "nv"
@@ -214,6 +219,12 @@ def _neardup_family(
                 vec_col=vec_col,
                 id_col=id_col,
                 max_vecs_per_cluster=max_docs_per_bucket,
+                assign_via=assign_via,
+                # the batch's assignment is already materialized for the
+                # index append — never pay the argmin twice per batch
+                delta_assigned=dfeats.select(
+                    F.col("doc_id").alias(id_col), "list_id", "nv"
+                ),
             ).select(
                 F.col("id_a").alias("doc_a"),
                 F.col("id_b").alias("doc_b"),
@@ -239,14 +250,9 @@ def _neardup_family(
 
 
 def _parquet_file_count(path: str) -> int:
-    import glob as _glob
-    import os
+    from ..sources.io import parquet_file_count
 
-    return sum(
-        1
-        for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-        if os.path.isfile(f)
-    )
+    return parquet_file_count(path)
 
 
 def neardup_upsert_batch(
@@ -267,6 +273,7 @@ def neardup_upsert_batch(
     n_buckets: int = 32,
     compact_threshold_files: int | None = None,
     centroids=None,
+    assign_via: str = "literal",
 ) -> None:
     """One near-dup dedup-on-ingest step: check ``batch_df`` against the
     persistent store, keep only documents with no near-duplicate among
@@ -283,7 +290,11 @@ def neardup_upsert_batch(
     = ``keys``/``assigned`` — the
     :class:`~..operators.dedup.SemanticIndex` layout with the cluster
     label as blocking key; ``max_docs_per_bucket`` caps the combined
-    cluster size).
+    cluster size; ``assign_via='pandas'`` selects the BLAS assignment
+    path — mandatory at production quantizer sizes, where the literal
+    expression's O(k·dim) plan text dominates; the batch's assignment
+    is computed ONCE and shared by the index append and the delta
+    check).
 
     Store layouts — the scale knob:
 
@@ -359,7 +370,7 @@ def neardup_upsert_batch(
     spark = batch_df.sparkSession
     fam = _neardup_family(
         hash_family, n, k, bands, threshold, max_hamming, combo_size,
-        max_docs_per_bucket, hash_fn, centroids,
+        max_docs_per_bucket, hash_fn, centroids, assign_via,
     )
     docs_path = f"{store_path}/docs"
     keys_path = f"{store_path}/{fam.keys_name}"
@@ -374,6 +385,7 @@ def neardup_upsert_batch(
 
     fresh = batch_df.dropDuplicates([id_col])
     keys_raw = feats_raw = None
+    docs_existed = False  # bucketed mode: docs table present pre-batch
     if bucketed:
         # restart self-heal: the in-memory catalog (tests, default local
         # builds) loses table metadata across sessions while the data
@@ -387,9 +399,16 @@ def neardup_upsert_batch(
         register_bucketed_table(
             spark, feats_tbl, fam.feats_bucket_col, n_buckets, feats_path
         )
-        if spark.catalog.tableExists(docs_tbl):
+        docs_existed = spark.catalog.tableExists(docs_tbl)
+        if docs_existed:
+            # keys/feats re-register from their _BUCKET_SPEC sidecars
+            # even when they hold zero rows (all stored docs shingle-
+            # less); a legacy store without sidecars may lack the
+            # tables entirely — an absent index table means an EMPTY
+            # index (vacuously no candidates), not a crash
             for t in (docs_tbl, keys_tbl, feats_tbl):
-                spark.catalog.refreshTable(t)
+                if spark.catalog.tableExists(t):
+                    spark.catalog.refreshTable(t)
             # zero store-side Exchange: the docs table is bucketed by
             # id_col, so its id column arrives at the sort-merge
             # anti-join already partitioned on the join key — only the
@@ -397,8 +416,9 @@ def neardup_upsert_batch(
             fresh = fresh.join(
                 spark.table(docs_tbl).select(id_col), id_col, "left_anti"
             )
-            keys_raw = spark.table(keys_tbl)
-            feats_raw = spark.table(feats_tbl)
+            if spark.catalog.tableExists(keys_tbl):
+                keys_raw = spark.table(keys_tbl)
+                feats_raw = spark.table(feats_tbl)
     else:
         try:
             existing = spark.read.parquet(docs_path).select(id_col)
@@ -432,7 +452,9 @@ def neardup_upsert_batch(
         keys_view = keys_raw.join(F.broadcast(fresh_ids), "doc_id", "left_anti")
         feats_view = feats_raw.join(F.broadcast(fresh_ids), "doc_id", "left_anti")
 
-    pairs = fam.delta_pairs(fresh, keys_view, feats_view, tokens_col, id_col)
+    pairs = fam.delta_pairs(
+        fresh, keys_view, feats_view, tokens_col, id_col, delta_feats
+    )
     asg = connected_components(pairs, src="doc_a", dst="doc_b").join(
         fresh.select(F.col(id_col).alias("node"), F.lit(1).alias("is_delta")),
         "node",
@@ -466,17 +488,23 @@ def neardup_upsert_batch(
 
     if bucketed:
         if keys_raw is None:
-            # first batch: CREATE the bucketed tables (overwrite clobbers
-            # any partial first-batch crash state)
+            # first batch for the INDEX: CREATE its bucketed tables
+            # (overwrite clobbers any partial first-batch crash state)
             write_bucketed(new_keys, keys_tbl, fam.keys_bucket_col, n_buckets,
                            path=keys_path)
             write_bucketed(new_feats, feats_tbl, fam.feats_bucket_col, n_buckets,
                            path=feats_path)
-            write_bucketed(survivors, docs_tbl, id_col, n_buckets, path=docs_path)
         else:
             append_to_bucketed_table(new_keys, keys_tbl)
             append_to_bucketed_table(new_feats, feats_tbl)
+        # docs existence is tracked SEPARATELY from the index's: a
+        # legacy store can hold docs while its index tables are absent
+        # (empty-index fallback above) — overwriting docs there would
+        # delete the stored corpus
+        if docs_existed:
             append_to_bucketed_table(survivors, docs_tbl)
+        else:
+            write_bucketed(survivors, docs_tbl, id_col, n_buckets, path=docs_path)
     else:
         mode = "append" if keys_raw is not None else "overwrite"
         new_keys.write.mode(mode).parquet(keys_path)

@@ -348,7 +348,9 @@ def sink_probe_leg(corpus_dir: str, tag: str, batch_docs: int, runs: int) -> dic
     )
     samples = []
     for b in range(runs + 1):  # +1: first batch is the JIT warm
-        salt = "qz" + "abcdefghij"[b]
+        # letter-only batch salt, digits spelled as letters so any
+        # number of runs stays within the engine's [a-z] token alphabet
+        salt = "qz" + "".join("abcdefghij"[int(c)] for c in str(b))
         batch = base.select(
             (F.col("doc_id") + F.lit(900_000_000 + b * 1_000_000)).alias("doc_id"),
             F.expr(

@@ -165,3 +165,56 @@ def test_bucketed_range_join_randomized(spark):
             for r in bucketed_range_join(pt, iv, bucket_sec=width).collect()
         )
         assert got == naive, f"width={width}: {len(got)} vs {len(naive)}"
+
+
+def test_bucket_spec_sidecar_guards_restart(spark, sf_dir, tmp_path):
+    """The _BUCKET_SPEC sidecar is the restart contract: re-registering
+    a bucketed external table (1) refuses a DIFFERENT spec than the
+    files were written under — the silent-corruption path where Spark
+    would trust a wrong declared HashPartitioning; (2) uses the stored
+    spec+schema, so even a table whose data dirs hold ZERO parquet files
+    (e.g. an index table before any doc produced keys) re-registers."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from nlp_with_pyspark_spark.sources.io import (
+        register_bucketed_table,
+        table_bucket_spec,
+        write_bucketed,
+    )
+
+    path = str(tmp_path / "spec_guard")
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    write_bucketed(df, "t_specguard", "k", 8, path=path)
+    spark.sql("DROP TABLE t_specguard")  # simulate session restart
+
+    with pytest.raises(ValueError, match="bucket spec mismatch"):
+        register_bucketed_table(spark, "t_specguard", "k", 32, path)
+    with pytest.raises(ValueError, match="bucket spec mismatch"):
+        register_bucketed_table(spark, "t_specguard", "v", 8, path)
+
+    assert register_bucketed_table(spark, "t_specguard", "k", 8, path)
+    col, n, _ = table_bucket_spec(spark, "t_specguard")
+    assert (col, n) == ("k", 8)
+    assert spark.table("t_specguard").count() == 100
+    spark.sql("DROP TABLE t_specguard")
+
+    # empty table: write zero rows, drop the catalog entry, re-register
+    empty_path = str(tmp_path / "spec_empty")
+    write_bucketed(df.limit(0), "t_specempty", "k", 8, path=empty_path)
+    spark.sql("DROP TABLE t_specempty")
+    assert register_bucketed_table(spark, "t_specempty", "k", 8, empty_path)
+    assert spark.table("t_specempty").count() == 0
+    spark.sql("DROP TABLE t_specempty")
+
+
+def test_bucketed_maintenance_rejects_remote_paths(spark):
+    """The store-maintenance helpers act on the local filesystem; a
+    remote scheme must fail loudly instead of reading as an empty store
+    (which the sinks would treat as 'first batch' and overwrite)."""
+    import pytest
+
+    from nlp_with_pyspark_spark.sources.io import register_bucketed_table
+
+    with pytest.raises(NotImplementedError, match="local-filesystem-only"):
+        register_bucketed_table(spark, "t_remote", "k", 8, "s3a://bucket/store")

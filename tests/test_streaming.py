@@ -1304,3 +1304,47 @@ def test_neardup_upsert_semantic_bucketed_multi_batch(spark, sf_dir, tmp_path):
     finally:
         for t in ("docs", "keys", "assigned"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_neardup_bucketed_restart_with_empty_index_tables(spark, tmp_path):
+    """Restart regression: a bucketed store whose ingested docs produced
+    ZERO index rows (every doc shorter than the shingle width n) used to
+    crash the next batch after a catalog loss — register_bucketed_table
+    had no parquet footers to infer the empty keys/shingles tables from,
+    yet the sink refreshed/read them unconditionally. The _BUCKET_SPEC
+    sidecar now carries the schema, so the empty tables re-register and
+    the batch proceeds; docs must be APPENDED (never overwritten) across
+    the restart."""
+    from nlp_with_pyspark_spark.streaming.sinks import neardup_upsert_batch
+
+    def toks(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+            "tokens", F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
+        )
+
+    store = str(tmp_path / "emptyidx")
+    prefix = "t_emptyidx"
+    try:
+        # batch 1: both docs have < n=3 tokens -> no shingles, no keys
+        neardup_upsert_batch(
+            toks([(1, "one two"), (2, "three")]),
+            store, threshold=0.2, table_prefix=prefix, n_buckets=8,
+        )
+        assert spark.table(f"{prefix}_docs").count() == 2
+        assert spark.table(f"{prefix}_buckets").count() == 0
+
+        # simulate session restart: in-memory catalog loses the tables
+        for t in ("docs", "buckets", "shingles"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+        # batch 2 (normal-length docs) must self-heal and APPEND
+        neardup_upsert_batch(
+            toks([(3, "a proper document with enough tokens to shingle")]),
+            store, threshold=0.2, table_prefix=prefix, n_buckets=8,
+        )
+        got = {r.doc_id for r in spark.table(f"{prefix}_docs").collect()}
+        assert got == {1, 2, 3}
+        assert spark.table(f"{prefix}_buckets").count() > 0
+    finally:
+        for t in ("docs", "buckets", "shingles"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
