@@ -1259,6 +1259,7 @@ def minhash_delta_pairs(
     hash_fn: str = "md5",
     materialize: bool = True,
     delta_shingles: DataFrame | None = None,
+    delta_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs of a NEW batch against (and within) an existing
     indexed corpus — WITHOUT rescanning the corpus.
@@ -1268,6 +1269,10 @@ def minhash_delta_pairs(
     already materializes it for the index append, so passing it here
     skips re-shingling the batch (assumed already materialized; the
     ``materialize`` flag then only governs the candidate checkpoint).
+    ``delta_bands``: likewise for the (doc_id, band_id, band_hash) band
+    keys — the k-way salted-hash signature fold is the expensive half
+    of the delta's preprocessing, and the sink evaluates it anyway for
+    the index append; pass the MATERIALIZED frame to not pay it twice.
 
     Returns (doc_a, doc_b, jaccard) for every pair with ≥1 delta-side
     doc: delta↔index pairs and delta↔delta pairs, never index↔index
@@ -1299,7 +1304,8 @@ def minhash_delta_pairs(
         delta_sh = _shingle_sets(delta_docs, tokens_col, id_col, n)
         if materialize:
             delta_sh = delta_sh.localCheckpoint()
-    delta_bands = _band_buckets_from_shingles(delta_sh, k, bands, hash_fn)
+    if delta_bands is None:
+        delta_bands = _band_buckets_from_shingles(delta_sh, k, bands, hash_fn)
     cands = _delta_bucket_pairs(delta_bands, index.buckets, max_docs_per_bucket)
     if materialize:
         # candidates feed the verify join TWICE (both sides) plus the
@@ -1440,6 +1446,7 @@ def simhash_delta_pairs(
     hash_fn: str = "md5",
     materialize: bool = True,
     delta_fingerprints: DataFrame | None = None,
+    delta_keys: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash twin of :func:`minhash_delta_pairs`: Hamming-radius
     near-dup pairs of a NEW batch against (and within) an indexed
@@ -1462,7 +1469,8 @@ def simhash_delta_pairs(
         delta_fp = simhash_fingerprints(delta_docs, tokens_col, id_col, hash_fn)
         if materialize:
             delta_fp = delta_fp.localCheckpoint()
-    delta_keys = _simhash_band_buckets(delta_fp, bands, combo_size)
+    if delta_keys is None:
+        delta_keys = _simhash_band_buckets(delta_fp, bands, combo_size)
     cands = _delta_bucket_pairs(delta_keys, index.keys, max_docs_per_bucket)
     if materialize:
         cands = cands.localCheckpoint()

@@ -333,12 +333,17 @@ def _require_local_path(path: str, op: str) -> None:
     swaps, bucket-spec sidecars) act on the filesystem directly, so a
     remote scheme would make them silently see an EMPTY store — and the
     sinks treat "no store" as "first batch, overwrite". Fail loudly
-    instead of losing data."""
-    if "://" in path:
+    instead of losing data. Any URI scheme is rejected — Hadoop accepts
+    single-slash forms (``hdfs:/x``) too, and even ``file:`` URIs would
+    break the plain open()/glob() calls here: pass a plain local path."""
+    import re
+
+    if re.match(r"[A-Za-z][A-Za-z0-9+.-]*:", path):
         raise NotImplementedError(
-            f"{op} is local-filesystem-only; got {path!r}. For object "
-            "stores, port the probes/sidecars to the Hadoop FileSystem "
-            "API (sc._jvm.org.apache.hadoop.fs) before using this path."
+            f"{op} is local-filesystem-only and takes plain paths; got "
+            f"{path!r}. For object stores, port the probes/sidecars to "
+            "the Hadoop FileSystem API (sc._jvm.org.apache.hadoop.fs) "
+            "before using this path."
         )
 
 
@@ -371,6 +376,12 @@ def write_bucketed(
     spec — remain. ``register_bucketed_table`` re-registers from the
     sidecar, so a caller can never silently re-declare a different
     bucket count over existing files."""
+    import os
+
+    if path is not None:
+        # BEFORE the write: rejecting a remote path after saveAsTable
+        # would leave committed data + a catalog entry behind the error
+        _require_local_path(path, "write_bucketed(path=...)")
     writer = (
         df.write.mode(mode)
         .bucketBy(n_buckets, bucket_col)
@@ -381,12 +392,16 @@ def write_bucketed(
         writer = writer.option("path", path)
     writer.saveAsTable(table)
     if path is not None:
-        _require_local_path(path, "write_bucketed(path=...)")
         ddl = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
         )
-        with open(_bucket_spec_sidecar(path), "w") as fh:
+        # atomic: a crash mid-write must not leave a truncated sidecar
+        # (which would hard-fail — or worse, drop schema columns — on
+        # the next restart's re-register)
+        sidecar = _bucket_spec_sidecar(path)
+        with open(sidecar + ".tmp", "w") as fh:
             fh.write(f"{bucket_col}\n{n_buckets}\n{ddl}\n")
+        os.rename(sidecar + ".tmp", sidecar)
 
 
 def table_bucket_spec(spark: SparkSession, table: str) -> tuple[str, int, str]:
@@ -439,8 +454,6 @@ def register_bucketed_table(
                 f"({bucket_col}, {n_buckets}) — the stored spec is the "
                 "layout contract; pass the original values"
             )
-        n_buckets = int(s_n)
-        bucket_col = s_col
     else:
         if parquet_file_count(path) == 0:
             return False

@@ -152,7 +152,7 @@ def _neardup_family(
             keys=lambda feats: D._band_buckets_from_shingles(
                 feats, k, mh_bands, hash_fn
             ),
-            delta_pairs=lambda fresh, keys, feats, tokens_col, id_col, dfeats: D.minhash_delta_pairs(
+            delta_pairs=lambda fresh, keys, feats, tokens_col, id_col, dfeats, dkeys: D.minhash_delta_pairs(
                 fresh,
                 D.MinhashIndex(buckets=keys, shingles=feats),
                 tokens_col=tokens_col,
@@ -164,6 +164,7 @@ def _neardup_family(
                 max_docs_per_bucket=max_docs_per_bucket,
                 hash_fn=hash_fn,
                 delta_shingles=dfeats,
+                delta_bands=dkeys,
             ),
         )
     if hash_family == "simhash":
@@ -177,7 +178,7 @@ def _neardup_family(
                 df, tokens_col, id_col, hash_fn
             ),
             keys=lambda feats: D._simhash_band_buckets(feats, sh_bands, sh_combo),
-            delta_pairs=lambda fresh, keys, feats, tokens_col, id_col, dfeats: D.simhash_delta_pairs(
+            delta_pairs=lambda fresh, keys, feats, tokens_col, id_col, dfeats, dkeys: D.simhash_delta_pairs(
                 fresh,
                 D.SimhashIndex(keys=keys, fingerprints=feats),
                 tokens_col=tokens_col,
@@ -188,6 +189,7 @@ def _neardup_family(
                 max_docs_per_bucket=max_docs_per_bucket,
                 hash_fn=hash_fn,
                 delta_fingerprints=dfeats,
+                delta_keys=dkeys,
             ),
         )
     if hash_family == "semantic":
@@ -205,7 +207,9 @@ def _neardup_family(
                 "nv",
             ).select(F.col(id_col).alias("doc_id"), "list_id", "nv")
 
-        def sem_delta(fresh, keys, feats, vec_col, id_col, dfeats):
+        def sem_delta(fresh, keys, feats, vec_col, id_col, dfeats, dkeys):
+            # dkeys unused: the semantic key table is a trivial
+            # projection of the features (no hash fold to save)
             idx = D.SemanticIndex(
                 assigned=feats.select(
                     F.col("doc_id").alias(id_col), "list_id", "nv"
@@ -416,7 +420,12 @@ def neardup_upsert_batch(
             fresh = fresh.join(
                 spark.table(docs_tbl).select(id_col), id_col, "left_anti"
             )
-            if spark.catalog.tableExists(keys_tbl):
+            # BOTH index tables or neither: a legacy store can be
+            # missing either one independently (pre-sidecar crash
+            # windows), and the delta check needs keys AND features
+            if spark.catalog.tableExists(keys_tbl) and spark.catalog.tableExists(
+                feats_tbl
+            ):
                 keys_raw = spark.table(keys_tbl)
                 feats_raw = spark.table(feats_tbl)
     else:
@@ -437,7 +446,10 @@ def neardup_upsert_batch(
     fresh_ids = fresh.select(F.col(id_col).alias("doc_id"))
 
     delta_feats = fam.feats(fresh, tokens_col, id_col).localCheckpoint()
-    delta_keys = fam.keys(delta_feats)
+    # checkpointed: consumed by BOTH the index append and the delta
+    # check — sharing only the lineage would re-run the band/signature
+    # fold once per consumer (tiny table: ~bands rows per doc, ids+hashes)
+    delta_keys = fam.keys(delta_feats).localCheckpoint()
     if keys_raw is None:
         # empty index with the right schemas (key types depend on
         # hash_fn) — the first batch then dedups purely within itself
@@ -453,7 +465,7 @@ def neardup_upsert_batch(
         feats_view = feats_raw.join(F.broadcast(fresh_ids), "doc_id", "left_anti")
 
     pairs = fam.delta_pairs(
-        fresh, keys_view, feats_view, tokens_col, id_col, delta_feats
+        fresh, keys_view, feats_view, tokens_col, id_col, delta_feats, delta_keys
     )
     asg = connected_components(pairs, src="doc_a", dst="doc_b").join(
         fresh.select(F.col(id_col).alias("node"), F.lit(1).alias("is_delta")),
