@@ -1348,3 +1348,58 @@ def test_neardup_bucketed_restart_with_empty_index_tables(spark, tmp_path):
     finally:
         for t in ("docs", "buckets", "shingles"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_hygiene_gate_composes_with_neardup_ingest(spark, tmp_path):
+    """The full ingest pipeline a training-data store runs per
+    micro-batch: decontaminate (exact + fuzzy, stateless vs a fixed
+    benchmark) THEN near-dup-dedup against the persistent store. Two
+    invariants must hold over the stored corpus after any number of
+    batches: (1) no stored doc is contamination-flagged against the
+    benchmark; (2) no near-dup pair among stored docs."""
+    from nlp_with_pyspark_spark.operators.decontam import (
+        benchmark_overlap,
+        decontaminated_corpus,
+        fuzzy_benchmark_overlap,
+    )
+    from nlp_with_pyspark_spark.operators.dedup import minhash_dedup_pairs
+    from nlp_with_pyspark_spark.streaming.sinks import neardup_upsert_batch
+
+    def toks(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+            "tokens", F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
+        )
+
+    bench = toks([(900, "the five boxing wizards jump quickly over glass")])
+    b1 = toks(
+        [
+            (1, "a clean document about completely unrelated matters here"),
+            # contaminated: near-dup of the benchmark doc
+            (2, "the five boxing wizards jump quickly over sand"),
+            (3, "another clean document with different content entirely"),
+        ]
+    )
+    b2 = toks(
+        [
+            # near-dup of stored doc 1 -> dropped by the dedup stage
+            (4, "a clean document about completely unrelated matters here too"),
+            # contaminated: quotes the benchmark inside a longer doc
+            (5, "prefix words the five boxing wizards jump quickly over glass suffix"),
+            (6, "a third clean document unlike anything stored before now"),
+        ]
+    )
+    store = str(tmp_path / "hygiene_store")
+    for batch in (b1, b2):
+        clean = decontaminated_corpus(
+            batch, bench, n=3, exact_threshold=0.5, fuzzy_threshold=0.4
+        )
+        neardup_upsert_batch(clean, store, threshold=0.4)
+
+    stored = spark.read.parquet(f"{store}/docs")
+    got = {r.doc_id for r in stored.select("doc_id").collect()}
+    assert got == {1, 3, 6}
+    # invariant 1: nothing stored is contamination-flagged
+    assert benchmark_overlap(stored, bench, n=3, threshold=0.5).count() == 0
+    assert fuzzy_benchmark_overlap(stored, bench, n=3, threshold=0.4).count() == 0
+    # invariant 2: no near-dup pair among stored docs
+    assert minhash_dedup_pairs(stored, threshold=0.4).count() == 0
