@@ -1403,3 +1403,35 @@ def test_hygiene_gate_composes_with_neardup_ingest(spark, tmp_path):
     assert fuzzy_benchmark_overlap(stored, bench, n=3, threshold=0.4).count() == 0
     # invariant 2: no near-dup pair among stored docs
     assert minhash_dedup_pairs(stored, threshold=0.4).count() == 0
+
+
+def test_neardup_upsert_semantic_pandas_assign_matches_literal(spark, sf_dir, tmp_path):
+    """assign_via='pandas' (the BLAS path mandatory at production
+    quantizer sizes) must store the exact same survivor set as the
+    literal-compiled path — the sink's new passthrough wires the
+    chunked argmin into both the index append and the delta check."""
+    from nlp_with_pyspark_spark.streaming.sinks import neardup_upsert_batch
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    ]
+    ids = {}
+    for via in ("literal", "pandas"):
+        store = str(tmp_path / f"sem_{via}")
+        neardup_upsert_batch(
+            emb,
+            store,
+            tokens_col="embedding",
+            id_col="vec_id",
+            hash_family="semantic",
+            centroids=cents,
+            threshold=0.3,
+            assign_via=via,
+        )
+        ids[via] = {
+            r.vec_id
+            for r in spark.read.parquet(f"{store}/docs").select("vec_id").collect()
+        }
+    assert ids["literal"] == ids["pandas"] and ids["literal"]
