@@ -377,6 +377,78 @@ def sink_probe_leg(corpus_dir: str, tag: str, batch_docs: int, runs: int) -> dic
     }
 
 
+def sink_probe_leg_semantic(corpus_dir: str, tag: str, batch_docs: int, runs: int) -> dict:
+    """Semantic twin of :func:`sink_probe_leg`: seed a bucketed
+    SemDeDup-on-ingest store with the full embeddings table at
+    ``corpus_dir`` (scaled quantizer, BLAS assignment — the production
+    configuration the sink's ``assign_via`` passthrough enables), then
+    time fixed-size delta-batch upserts. Delta vectors are the corpus's
+    first ``batch_docs`` base vectors with fresh ids and a per-batch
+    deterministic sign-mask (same perturbation design as
+    ``_replicate_embeddings`` — norms preserved, cosines decorrelated),
+    so batches near-dup nothing and the timing measures the typical
+    assign + cluster-probe + append path."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from nlp_with_pyspark_spark.streaming.sinks import neardup_upsert_batch
+
+    spark = get_spark(app_name=f"sink-probe-sem-{tag}")
+    spark.sparkContext.setLogLevel("ERROR")
+    store = f"/tmp/sinkprobe_sem_{tag}"
+    prefix = f"sinkprobe_sem_{tag}"
+    shutil.rmtree(store, ignore_errors=True)
+    for t in ("docs", "keys", "assigned"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+    emb, cents = _scaled_quantizer(spark, corpus_dir)
+    emb = emb.select("vec_id", "embedding")  # same schema as the deltas
+    # threshold 0.9: only true near-dups drop. The fixture's vectors are
+    # heavily class-correlated, so a SemDeDup-typical 0.3 collapses the
+    # whole corpus to a few hundred survivors and the "big store" leg
+    # would not actually be big — the probe's question is per-batch cost
+    # vs STORE SIZE, so the store must grow with the factor.
+    t0 = time.perf_counter()
+    neardup_upsert_batch(
+        emb, store, tokens_col="embedding", id_col="vec_id",
+        hash_family="semantic", centroids=cents, threshold=0.9,
+        assign_via="pandas", table_prefix=prefix, n_buckets=32,
+    )
+    t_seed = time.perf_counter() - t0
+    store_docs = spark.table(f"{prefix}_docs").count()
+
+    base = (
+        emb.where(F.col("vec_id") % 10_000_000 < batch_docs)
+        .where(F.col("vec_id") < 10_000_000)  # base replica only
+        .localCheckpoint()
+    )
+    samples = []
+    for b in range(runs + 1):  # +1: first batch is the JIT warm
+        flipped = F.expr(
+            "transform(embedding, (x, j) -> float(x * IF(pmod(xxhash64("
+            f"concat('probe-{b}-', cast(j AS string))), 2) = 0, 1.0D, -1.0D)))"
+        )
+        batch = base.select(
+            (F.col("vec_id") + F.lit(900_000_000 + b * 1_000_000)).alias("vec_id"),
+            flipped.alias("embedding"),
+        ).localCheckpoint()
+        t0 = time.perf_counter()
+        neardup_upsert_batch(
+            batch, store, tokens_col="embedding", id_col="vec_id",
+            hash_family="semantic", centroids=cents, threshold=0.9,
+            assign_via="pandas", table_prefix=prefix, n_buckets=32,
+        )
+        if b > 0:
+            samples.append(round(time.perf_counter() - t0, 2))
+    return {
+        "store_docs": store_docs,
+        "t_seed": round(t_seed, 1),
+        "t_upsert_med": sorted(samples)[len(samples) // 2],
+        "t_upsert_all": samples,
+    }
+
+
 def materialize(df) -> None:
     """Force FULL evaluation of every output column.
 
@@ -430,21 +502,32 @@ def main() -> None:
     )
     ap.add_argument("--batch-docs", type=int, default=2000)
     ap.add_argument(
+        "--sink-family", default="minhash", choices=["minhash", "semantic"],
+        help="which ingest family the sink probe exercises (minhash = "
+        "documents store; semantic = embeddings store, scaled quantizer, "
+        "BLAS assignment)",
+    )
+    ap.add_argument(
         "--sink-leg", default=None, help="internal: run one sink-probe leg "
         "(value = leg tag; corpus dir taken from --base)"
     )
     args = ap.parse_args()
 
     if args.sink_leg:
-        result = sink_probe_leg(args.base, args.sink_leg, args.batch_docs, args.runs)
+        leg = (
+            sink_probe_leg_semantic
+            if args.sink_family == "semantic"
+            else sink_probe_leg
+        )
+        result = leg(args.base, args.sink_leg, args.batch_docs, args.runs)
         print(json.dumps({args.sink_leg: result}))
         return
 
     if args.sink_probe:
         import subprocess
 
-        tables = ("documents",)
-        out_dir = args.out or f"/tmp/scale{args.factor}x_documents"
+        tables = ("embeddings",) if args.sink_family == "semantic" else ("documents",)
+        out_dir = args.out or f"/tmp/scale{args.factor}x_{'_'.join(tables)}"
         spark = get_spark(app_name=f"sink-probe-build-{args.factor}x")
         spark.sparkContext.setLogLevel("ERROR")
         build_replicated_dir(spark, args.base, out_dir, args.factor, tables)
@@ -455,6 +538,7 @@ def main() -> None:
                 [
                     sys.executable, os.path.abspath(__file__),
                     "--sink-leg", tag,
+                    "--sink-family", args.sink_family,
                     "--base", corpus_dir,
                     "--batch-docs", str(args.batch_docs),
                     "--runs", str(args.runs),
