@@ -64,21 +64,16 @@ HEADLINE = [
     "ann_lsh_topk",
     "lang_id_counts",
     "quality_scores",
-    "doc_token_chunks",
     "token_pack_assignments",
     "doc_fingerprints",
     "multimodal_decode_features",
-    "multimodal_frame_sample",
     "events_asof_click_purchase",
     "customer_rolling_7d_revenue",
-    "local_supplier_volume",
     "dormant_customers",
     "price_percentiles",
-    "corpus_clean_stats",
     "sql_top_unshipped_orders",
     "customer_order_setops",
     "confusion_metrics",
-    "bigram_top50",
     "embedding_centroid_topk",
     "repetition_features",
     "ann_ivf_topk",
@@ -115,6 +110,13 @@ HEADLINE = [
     "decontam_fuzzy_overlap",
     # round 8 (fourth swap): deterministic training order, new registration
     "corpus_shuffle_order",
+    # round 8 (fifth swap): the round-9 rotation debt cleared early —
+    # every remaining never-benched registered query
+    "token_budget",
+    "order_status_cube",
+    "customer_running_revenue",
+    "events_distinct_users",
+    "multimodal_asset_stats",
 ]
 # MEMBERSHIP POLICY (round 8). The printed JSON line must stay under
 # ~1850 chars (the driver captures only the last 2000 chars of stdout),
@@ -158,11 +160,23 @@ HEADLINE = [
 # corpus_shuffle_order. OUT (benched r1-r7, kin stays):
 # order_priority_pivot (pivot shape → order_priority_melt, its inverse,
 # benched this round; the grouping itself → revenue_rollup).
-# Rotation debt for round 9 (registered, still never benched):
-# order_status_cube, customer_running_revenue, token_budget,
-# events_distinct_users, multimodal_asset_stats — swap these in next;
-# embedding_rp_project and markup_strip_stats re-enter by round 10,
-# simhash_near_pairs by round 11, under the every-3-rounds rule.
+# Round 8 fifth swap — the round-9 debt cleared early, so EVERY
+# registered query outside the two permanent exclusions has now been
+# benched at least once. IN (never benched): token_budget,
+# order_status_cube, customer_running_revenue, events_distinct_users,
+# multimodal_asset_stats. OUT (benched r1-r8, kin stays):
+# bigram_top50 (top-k token counts → vocab_top100),
+# corpus_clean_stats (textstats projection → quality_scores +
+# repetition_features), doc_token_chunks (chunking →
+# token_pack_assignments), multimodal_frame_sample (mapInArrow →
+# multimodal_decode_features + multimodal_resize),
+# local_supplier_volume (multi-dim join/agg → customer_nation_revenue
+# + dormant_customers).
+# Rotation debt for round 9: the round-8-OUT set re-enters by round 11
+# under the every-3-rounds rule (oldest first: order_priority_counts,
+# small_qty_part_revenue, high_balance_inactive, promo_revenue_share,
+# doc_token_stats, latest_event_per_user, supplier_nation_revenue —
+# benched through r7; then the r8 OUTs above, benched through r8).
 
 
 def run_one(name: str, sf_dir: str, runs: int) -> None:
