@@ -174,3 +174,16 @@ def test_shuffle_single_exchange(docs):
         if "Exchange" in line and "BroadcastExchange" not in line
     )
     assert n_ex == 1, plan
+
+
+def test_shuffle_payload_rides_along(docs):
+    """payload_cols ride the one shuffle (no join-back): the addressed
+    output carries the payload values unchanged."""
+    from nlp_with_pyspark_spark.operators.sampling import deterministic_shuffle
+
+    out = deterministic_shuffle(
+        docs.select("doc_id", "lang", "n_chars"), payload_cols=["lang", "n_chars"]
+    )
+    got = {r.doc_id: (r.lang, r.n_chars) for r in out.collect()}
+    want = {r.doc_id: (r.lang, r.n_chars) for r in docs.select("doc_id", "lang", "n_chars").collect()}
+    assert got == want
