@@ -61,7 +61,6 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "dedup_components",
     "ann_brute_force_topk",
-    "ann_lsh_topk",
     "lang_id_counts",
     "quality_scores",
     "token_pack_assignments",
@@ -70,10 +69,8 @@ HEADLINE = [
     "events_asof_click_purchase",
     "customer_rolling_7d_revenue",
     "dormant_customers",
-    "price_percentiles",
     "sql_top_unshipped_orders",
     "customer_order_setops",
-    "confusion_metrics",
     "embedding_centroid_topk",
     "repetition_features",
     "ann_ivf_topk",
@@ -117,6 +114,10 @@ HEADLINE = [
     "customer_running_revenue",
     "events_distinct_users",
     "multimodal_asset_stats",
+    # round 8 (sixth swap): sketch/search family, new registrations
+    "doc_length_quantiles",
+    "vocab_heavy_hitters",
+    "bm25_search_topk",
 ]
 # MEMBERSHIP POLICY (round 8). The printed JSON line must stay under
 # ~1850 chars (the driver captures only the last 2000 chars of stdout),
@@ -172,6 +173,12 @@ HEADLINE = [
 # multimodal_decode_features + multimodal_resize),
 # local_supplier_volume (multi-dim join/agg → customer_nation_revenue
 # + dormant_customers).
+# Round 8 sixth swap — IN (new registrations, never benched):
+# doc_length_quantiles, vocab_heavy_hitters, bm25_search_topk. OUT
+# (benched r1-r8, kin stays): price_percentiles (quantile agg →
+# doc_length_quantiles, the exact-at-scale successor of the same
+# family), ann_lsh_topk (ANN family → ann_ivf_topk + ann_ivfpq_topk,
+# both benched), confusion_metrics (eval family → model_auc_eval).
 # Rotation debt for round 9: the round-8-OUT set re-enters by round 11
 # under the every-3-rounds rule (oldest first: order_priority_counts,
 # small_qty_part_revenue, high_balance_inactive, promo_revenue_share,

@@ -3696,6 +3696,123 @@ def zorder_file_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sketch-guided exact statistics + full-text retrieval
+# (operators/sketch.py, operators/search.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_length_quantiles",
+    """
+    WITH g AS (
+        SELECT lang, quantile_disc(n_chars, [0.25, 0.5, 0.9, 0.99]) AS vs
+        FROM documents GROUP BY lang
+    )
+    SELECT lang,
+           unnest(CAST([0.25, 0.5, 0.9, 0.99] AS DOUBLE[])) AS q,
+           unnest(vs) AS value
+    FROM g
+    """,
+)
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-language length quantiles without a global sort
+    (operators/sketch.exact_quantiles): pass 1 is one map-side-combined
+    histogram aggregation (≤n_buckets rows per language), the driver
+    locates the bucket holding each rank, pass 2 sorts ONLY those
+    buckets — O(#quantiles · n/n_buckets) shuffle instead of the O(n)
+    range-exchange a percentile sort costs at 100 TB. Output matches
+    DuckDB quantile_disc exactly (rank = max(1, ceil(q·n)))."""
+    from .operators.sketch import exact_quantiles
+
+    docs = read_table(spark, sf_dir, "documents")
+    return exact_quantiles(
+        docs, "n_chars", [0.25, 0.5, 0.9, 0.99], by=["lang"], n_buckets=256
+    )
+
+
+@query(
+    "vocab_heavy_hitters",
+    f"""
+    WITH toks AS (SELECT {TOKENS_SQL} AS tokens FROM documents),
+    w AS (SELECT unnest(tokens) AS word FROM toks),
+    tot AS (SELECT count(*) AS n FROM w)
+    SELECT word, count(*) AS count
+    FROM w GROUP BY word
+    HAVING count(*) >= greatest(1, CAST(ceil(0.005 * (SELECT n FROM tot)) AS BIGINT))
+    ORDER BY count DESC, word ASC
+    """,
+)
+def vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every token at ≥0.5% of corpus mass with its EXACT count
+    (operators/sketch.heavy_hitters): a count-min sketch pass whose
+    shuffle is bounded by depth×width regardless of vocabulary size,
+    then an exact recount restricted to sketch candidates (CM never
+    underestimates ⇒ candidates ⊇ true heavy hitters ⇒ the exact
+    filter returns precisely the true answer — which is why this
+    sketch query can carry a full external oracle). The naive form of
+    this query shuffles the entire long-tail vocabulary; this one
+    shuffles candidate occurrences only."""
+    from .operators.sketch import heavy_hitters
+
+    return heavy_hitters(
+        _tokenized_documents(spark, sf_dir), phi=0.005, depth=3, width=1024
+    )
+
+
+#: constants shared by the bm25 query and its oracle — float literals
+#: rendered from the SAME Python doubles so both engines fold identical
+#: constants (k1+1 and 1-b are PRE-computed: the SQL text carries the
+#: result, not the expression, pinning the op order on both sides)
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TERMS = ("dup", "join", "scan")
+
+
+@query(
+    "bm25_search_topk",
+    f"""
+    WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents),
+    d AS (SELECT doc_id, len(tokens) AS dl, tokens FROM toks),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+    hits AS (SELECT doc_id, dl, unnest(tokens) AS word FROM d),
+    tf AS (
+        SELECT doc_id, word, count(*) AS tf, max(dl) AS dl
+        FROM hits WHERE word IN {_BM25_TERMS!r}
+        GROUP BY doc_id, word
+    ),
+    dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word)
+    SELECT doc_id, CAST(count(*) AS INT) AS matched,
+           round(sum(
+               ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5))
+               * (tf * {_BM25_K1 + 1.0!r})
+               / (tf + {_BM25_K1!r} * ({1.0 - _BM25_B!r} + {_BM25_B!r} * (dl / avgdl)))
+           ), 6) AS score
+    FROM tf JOIN dfreq USING (word), stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 15
+    """,
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text retrieval: BM25 top-15 for the query {dup, join, scan}
+    — one rare discriminative term (df≈0.5%) plus two near-ubiquitous
+    ones, the classic query shape (operators/search.bm25_topk:
+    Robertson–Spärck Jones IDF with the +1 floor, tf saturation,
+    length normalization). Scale shape: the term list filters the
+    exploded token stream BEFORE any aggregation, so only query-term
+    occurrences shuffle; document frequencies (≤|query| rows) and the
+    1-row (N, avgdl) stats ride broadcasts."""
+    from .operators.search import bm25_topk
+
+    return bm25_topk(
+        _tokenized_documents(spark, sf_dir),
+        list(_BM25_TERMS),
+        k=15,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-check curation
 # ---------------------------------------------------------------------------
 
@@ -3870,6 +3987,22 @@ _DEMOTED_PAST_CHECK_WINDOW = [
     #                              customer_running_revenue and
     #                              dormant_customers in-window
     "sql_top_unshipped_orders",
+    # round 8 (fifth rotation): demoted for the never-checked
+    # doc_length_quantiles + vocab_heavy_hitters + bm25_search_topk:
+    #   confusion_metrics       — green r1-r7; the eval family keeps
+    #                             model_auc_eval in-window (whose exact
+    #                             rank path cross-checks the same
+    #                             prediction frame)
+    #   customer_order_setops   — green r2-r7; set-op semantics stay
+    #                             covered by dormant_customers (anti /
+    #                             NOT EXISTS) in-window
+    #   decontamination_overlap — green r3-r7; the decontam family
+    #                             keeps decontam_fuzzy_overlap (new,
+    #                             in-window) and corpus_pipeline_funnel
+    #                             (which composes the exact pass)
+    "confusion_metrics",
+    "customer_order_setops",
+    "decontamination_overlap",
 ]
 
 

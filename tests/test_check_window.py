@@ -18,9 +18,9 @@ REQUIRED_IN_WINDOW = {
     "pricing_summary", "customer_nation_revenue", "top_orders_per_customer",
     "revenue_rollup", "order_status_cube",
     # (fourth round-8 rotation: sql_top_unshipped_orders demoted for
-    # corpus_shuffle_order; the relational family above keeps seven
-    # members in-window)
-    "customer_order_setops",
+    # corpus_shuffle_order; fifth rotation: customer_order_setops
+    # demoted — set-op semantics covered by dormant_customers' anti
+    # join; the relational family keeps six members in-window)
     "customer_rolling_7d_revenue",
     "dormant_customers",
     # event-time (round 8: events_tumbling_5m demoted after 7 green
@@ -36,7 +36,10 @@ REQUIRED_IN_WINDOW = {
     # return in their place)
     "vocab_top100", "tfidf_long", "token_budget",
     "quality_scores",
-    "simhash_fingerprints", "repetition_features", "confusion_metrics",
+    # (fifth round-8 rotation: confusion_metrics demoted after 7 green
+    # rounds — eval family covered by model_auc_eval, which cross-checks
+    # the same prediction frame)
+    "simhash_fingerprints", "repetition_features",
     # dedup / similarity (dedup_components demoted round 7: green r1-r6,
     # constituents covered by dedup_minhash_pairs + dedup_canonical_corpus;
     # round 8: ann_lsh_topk + embedding_centroid_topk demoted, ivf/ivfpq
@@ -51,7 +54,10 @@ REQUIRED_IN_WINDOW = {
     # pipeline / corpus hygiene
     "stratified_sample_by_lang", "token_pack_assignments",
     "multimodal_decode_features",
-    "decontamination_overlap", "pii_scrub_stats",
+    # (fifth round-8 rotation: decontamination_overlap demoted after 5
+    # green rounds — decontam family covered by decontam_fuzzy_overlap
+    # + corpus_pipeline_funnel, which composes the exact pass)
+    "pii_scrub_stats",
     "embedding_quantization_stats",
     # round-5 flagship compositions, promoted in round 6 — these six had
     # never received a driver correctness row before the rotation
@@ -84,6 +90,10 @@ REQUIRED_IN_WINDOW = {
     # new in round 8, fourth rotation (never driver-checked — must be in
     # the window; sql_top_unshipped_orders demoted, green r2-r7)
     "corpus_shuffle_order",
+    # new in round 8, fifth rotation (never driver-checked — must be in
+    # the window; confusion_metrics / customer_order_setops /
+    # decontamination_overlap demoted to make room, all green ≥5 rounds)
+    "doc_length_quantiles", "vocab_heavy_hitters", "bm25_search_topk",
 }
 
 

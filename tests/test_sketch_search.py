@@ -1,0 +1,199 @@
+"""Sketch-guided exact statistics (operators/sketch.py) and BM25
+retrieval (operators/search.py).
+
+The DuckDB parity of the three registered queries
+(doc_length_quantiles / vocab_heavy_hitters / bm25_search_topk) is
+covered by test_oracle_parity's all-registry sweep; this file pins the
+operator-level contracts the oracles can't see — exactness under
+sketch collisions, degenerate-histogram fallbacks, and the scale-shape
+plan properties.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nlp_with_pyspark_spark.functions.text import tokens_pipeline
+from nlp_with_pyspark_spark.operators.search import bm25_topk
+from nlp_with_pyspark_spark.operators.sketch import exact_quantiles, heavy_hitters
+from nlp_with_pyspark_spark.plans.inspect import final_plan_string
+
+
+QS = [0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 1.0]
+
+
+def _disc_quantile(sorted_vals, q):
+    """DuckDB quantile_disc: value at 1-indexed rank max(1, ceil(q*n))."""
+    return sorted_vals[max(1, math.ceil(q * len(sorted_vals))) - 1]
+
+
+@pytest.fixture(scope="module")
+def values_df(spark):
+    # deterministic, collision-heavy, skewed: xxhash64 % 97 plus a
+    # constant-heavy tail exercises duplicate ranks and hot buckets
+    return spark.range(2000).select(
+        (F.col("id") % 4).alias("grp"),
+        F.when(F.col("id") % 5 == 0, F.lit(7))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(97)))
+        .cast("long")
+        .alias("v"),
+    ).localCheckpoint()
+
+
+def test_exact_quantiles_global_matches_sorted_selection(spark, values_df):
+    vals = sorted(r.v for r in values_df.collect())
+    got = {r.q: r.value for r in exact_quantiles(values_df, "v", QS, n_buckets=16).collect()}
+    assert got == {q: _disc_quantile(vals, q) for q in QS}
+
+
+def test_exact_quantiles_grouped(spark, values_df):
+    by_grp = {}
+    for r in values_df.collect():
+        by_grp.setdefault(r.grp, []).append(r.v)
+    expect = {
+        (g, q): _disc_quantile(sorted(vs), q)
+        for g, vs in by_grp.items()
+        for q in QS
+    }
+    got = {
+        (r.grp, r.q): r.value
+        for r in exact_quantiles(values_df, "v", QS, by=["grp"], n_buckets=8).collect()
+    }
+    assert got == expect
+
+
+def test_exact_quantiles_constant_column(spark):
+    # hi == lo puts every row in bucket 0 (the degenerate-skew path:
+    # width would be zero, the when() guard must route around it)
+    df = spark.range(50).select(F.lit(42).cast("long").alias("v"))
+    got = exact_quantiles(df, "v", [0.0, 0.5, 1.0], n_buckets=32).collect()
+    assert [(r.q, r.value) for r in got] == [(0.0, 42), (0.5, 42), (1.0, 42)]
+
+
+def test_exact_quantiles_nulls_and_empty(spark):
+    df = spark.range(10).select(
+        F.when(F.col("id") < 4, F.col("id")).alias("v")
+    )
+    got = {r.q: r.value for r in exact_quantiles(df, "v", [0.5, 1.0]).collect()}
+    assert got == {0.5: 1, 1.0: 3}  # over the 4 non-null values only
+    empty = exact_quantiles(df.where(F.lit(False)), "v", [0.5])
+    assert empty.columns == ["q", "value"] and empty.count() == 0
+
+
+def test_exact_quantiles_validates(spark, values_df):
+    with pytest.raises(ValueError, match="non-empty"):
+        exact_quantiles(values_df, "v", [])
+    with pytest.raises(ValueError, match="outside"):
+        exact_quantiles(values_df, "v", [1.5])
+
+
+@pytest.fixture(scope="module")
+def tokenized_docs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.withColumn("tokens", tokens_pipeline(F.col("text"))).localCheckpoint()
+
+
+def test_heavy_hitters_exact_under_heavy_collisions(spark, tokenized_docs):
+    # width=8 forces nearly every vocabulary word into a shared
+    # count-min bucket: estimates are wildly inflated, the candidate
+    # set balloons — but the output must STILL be the exact answer,
+    # because the second pass recounts exactly (CM never underestimates
+    # ⇒ no true heavy hitter is pruned; the exact filter then removes
+    # every false candidate)
+    exact = (
+        tokenized_docs.select(F.explode("tokens").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    total = exact.agg(F.sum("count")).first()[0]
+    for phi in (0.005, 0.05):
+        t = max(1, math.ceil(phi * total))
+        expect = {
+            (r.word, r["count"]) for r in exact.where(F.col("count") >= t).collect()
+        }
+        got = heavy_hitters(tokenized_docs, phi=phi, depth=2, width=8).collect()
+        assert {(r.word, r["count"]) for r in got} == expect
+        # pinned total order: count desc, word asc
+        assert [
+            (r.word, r["count"]) for r in got
+        ] == sorted(expect, key=lambda t: (-t[1], t[0]))
+
+
+def test_heavy_hitters_validates(spark, tokenized_docs):
+    with pytest.raises(ValueError, match="phi"):
+        heavy_hitters(tokenized_docs, phi=0.0)
+
+
+def test_heavy_hitters_filter_precedes_exact_count(spark, tokenized_docs):
+    # the scale contract: the literal sketch filter prunes the token
+    # stream BEFORE the word-count shuffle, so non-candidate words
+    # never reach an Exchange. In the final plan the candidate filter
+    # (the only Filter mentioning xxhash64) must sit strictly below
+    # the first hashpartitioning Exchange.
+    plan = final_plan_string(heavy_hitters(tokenized_docs, phi=0.01, depth=2, width=64))
+    lines = plan.split("== Initial Plan ==")[0].splitlines()
+    filt = [i for i, l in enumerate(lines) if "Filter" in l and "xxhash64" in l]
+    exch = [i for i, l in enumerate(lines) if "Exchange hashpartitioning" in l]
+    assert filt and exch
+    # tree prints root-first: deeper (earlier-executed) nodes have
+    # LARGER line numbers — the filter must print after every shuffle
+    assert min(filt) > max(exch)
+
+
+def _bm25_expected(rows, terms, k1=1.2, b=0.75):
+    n = len(rows)
+    avgdl = sum(len(t) for _, t in rows) / n
+    dfreq = {
+        w: sum(1 for _, toks in rows if w in toks) for w in terms
+    }
+    out = []
+    for doc_id, toks in rows:
+        score, matched = 0.0, 0
+        for w in terms:
+            tf = toks.count(w)
+            if not tf:
+                continue
+            matched += 1
+            idf = math.log(1 + (n - dfreq[w] + 0.5) / (dfreq[w] + 0.5))
+            score += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+        if matched:
+            out.append((doc_id, matched, round(score, 6)))
+    out.sort(key=lambda t: (-t[2], t[0]))
+    return out
+
+
+def test_bm25_matches_reference_formula(spark, tokenized_docs):
+    terms = ["dup", "join", "scan"]
+    rows = [(r.doc_id, r.tokens) for r in tokenized_docs.select("doc_id", "tokens").collect()]
+    expect = _bm25_expected(rows, terms)[:15]
+    got = [
+        (r.doc_id, r.matched, r.score)
+        for r in bm25_topk(tokenized_docs, terms, k=15).collect()
+    ]
+    assert [g[:2] for g in got] == [e[:2] for e in expect]
+    for g, e in zip(got, expect):
+        assert g[2] == pytest.approx(e[2], abs=2e-6)
+
+
+def test_bm25_tie_break_is_doc_id(spark):
+    # four identical documents: identical (tf, dl) ⇒ identical scores
+    # ⇒ the doc_id tie-break alone determines the top-k cut
+    df = spark.createDataFrame(
+        [(i, ["alpha", "beta", "beta"]) for i in (9, 3, 7, 1)],
+        "doc_id long, tokens array<string>",
+    )
+    got = [r.doc_id for r in bm25_topk(df, ["beta"], k=3).collect()]
+    assert got == [1, 3, 7]
+
+
+def test_bm25_validates_and_broadcasts(spark, tokenized_docs):
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_topk(tokenized_docs, [])
+    # df-table and corpus-stats joins must be broadcast (no sort-merge
+    # join anywhere in a bm25 plan — both build sides are ≤|query| rows)
+    plan = final_plan_string(bm25_topk(tokenized_docs, ["dup", "join"], k=5))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
