@@ -57,7 +57,7 @@ HEADLINE = [
     "events_session_stats",
     "events_json_stats",
     "dedup_exact_groups",
-    "stratified_sample_by_lang",
+    "leakage_safe_split",
     "dedup_minhash_pairs",
     "dedup_components",
     "ann_brute_force_topk",
@@ -179,6 +179,10 @@ HEADLINE = [
 # doc_length_quantiles, the exact-at-scale successor of the same
 # family), ann_lsh_topk (ANN family → ann_ivf_topk + ann_ivfpq_topk,
 # both benched), confusion_metrics (eval family → model_auc_eval).
+# Round 8 seventh swap — IN: leakage_safe_split (new registration).
+# OUT: stratified_sample_by_lang (benched r1-r8; sampling family keeps
+# leakage_safe_split — same md5-threshold draw via hash_split plus the
+# group window — and token_pack_assignments, corpus_shuffle_order).
 # Rotation debt for round 9: the round-8-OUT set re-enters by round 11
 # under the every-3-rounds rule (oldest first: order_priority_counts,
 # small_qty_part_revenue, high_balance_inactive, promo_revenue_share,

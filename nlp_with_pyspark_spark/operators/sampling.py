@@ -134,6 +134,47 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def group_safe_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    group_col: str | Column,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-safe splits: every row sharing ``group_col`` lands in the
+    SAME split. Adds ``rep`` (the group's representative = min ``id_col``)
+    and ``split`` (the :func:`hash_split` draw taken on ``rep``, not the
+    row's own id).
+
+    Why it exists: a plain per-row :func:`hash_split` scatters exact
+    duplicates (or near-dup cluster members, or same-URL revisions)
+    across train and test, and the test set silently measures
+    memorization — the classic eval-leakage bug. Grouping by a content
+    key (``md5(text)`` for exact dups, a connected-component id for
+    near-dups, a URL host for provenance) pins the whole group to one
+    side. Published pipelines do exactly this before benchmark decontam
+    (test-set leakage via duplicates is the failure both guard against).
+
+    Scale shape: one shuffle, on the group key, carrying only the
+    columns the caller kept (project to ``(id, group)`` first — the
+    window needs nothing else, and the split label joins back by id if
+    the text is needed downstream). The representative comes from a
+    window ``min`` rather than a groupBy+join, so the plan is a single
+    Exchange with no corpus-sized build side. The draw reuses
+    ``hash_split``'s md5 thresholds, so group membership is the ONLY
+    behavioral difference — fractions, quantization, and determinism
+    properties carry over verbatim, and a group-of-one row gets exactly
+    the split ``hash_split`` would have given it.
+    """
+    from pyspark.sql import Window
+
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    rep = F.min(id_col).over(Window.partitionBy(g))
+    return hash_split(
+        df.withColumn("rep", rep), fractions, key_col="rep", salt=salt
+    )
+
+
 def domain_mixture_weights(
     docs: DataFrame,
     group_col: str = "source",

@@ -2185,9 +2185,9 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
-def _split_case_sql() -> str:
+def _split_case_sql(key: str = "doc_id") -> str:
     names = list(_SPLIT_FRACTIONS)
-    u = "md5('split~' || CAST(doc_id AS VARCHAR))"
+    u = f"md5('split~' || CAST({key} AS VARCHAR))"
     cum, whens = 0.0, []
     for name in names[:-1]:
         cum += _SPLIT_FRACTIONS[name]
@@ -2210,6 +2210,46 @@ def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return hash_split(docs, _SPLIT_FRACTIONS).select("doc_id", "split")
+
+
+@query(
+    "leakage_safe_split",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents),
+    g AS (
+        SELECT doc_id,
+               min(doc_id) OVER (
+                   PARTITION BY md5(array_to_string(list_slice(tokens, 1, 16), ' '))
+               ) AS rep
+        FROM t
+    )
+    SELECT doc_id, rep, {_split_case_sql('rep')} AS split FROM g
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leakage-proof 80/10/10 split: documents sharing a content
+    fingerprint — here the md5 of their first 16 cleaned tokens, a
+    prefix-blocking key that catches boilerplate copies and revisions —
+    always land in the SAME split, so the test set never scores
+    memorized near-copies of training docs (operators/sampling.
+    group_safe_split: the draw is taken on the group's min doc_id,
+    everything else is corpus_train_split verbatim; swap the key for a
+    connected-component id or a URL host for cluster- or
+    provenance-level safety). The corpus's planted near-dups share
+    prefixes at every SF (19/22/209 multi-doc groups at
+    sf0.001/0.01/0.1), so the guarantee is exercised, not vacuous.
+    Scale shape: only (doc_id, 32-hex fingerprint) rides the ONE
+    group-key shuffle (plan-tested in test_sampling) — the text column
+    dies at the scan."""
+    from .operators.sampling import group_safe_split
+
+    docs = _tokenized_documents(spark, sf_dir).select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice("tokens", 1, 16))).alias("__grp"),
+    )
+    return group_safe_split(docs, _SPLIT_FRACTIONS, group_col="__grp").select(
+        "doc_id", "rep", "split"
+    )
 
 
 def _hex4_to_int_sql(key: str) -> str:
@@ -4002,6 +4042,15 @@ _DEMOTED_PAST_CHECK_WINDOW = [
     #                             (which composes the exact pass)
     "confusion_metrics",
     "customer_order_setops",
+    # round 8 (sixth rotation): demoted for the never-checked
+    # leakage_safe_split:
+    #   stratified_sample_by_lang — green r1-r7; the deterministic-
+    #                               sampling family keeps
+    #                               leakage_safe_split (same md5
+    #                               threshold draw, via hash_split),
+    #                               corpus_shuffle_order and
+    #                               token_pack_assignments in-window
+    "stratified_sample_by_lang",
     "decontamination_overlap",
 ]
 

@@ -52,7 +52,10 @@ REQUIRED_IN_WINDOW = {
     "simhash_fingerprints", "simhash_delta_pairs",
     "ann_ivf_topk",
     # pipeline / corpus hygiene
-    "stratified_sample_by_lang", "token_pack_assignments",
+    # (sixth round-8 rotation: stratified_sample_by_lang demoted after
+    # 7 green rounds for leakage_safe_split, which exercises the same
+    # md5-threshold draw via hash_split plus the group-safe window)
+    "leakage_safe_split", "token_pack_assignments",
     "multimodal_decode_features",
     # (fifth round-8 rotation: decontamination_overlap demoted after 5
     # green rounds — decontam family covered by decontam_fuzzy_overlap

@@ -22,6 +22,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from nlp_with_pyspark_spark.operators.sampling import (
+    group_safe_split,
     hash_sample,
     hash_split,
     stratified_hash_sample,
@@ -99,6 +100,63 @@ def test_split_partitions_input(docs):
 def test_split_fractions_must_sum(docs):
     with pytest.raises(ValueError):
         hash_split(docs, {"train": 0.8, "test": 0.1})
+
+
+FR = {"train": 0.8, "valid": 0.1, "test": 0.1}
+
+
+def _prefix_keyed(docs):
+    """(doc_id, grp): md5 of the first-16-token prefix — the registered
+    query's fingerprint, which has multi-doc groups at every SF (the
+    corpus's planted near-dups share prefixes; exact body dups only
+    appear at sf0.1)."""
+    from nlp_with_pyspark_spark.functions.text import tokens_pipeline
+
+    return docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(tokens_pipeline(F.col("text")), 1, 16))).alias(
+            "grp"
+        ),
+    )
+
+
+def test_group_safe_split_never_straddles(docs):
+    out = group_safe_split(_prefix_keyed(docs), FR, group_col="grp")
+    # every body-hash group maps to exactly one split label
+    per_group = out.groupBy("grp").agg(F.count_distinct("split").alias("k"))
+    assert per_group.where("k > 1").count() == 0
+    # the corpus has real multi-doc dup groups, so the guarantee bites
+    assert out.groupBy("grp").count().where("count > 1").count() > 0
+
+
+def test_group_safe_split_matches_hash_split_on_rep(docs):
+    """Singleton groups get exactly hash_split's label, and every row
+    gets the label hash_split would give its group representative —
+    group membership is the ONLY behavioral difference."""
+    keyed = _prefix_keyed(docs)
+    ours = {
+        (r["doc_id"], r["split"])
+        for r in group_safe_split(keyed, FR, group_col="grp").collect()
+    }
+    rep = {
+        r["doc_id"]: r["rep"]
+        for r in group_safe_split(keyed, FR, group_col="grp").collect()
+    }
+    plain = {
+        r["doc_id"]: r["split"] for r in hash_split(docs, FR).collect()
+    }
+    assert ours == {(d, plain[rep[d]]) for d in rep}
+
+
+def test_group_safe_split_single_shuffle(docs):
+    """The whole labeling costs ONE Exchange (the group-key window) —
+    no corpus-sized join-back, no second shuffle for the draw."""
+    out = group_safe_split(_prefix_keyed(docs), FR, group_col="grp")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_shuffles = sum(
+        1 for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    )
+    assert n_shuffles == 1, plan
 
 
 def test_stratified_rate_one_keeps_all(docs):
