@@ -61,7 +61,7 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "dedup_components",
     "ann_brute_force_topk",
-    "lang_id_counts",
+    "quality_lr_filter",
     "quality_scores",
     "token_pack_assignments",
     "doc_fingerprints",
@@ -183,6 +183,9 @@ HEADLINE = [
 # OUT: stratified_sample_by_lang (benched r1-r8; sampling family keeps
 # leakage_safe_split — same md5-threshold draw via hash_split plus the
 # group window — and token_pack_assignments, corpus_shuffle_order).
+# Round 8 eighth swap — IN: quality_lr_filter (new registration). OUT:
+# lang_id_counts (benched r1-r8; projection-over-text + tiny-agg shape
+# stays via quality_scores and the new quality_lr_filter itself).
 # Rotation debt for round 9: the round-8-OUT set re-enters by round 11
 # under the every-3-rounds rule (oldest first: order_priority_counts,
 # small_qty_part_revenue, high_balance_inactive, promo_revenue_share,

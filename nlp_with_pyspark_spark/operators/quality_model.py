@@ -1,0 +1,191 @@
+"""Learned corpus filter: logistic-regression scoring as a pure
+projection, with weights trained by the engine's own GD path.
+
+The heuristic filters in :mod:`.textstats` (quality_features) gate on
+hand-tuned thresholds; production pipelines typically LEARN the gate —
+a small classifier over cheap per-doc features whose score decides
+keep/drop (the fastText-style quality filter of the GPT-3 appendix,
+the CCNet LM gate). This module is that component, engine-style. The
+demonstration task is weak-supervision distillation: the teacher label
+is the heuristic composite gate (``quality_score >= 0.8``) and the
+student is an LR over the five raw signals — turning a brittle
+hand-tuned CASE into a smooth, thresholdable score (and, in a real
+pipeline, a model you can retrain on human labels without touching the
+serving plan). Swap ``label_expr`` to train on any other per-doc
+label; the synthetic corpus's ``lang``/``source`` columns are
+uncorrelated with the text by construction, so the distillation task is
+the one with learnable signal at sf0.001.
+
+The three layers, each separately tested:
+
+* **Training** (:func:`quality_lr_features` + ``ml.gd.GDTrainer``) is
+  the repo's existing distributed full-batch GD — zeros init, plain GD
+  with the bold driver, deterministic up to cross-partition float
+  summation order.
+* **Provenance** (:func:`numpy_gd_twin`): a single-node NumPy replica
+  of GDTrainer's exact standard-mode loop (same cost, same l2 terms,
+  same adjust-before-update bold driver, same zeros init).
+  tests/test_quality_model.py proves distributed ≡ twin on a short
+  prefix (the full 2000-iteration distributed run costs minutes; the
+  twin re-derives :data:`QUALITY_LR_WEIGHTS` from scratch in
+  milliseconds on every pytest run, so the pinned literals cannot
+  silently drift from what the trainer produces).
+* **Serving** (:func:`quality_lr_scores`) literal-compiles the pinned
+  ``(bias, weights)`` into one sigmoid projection — the
+  operators/similarity.py pattern: the model rides the PLAN as folded
+  constants, so scoring 100 TB is a scan-speed map with zero Python,
+  zero joins, zero shuffles, and the scoring query carries a full
+  external DuckDB oracle (same literals, same association order).
+
+Feature scaling uses LITERAL divisors (mean_word_len/10, ln(1+n)/10)
+rather than data-derived standardization on purpose: the serving
+expression must stay a pure function of the row, and a z-score scaler
+would pin corpus statistics into the model — more literals to keep in
+provenance for zero accuracy gain at this feature count.
+
+No counterpart in the reference (its classifiers score tweets, not
+corpus membership); engine extension for the training-data pipeline.
+Pattern references: Brown et al., "Language Models are Few-Shot
+Learners" (NeurIPS 2020), Appendix A (learned quality filter);
+Wenzek et al., "CCNet" (LREC 2020).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: The pinned training recipe — every knob the provenance test replays.
+QUALITY_LR_RECIPE = {"lr": 1e-3, "iterations": 2000, "l2": 1e-3, "label_min_score": 0.8}
+
+#: Pinned model, order [bias, alpha_ratio, punct_ratio, stopword_ratio,
+#: mean_word_len/10, ln(1+n_tokens)/10]: GDTrainer recipe above on the
+#: sf0.001 documents table (holdout accuracy vs the teacher gate: 0.954
+#: on the training corpus — tests pin ≥ 0.93). punct_ratio trains to
+#: exactly 0.0: the synthetic corpus has no punctuation, so its
+#: gradient is identically zero — kept in the vector because real
+#: corpora are not so polite.
+QUALITY_LR_WEIGHTS: tuple[float, ...] = (
+    1.6604242499399189,
+    -3.224364462120039,
+    0.0,
+    70.42221379249085,
+    -14.027437556649689,
+    -1.5674618292445048,
+)
+
+FEATURE_NAMES = (
+    "bias",
+    "alpha_ratio",
+    "punct_ratio",
+    "stopword_ratio",
+    "mean_word_len_d10",
+    "log1p_tokens_d10",
+)
+
+
+def quality_lr_feature_exprs(qf: DataFrame) -> list[Column]:
+    """The model's feature vector as expressions over a
+    ``quality_features`` output frame (the ROUNDED columns — both
+    engines agree on them to the last bit, which is what makes the
+    scoring oracle exact). Order matches :data:`FEATURE_NAMES` minus
+    the leading bias."""
+    return [
+        F.col("alpha_ratio"),
+        F.col("punct_ratio"),
+        F.col("stopword_ratio"),
+        F.col("mean_word_len") / F.lit(10.0),
+        F.log1p(F.col("n_tokens").cast("double")) / F.lit(10.0),
+    ]
+
+
+def quality_lr_features(docs: DataFrame, label_expr: Column | None = None) -> DataFrame:
+    """(label, indices, values) training frame for
+    :class:`~nlp_with_pyspark_spark.ml.gd.GDTrainer` (k=6): index 0 is
+    the bias (constant 1), 1-5 the :func:`quality_lr_feature_exprs`.
+    ``label_expr`` is evaluated over the ``quality_features`` output;
+    default is the pinned teacher gate."""
+    from .textstats import quality_features
+
+    if label_expr is None:
+        label_expr = F.col("quality_score") >= QUALITY_LR_RECIPE["label_min_score"]
+    qf = quality_features(docs)
+    return qf.select(
+        label_expr.cast("double").alias("label"),
+        F.array(*[F.lit(i) for i in range(6)]).alias("indices"),
+        F.array(F.lit(1.0), *quality_lr_feature_exprs(qf)).alias("values"),
+    )
+
+
+def train_quality_lr(docs: DataFrame, iterations: int | None = None):
+    """Fit the pinned model's exact recipe with the distributed trainer;
+    returns the GDTrainer (weights in ``.weights_``, cost curve in
+    ``.costs_``). ``iterations`` overrides the recipe for the
+    provenance test's short-prefix equivalence check."""
+    from ..ml.gd import GDTrainer
+
+    r = QUALITY_LR_RECIPE
+    t = GDTrainer(
+        k=6,
+        loss="logistic",
+        optimizer="gd",
+        lr=r["lr"],
+        iterations=iterations if iterations is not None else r["iterations"],
+        l2=r["l2"],
+    )
+    return t.fit(quality_lr_features(docs))
+
+
+def numpy_gd_twin(
+    X: np.ndarray, y: np.ndarray, lr: float, iterations: int, l2: float
+) -> np.ndarray:
+    """Single-node replica of GDTrainer's standard-mode plain-GD loop —
+    cost before update, bold-driver adjust BEFORE the update, ``w -=
+    lr·grad`` unnormalized, ``prev_cost`` starting at +inf, zeros init
+    (ml/gd.py:222-257). The ONLY divergence from the distributed path
+    is float summation order (one global dot product vs per-partition
+    partials), which the equivalence test bounds at 1e-6."""
+    w = np.zeros(X.shape[1], dtype=np.float64)
+    prev = float("inf")
+    for _ in range(iterations):
+        theta = X @ w
+        cost = float(np.sum(-y * theta + np.logaddexp(0.0, theta)) + l2 * float(w @ w))
+        grad = X.T @ (1.0 / (1.0 + np.exp(-theta)) - y) + 2.0 * l2 * w
+        lr = lr * 1.05 if cost < prev else lr * 0.5
+        w = w - lr * grad
+        prev = cost
+    return w
+
+
+def quality_lr_scores(
+    docs: DataFrame,
+    weights: tuple[float, ...] | None = None,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document with the literal-compiled model:
+    ``(doc_id, score, keep)`` where ``score = round(sigmoid(w·x), 6)``
+    and ``keep = score ≥ threshold``.
+
+    The whole model is constants in one projection — ``explain()``
+    shows a scan plus codegen'd arithmetic, nothing else (plan-tested).
+    The linear term is summed left-to-right in FEATURE_NAMES order and
+    the oracle writes the identical chain, so z is bit-identical across
+    engines; ``exp`` may differ by 1 ulp (~1e-10 under the 6-decimal
+    rounding grid)."""
+    from .textstats import quality_features
+
+    w = tuple(weights if weights is not None else QUALITY_LR_WEIGHTS)
+    if len(w) != 6:
+        raise ValueError(f"expected 6 weights (bias first), got {len(w)}")
+    qf = quality_features(docs)
+    z: Column = F.lit(w[0])
+    for wi, x in zip(w[1:], quality_lr_feature_exprs(qf)):
+        z = z + F.lit(wi) * x
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return qf.select(
+        F.col(id_col),
+        score.alias("score"),
+        (score >= F.lit(threshold)).alias("keep"),
+    )

@@ -1193,6 +1193,62 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_features(read_table(spark, sf_dir, "documents"))
 
 
+from .operators.quality_model import QUALITY_LR_WEIGHTS as _QLW  # noqa: E402
+
+
+@query(
+    "quality_lr_filter",
+    f"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len({_WS_TOKS_SQL}) AS BIGINT) AS n_tokens,
+               CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+               CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS punct,
+               CASE WHEN len({_WS_TOKS_SQL}) > 0
+                    THEN CAST(list_sum(list_transform({_WS_TOKS_SQL}, t -> length(t))) AS DOUBLE)
+                         / len({_WS_TOKS_SQL})
+                    ELSE 0.0 END AS mwl,
+               {_EN_RATIO_SQL} AS swr
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id, n_tokens,
+               round(CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END, 6) AS alpha_ratio,
+               round(CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+               round(swr, 6) AS stopword_ratio,
+               round(mwl, 6) AS mean_word_len
+        FROM base
+    ),
+    z AS (
+        SELECT doc_id,
+               {_QLW[0]!r} + {_QLW[1]!r} * alpha_ratio + {_QLW[2]!r} * punct_ratio
+               + {_QLW[3]!r} * stopword_ratio
+               + {_QLW[4]!r} * (mean_word_len / 10.0)
+               + {_QLW[5]!r} * (ln(1.0 + CAST(n_tokens AS DOUBLE)) / 10.0) AS z
+        FROM feat
+    )
+    SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score,
+           round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
+    FROM z
+    """,
+)
+def quality_lr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality gate, served as a pure projection: the pinned LR
+    (trained by the engine's own distributed GD on the heuristic
+    teacher gate — operators/quality_model.py has the full provenance
+    story; the literals are re-derived from scratch on every pytest
+    run) scores each doc with sigmoid(w·x) over the five cheap quality
+    signals. The entire model rides the plan as folded constants —
+    scoring is a scan-speed codegen'd map: zero joins, zero shuffles,
+    zero Python (plan-tested in test_quality_model). z is accumulated
+    left-to-right in the pinned feature order in BOTH engines, so it is
+    bit-identical before the 6-decimal rounding."""
+    from .operators.quality_model import quality_lr_scores
+
+    return quality_lr_scores(read_table(spark, sf_dir, "documents"))
+
+
 @query(
     "token_budget",
     """
@@ -4042,6 +4098,14 @@ _DEMOTED_PAST_CHECK_WINDOW = [
     #                             (which composes the exact pass)
     "confusion_metrics",
     "customer_order_setops",
+    # round 8 (seventh rotation): demoted for the never-checked
+    # quality_lr_filter:
+    #   salted_nation_revenue — green r1-r7; the join/agg shape stays
+    #                           in-window unsalted (customer_nation_
+    #                           revenue), and the salted≡unsalted
+    #                           equivalence is pinned locally in
+    #                           test_scale on every pytest run
+    "salted_nation_revenue",
     # round 8 (sixth rotation): demoted for the never-checked
     # leakage_safe_split:
     #   stratified_sample_by_lang — green r1-r7; the deterministic-

@@ -81,7 +81,10 @@ REQUIRED_IN_WINDOW = {
     "dedup_delta_pairs", "bpe_merge_stats", "simhash_delta_pairs",
     # round-8 freshness returns (last driver-checked r4) + the new
     # layout read-back query (never checked)
-    "zorder_file_envelopes", "salted_nation_revenue", "tfidf_smoothed_long",
+    # (seventh round-8 rotation: salted_nation_revenue demoted after 7
+    # green rounds for quality_lr_filter; the join/agg shape stays via
+    # customer_nation_revenue, salted≡unsalted pinned in test_scale)
+    "zorder_file_envelopes", "quality_lr_filter", "tfidf_smoothed_long",
     "customer_running_revenue",
     # new in round 8, second rotation (never driver-checked — must be in
     # the window; session_event_overlap / embedding_rp_project /
