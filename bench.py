@@ -64,7 +64,7 @@ HEADLINE = [
     "quality_lr_filter",
     "quality_scores",
     "token_pack_assignments",
-    "doc_fingerprints",
+    "model_calibration_bins",
     "multimodal_decode_features",
     "events_asof_click_purchase",
     "customer_rolling_7d_revenue",
@@ -186,6 +186,9 @@ HEADLINE = [
 # Round 8 eighth swap — IN: quality_lr_filter (new registration). OUT:
 # lang_id_counts (benched r1-r8; projection-over-text + tiny-agg shape
 # stays via quality_scores and the new quality_lr_filter itself).
+# Round 8 ninth swap — IN: model_calibration_bins (new registration).
+# OUT: doc_fingerprints (benched r1-r8; hashing-projection shape stays
+# via simhash_fingerprints and doc_lm_scores, both benched).
 # Rotation debt for round 9: the round-8-OUT set re-enters by round 11
 # under the every-3-rounds rule (oldest first: order_priority_counts,
 # small_qty_part_revenue, high_balance_inactive, promo_revenue_share,

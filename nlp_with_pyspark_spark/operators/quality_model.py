@@ -85,12 +85,13 @@ FEATURE_NAMES = (
 )
 
 
-def quality_lr_feature_exprs(qf: DataFrame) -> list[Column]:
+def quality_lr_feature_exprs(qf: DataFrame | None = None) -> list[Column]:
     """The model's feature vector as expressions over a
     ``quality_features`` output frame (the ROUNDED columns — both
     engines agree on them to the last bit, which is what makes the
     scoring oracle exact). Order matches :data:`FEATURE_NAMES` minus
-    the leading bias."""
+    the leading bias. ``qf`` is accepted for call-site readability
+    only — the returned Columns are unresolved references."""
     return [
         F.col("alpha_ratio"),
         F.col("punct_ratio"),
@@ -158,6 +159,21 @@ def numpy_gd_twin(
     return w
 
 
+def _score_column(weights: tuple[float, ...]) -> Column:
+    """round(sigmoid(w·x), 6) over quality_features columns — the one
+    scoring expression both :func:`quality_lr_scores` and
+    :func:`quality_lr_calibration` compile, so the two can never
+    disagree on a score. Left-to-right accumulation in FEATURE_NAMES
+    order (the oracle mirrors the chain)."""
+    w = tuple(weights)
+    if len(w) != 6:
+        raise ValueError(f"expected 6 weights (bias first), got {len(w)}")
+    z: Column = F.lit(w[0])
+    for wi, x in zip(w[1:], quality_lr_feature_exprs(None)):
+        z = z + F.lit(wi) * x
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+
+
 def quality_lr_scores(
     docs: DataFrame,
     weights: tuple[float, ...] | None = None,
@@ -176,16 +192,50 @@ def quality_lr_scores(
     rounding grid)."""
     from .textstats import quality_features
 
-    w = tuple(weights if weights is not None else QUALITY_LR_WEIGHTS)
-    if len(w) != 6:
-        raise ValueError(f"expected 6 weights (bias first), got {len(w)}")
-    qf = quality_features(docs)
-    z: Column = F.lit(w[0])
-    for wi, x in zip(w[1:], quality_lr_feature_exprs(qf)):
-        z = z + F.lit(wi) * x
-    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
-    return qf.select(
+    score = _score_column(weights if weights is not None else QUALITY_LR_WEIGHTS)
+    return quality_features(docs).select(
         F.col(id_col),
         score.alias("score"),
         (score >= F.lit(threshold)).alias("keep"),
+    )
+
+
+def quality_lr_calibration(
+    docs: DataFrame,
+    weights: tuple[float, ...] | None = None,
+    n_bins: int = 10,
+    teacher_min_score: float | None = None,
+) -> DataFrame:
+    """Reliability diagram of the served model against its teacher:
+    ``(bin, n_docs, mean_score, frac_positive)`` per non-empty score
+    decile — the standard calibration check (is a doc scored 0.9
+    actually positive ~90% of the time?), run distributed so the 100 TB
+    answer is one scan + one tiny hash agg.
+
+    ``bin = min(floor(score·n_bins), n_bins-1)`` over the ROUNDED score
+    (both engines bin identical doubles, so membership is exact);
+    ``frac_positive`` is the teacher-gate rate inside the bin. Means
+    divide float sums of identical values — summation order is the only
+    cross-engine difference, ~1e-15 under the 6-decimal rounding.
+    """
+    from .textstats import quality_features
+
+    score = _score_column(weights if weights is not None else QUALITY_LR_WEIGHTS)
+    thr = (
+        teacher_min_score
+        if teacher_min_score is not None
+        else QUALITY_LR_RECIPE["label_min_score"]
+    )
+    label = (F.col("quality_score") >= F.lit(thr)).cast("double")
+    b = F.least(F.floor(score * n_bins), F.lit(n_bins - 1)).cast("int")
+    return (
+        quality_features(docs)
+        .select(b.alias("bin"), score.alias("score"), label.alias("label"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("score"), 6).alias("mean_score"),
+            F.round(F.avg("label"), 6).alias("frac_positive"),
+        )
+        .orderBy("bin")
     )

@@ -1195,6 +1195,13 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .operators.quality_model import QUALITY_LR_WEIGHTS as _QLW  # noqa: E402
 
+#: shared fragment: the quality_lr model's z over the rounded feature
+#: CTE ``feat`` (single source for the scoring and calibration oracles)
+_QLR_Z_SQL = f"""{_QLW[0]!r} + {_QLW[1]!r} * alpha_ratio + {_QLW[2]!r} * punct_ratio
+               + {_QLW[3]!r} * stopword_ratio
+               + {_QLW[4]!r} * (mean_word_len / 10.0)
+               + {_QLW[5]!r} * (ln(1.0 + CAST(n_tokens AS DOUBLE)) / 10.0)"""
+
 
 @query(
     "quality_lr_filter",
@@ -1222,10 +1229,7 @@ from .operators.quality_model import QUALITY_LR_WEIGHTS as _QLW  # noqa: E402
     ),
     z AS (
         SELECT doc_id,
-               {_QLW[0]!r} + {_QLW[1]!r} * alpha_ratio + {_QLW[2]!r} * punct_ratio
-               + {_QLW[3]!r} * stopword_ratio
-               + {_QLW[4]!r} * (mean_word_len / 10.0)
-               + {_QLW[5]!r} * (ln(1.0 + CAST(n_tokens AS DOUBLE)) / 10.0) AS z
+               {_QLR_Z_SQL} AS z
         FROM feat
     )
     SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score,
@@ -1247,6 +1251,62 @@ def quality_lr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.quality_model import quality_lr_scores
 
     return quality_lr_scores(read_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "model_calibration_bins",
+    f"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len({_WS_TOKS_SQL}) AS BIGINT) AS n_tokens,
+               CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+               CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS punct,
+               CASE WHEN len({_WS_TOKS_SQL}) > 0
+                    THEN CAST(list_sum(list_transform({_WS_TOKS_SQL}, t -> length(t))) AS DOUBLE)
+                         / len({_WS_TOKS_SQL})
+                    ELSE 0.0 END AS mwl,
+               {_EN_RATIO_SQL} AS swr
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id, n_tokens,
+               round(CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END, 6) AS alpha_ratio,
+               round(CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+               round(swr, 6) AS stopword_ratio,
+               round(mwl, 6) AS mean_word_len,
+               round(least((CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END) / 0.7, 1.0) * 0.4
+                     + least(swr / 0.3, 1.0) * 0.3
+                     + (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.0 END) * 0.2
+                     + (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END) * 0.1,
+                 6) AS quality_score
+        FROM base
+    ),
+    scored AS (
+        SELECT round(1.0 / (1.0 + exp(-({_QLR_Z_SQL}))), 6) AS score,
+               CASE WHEN quality_score >= 0.8 THEN 1.0 ELSE 0.0 END AS label
+        FROM feat
+    )
+    SELECT CAST(least(CAST(floor(score * 10) AS BIGINT), 9) AS INT) AS bin,
+           count(*) AS n_docs,
+           round(avg(score), 6) AS mean_score,
+           round(avg(label), 6) AS frac_positive
+    FROM scored
+    GROUP BY 1
+    ORDER BY bin
+    """,
+)
+def model_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the learned quality gate against its
+    teacher (operators/quality_model.quality_lr_calibration): per
+    score-decile document counts, mean served score, and the empirical
+    teacher-positive rate — the standard calibration check, as one scan
+    + one ≤10-row hash agg (the 100 TB plan shape; the model itself is
+    folded constants, see quality_lr_filter). Bin membership compares
+    identical rounded doubles in both engines, so it is exact."""
+    from .operators.quality_model import quality_lr_calibration
+
+    return quality_lr_calibration(read_table(spark, sf_dir, "documents"))
 
 
 @query(
@@ -4098,6 +4158,15 @@ _DEMOTED_PAST_CHECK_WINDOW = [
     #                             (which composes the exact pass)
     "confusion_metrics",
     "customer_order_setops",
+    # round 8 (eighth rotation): demoted for the never-checked
+    # model_calibration_bins:
+    #   events_json_stats — green r1-r7; the events family keeps
+    #                       events_session_stats, events_asof_click_
+    #                       purchase, customer_rolling_7d_revenue and
+    #                       click_purchase_funnel in-window (the JSON
+    #                       parse itself re-verifies against DuckDB
+    #                       locally on every pytest run)
+    "events_json_stats",
     # round 8 (seventh rotation): demoted for the never-checked
     # quality_lr_filter:
     #   salted_nation_revenue — green r1-r7; the join/agg shape stays

@@ -29,7 +29,9 @@ REQUIRED_IN_WINDOW = {
     # joins covered by events_asof + click_purchase_funnel)
     "events_session_stats",
     "events_asof_click_purchase",
-    "events_json_stats",
+    # (eighth round-8 rotation: events_json_stats demoted after 7 green
+    # rounds for model_calibration_bins; JSON parse re-verifies locally)
+    "model_calibration_bins",
     "click_purchase_funnel",
     # text / NLP (round 8: doc_token_stats/lang_id_counts/
     # doc_fingerprints demoted — token_budget + simhash_fingerprints

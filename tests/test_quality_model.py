@@ -97,6 +97,24 @@ def test_serving_is_a_pure_projection(docs):
         assert op not in plan, (op, plan)
 
 
+def test_calibration_bins_partition_and_order(docs):
+    """Bins partition the corpus; mean_score sits inside its decile;
+    frac_positive trends upward with the score (the model is at least
+    rank-calibrated against its teacher on the training corpus)."""
+    from nlp_with_pyspark_spark.operators.quality_model import (
+        quality_lr_calibration,
+    )
+
+    pdf = quality_lr_calibration(docs).toPandas()
+    assert pdf.n_docs.sum() == docs.count()
+    assert pdf.bin.is_monotonic_increasing
+    for r in pdf.itertuples():
+        lo, hi = r.bin / 10.0, (r.bin + 1) / 10.0 if r.bin < 9 else 1.0 + 1e-9
+        assert lo <= r.mean_score <= hi, r
+    # lowest-populated bin should be less positive than the highest
+    assert pdf.iloc[0].frac_positive <= pdf.iloc[-1].frac_positive
+
+
 def test_custom_weights_and_validation(docs):
     with pytest.raises(ValueError):
         quality_lr_scores(docs, weights=(1.0, 2.0))
