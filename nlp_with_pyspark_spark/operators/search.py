@@ -1,4 +1,5 @@
-"""Full-text retrieval: BM25 scoring and top-k search over the corpus.
+"""Full-text retrieval: BM25 scoring and top-k search over the corpus,
+direct or against a persisted posting index.
 
 The engine already builds the two statistics BM25 needs — per-(doc,
 term) frequency and document frequency (operators/features.py computes
@@ -11,13 +12,30 @@ and term-frequency saturation with document-length normalization.
     idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
     w(t, d) = idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
 
-Scale shape: the query's term list is a literal IN-filter applied to
-the exploded token stream BEFORE any aggregation — only occurrences of
-query terms are ever shuffled (O(Σ df(t)) rows, not O(corpus)). The
-per-term document frequencies (≤ |query| rows) and the 1-row
-(N, avgdl) corpus statistics ride broadcasts. One scan computes corpus
-stats, one scan the filtered term stream; no join touches a
-corpus-sized build side.
+Scale shape (direct path): the query's term list is a literal
+IN-filter applied to the exploded token stream BEFORE any aggregation —
+only occurrences of query terms are ever shuffled (O(Σ df(t)) rows,
+not O(corpus)). The per-term document frequencies (≤ |query| rows) and
+the 1-row (N, avgdl) corpus statistics ride broadcasts. One scan
+computes corpus stats, one scan the filtered term stream; no join
+touches a corpus-sized build side.
+
+Scale shape (indexed path): a retrieval service doesn't re-tokenize
+100 TB per query — it searches a PERSISTED inverted index. The index
+here follows the engine's bucketed-store contract (the
+``persist_minhash_index`` pattern, operators/dedup.py): postings
+``(word, doc_id, tf, dl)`` live in a bucketed+sorted catalog table
+keyed by word, the doc-length norm DENORMALIZED into each posting (the
+classic posting-list layout) so query-time needs NO join back to a
+per-doc table; corpus stats are a one-row ``(n_docs, total_dl)`` table
+kept exactly mergeable across appends. A query is then: scan postings
+with the term IN-filter pushed to parquet (the index side crosses ZERO
+shuffle Exchanges — plan-asserted in tests), aggregate candidate-sized
+frames only, broadcast the ≤|query|-row df table. Appends reuse
+``append_to_bucketed_table`` so the bucket-count layout contract can
+never drift, and indexed results are BIT-IDENTICAL to the direct path
+(same integer tf/dl/df/N inputs, same float association order —
+equality pinned in tests/test_sketch_search.py).
 
 Reference: Robertson & Zaragoza, "The Probabilistic Relevance
 Framework: BM25 and Beyond" (FnTIR 2009).
@@ -25,56 +43,34 @@ Framework: BM25 and Beyond" (FnTIR 2009).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def bm25_topk(
-    docs: DataFrame,
-    query_terms: Sequence[str],
-    tokens_col: str = "tokens",
-    id_col: str = "doc_id",
-    k: int = 20,
-    k1: float = 1.2,
-    b: float = 0.75,
+def _bm25_topk(
+    tf: DataFrame,
+    stats: DataFrame,
+    id_col: str,
+    k: int,
+    k1: float,
+    b: float,
 ) -> DataFrame:
-    """Top-``k`` documents for a bag-of-words query: ``(doc_id, matched,
-    score)`` ordered by score desc then ``id_col`` asc (total order —
-    docs with identical (tf, dl) profiles tie exactly, so the id
-    tie-break is load-bearing). ``matched`` is the number of distinct
-    query terms present. Scores are rounded to 6 decimals AFTER the
-    per-document sum (the registry's float-rounding convention;
-    summands are O(10) with ≤|query| terms, so 1-ulp summation-order
-    noise sits ~1e-10 under the rounding grid).
-    """
-    terms = sorted(set(query_terms))
-    if not terms:
-        raise ValueError("query_terms must be non-empty")
-    toks = docs.select(id_col, F.col(tokens_col).alias("__toks")).withColumn(
-        "__dl", F.size("__toks")
-    )
-    stats = toks.agg(
-        F.count(F.lit(1)).alias("__n_docs"),
-        F.avg("__dl").alias("__avgdl"),
-    )
-    hits = (
-        toks.select(id_col, "__dl", F.explode("__toks").alias("word"))
-        .where(F.col("word").isin(terms))
-    )
-    tf = hits.groupBy(id_col, "word").agg(
-        F.count(F.lit(1)).alias("__tf"), F.max("__dl").alias("__dl")
-    )
+    """Shared scoring core: ``tf`` is (id_col, word, __tf, __dl) — one
+    row per (candidate doc, query term) — and ``stats`` the one-row
+    (__n_docs, __avgdl) frame. Both entry paths (direct and indexed)
+    land here, so their scores cannot diverge: identical integer
+    inputs, identical float association order (the parenthesization is
+    pinned — float * is non-associative, and the DuckDB oracle writes
+    the same chain)."""
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("__df"))
     scored = tf.join(F.broadcast(dfreq), "word").crossJoin(F.broadcast(stats))
     idf = F.log(
         1.0
         + (F.col("__n_docs") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
     )
-    # parenthesization pinned: the DuckDB oracle writes the same
-    # association (float * is non-associative; identical op order ⇒
-    # bit-identical doubles before the final rounding)
     wtd = (
         idf
         * (F.col("__tf") * (k1 + 1.0))
@@ -93,3 +89,174 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def _clean_terms(query_terms: Sequence[str]) -> list[str]:
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    return terms
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-words query, scored directly
+    from the token column: ``(doc_id, matched, score)`` ordered by
+    score desc then ``id_col`` asc (total order — docs with identical
+    (tf, dl) profiles tie exactly, so the id tie-break is
+    load-bearing). ``matched`` is the number of distinct query terms
+    present. Scores are rounded to 6 decimals AFTER the per-document
+    sum (the registry's float-rounding convention; summands are O(10)
+    with ≤|query| terms, so 1-ulp summation-order noise sits ~1e-10
+    under the rounding grid).
+    """
+    terms = _clean_terms(query_terms)
+    toks = docs.select(id_col, F.col(tokens_col).alias("__toks")).withColumn(
+        "__dl", F.size("__toks")
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    hits = (
+        toks.select(id_col, "__dl", F.explode("__toks").alias("word"))
+        .where(F.col("word").isin(terms))
+    )
+    tf = hits.groupBy(id_col, "word").agg(
+        F.count(F.lit(1)).alias("__tf"), F.max("__dl").alias("__dl")
+    )
+    return _bm25_topk(tf, stats, id_col, k, k1, b)
+
+
+# ---------------------------------------------------------------------------
+# Persisted posting index
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class PostingIndex:
+    """An inverted index as two frames: ``postings`` (word, doc_id, tf,
+    dl — the length norm denormalized into every posting) and ``stats``
+    (one row: n_docs, total_dl — exact BIGINTs, so appends merge by
+    addition and ``avgdl = total_dl / n_docs`` is reproduced exactly)."""
+
+    postings: DataFrame
+    stats: DataFrame
+
+
+def build_posting_index(
+    docs: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id"
+) -> PostingIndex:
+    """Tokenized docs → :class:`PostingIndex`. One corpus scan, one
+    hash agg on (word, doc_id) — map-side combine does the tf counting,
+    so the shuffle carries distinct (word, doc_id) rows, not raw
+    occurrences."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("__toks")
+    ).withColumn("__dl", F.size("__toks"))
+    postings = (
+        toks.select("doc_id", "__dl", F.explode("__toks").alias("word"))
+        .groupBy("word", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("__dl").alias("dl"))
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__dl").cast("long").alias("total_dl"),
+    )
+    return PostingIndex(postings, stats)
+
+
+def persist_posting_index(
+    index: PostingIndex,
+    table_prefix: str,
+    n_buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Write ``{prefix}_postings`` bucketed+sorted by word (the
+    query-time key — the IN-filter prunes buckets and row groups, and
+    the bucket count is the index's layout contract for the life of the
+    store) and ``{prefix}_stats`` as a one-row table."""
+    from ..sources.io import write_bucketed
+
+    write_bucketed(
+        index.postings,
+        f"{table_prefix}_postings",
+        "word",
+        n_buckets,
+        path=None if path is None else f"{path}/postings",
+    )
+    writer = index.stats.write.mode("overwrite").format("parquet")
+    if path is not None:
+        writer = writer.option("path", f"{path}/stats")
+    writer.saveAsTable(f"{table_prefix}_stats")
+
+
+def load_posting_index(spark: SparkSession, table_prefix: str) -> PostingIndex:
+    return PostingIndex(
+        spark.table(f"{table_prefix}_postings"), spark.table(f"{table_prefix}_stats")
+    )
+
+
+def append_to_posting_index(index_delta: PostingIndex, table_prefix: str) -> None:
+    """Append a new batch's postings into the persisted index and fold
+    its stats into the one-row stats table. The postings append goes
+    through ``append_to_bucketed_table`` (bucket spec read from the
+    catalog, never the caller), so the Exchange-free query layout
+    survives every append. Appended doc ids must be DISJOINT from the
+    index (same contract as ``append_to_minhash_index``: dedup/identify
+    first); the stats fold is exact BIGINT addition, so ``avgdl`` after
+    N appends equals the one-shot build's to the last bit.
+
+    The two writes are not atomic: a crash between them leaves postings
+    counted in queries but not in (n_docs, avgdl). BM25 degrades
+    smoothly under a slightly-stale avgdl (it is a corpus-level
+    smoothing constant, not a correctness key), and re-running the
+    append's stats fold is idempotent repair; a store that needs
+    stronger guarantees should wrap the append in the ingest sink's
+    batch protocol (streaming/sinks.py)."""
+    from ..sources.io import append_to_bucketed_table
+
+    spark = index_delta.postings.sparkSession
+    append_to_bucketed_table(index_delta.postings, f"{table_prefix}_postings")
+    old = spark.table(f"{table_prefix}_stats").collect()[0]
+    delta = index_delta.stats.collect()[0]
+    merged = spark.createDataFrame(
+        [(old["n_docs"] + delta["n_docs"], old["total_dl"] + delta["total_dl"])],
+        "n_docs bigint, total_dl bigint",
+    )
+    merged.write.mode("overwrite").format("parquet").saveAsTable(
+        f"{table_prefix}_stats"
+    )
+
+
+def bm25_topk_indexed(
+    index: PostingIndex,
+    query_terms: Sequence[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` against a :class:`PostingIndex` — bit-identical output
+    to :func:`bm25_topk` over the same corpus (tests pin the equality),
+    without touching the corpus: the term IN-filter is pushed into the
+    bucketed postings scan (zero index-side shuffle Exchanges,
+    plan-asserted), every aggregation is candidate-sized, and the df /
+    stats frames ride broadcasts."""
+    terms = _clean_terms(query_terms)
+    tf = index.postings.where(F.col("word").isin(terms)).select(
+        "doc_id", "word", F.col("tf").alias("__tf"), F.col("dl").alias("__dl")
+    )
+    stats = index.stats.select(
+        F.col("n_docs").alias("__n_docs"),
+        (F.col("total_dl").cast("double") / F.col("n_docs").cast("double")).alias(
+            "__avgdl"
+        ),
+    )
+    return _bm25_topk(tf, stats, "doc_id", k, k1, b)

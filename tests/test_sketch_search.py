@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from nlp_with_pyspark_spark.functions.text import tokens_pipeline
 from nlp_with_pyspark_spark.operators.search import bm25_topk
 from nlp_with_pyspark_spark.operators.sketch import exact_quantiles, heavy_hitters
-from nlp_with_pyspark_spark.plans.inspect import final_plan_string
+from nlp_with_pyspark_spark.plans.inspect import final_plan_string, plan_string
 
 
 QS = [0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 1.0]
@@ -197,3 +197,90 @@ def test_bm25_validates_and_broadcasts(spark, tokenized_docs):
     plan = final_plan_string(bm25_topk(tokenized_docs, ["dup", "join"], k=5))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Persisted posting index
+# ---------------------------------------------------------------------------
+
+TERMS = ["dup", "join", "scan"]
+
+
+def _topk_rows(df):
+    return [(r.doc_id, r.matched, r.score) for r in df.collect()]
+
+
+def test_posting_index_matches_direct_bitwise(spark, tokenized_docs, tmp_path):
+    """Indexed search ≡ direct search, scores compared with == (same
+    integer tf/dl/df/N inputs through the shared scoring core, same
+    float association — not approximately equal, EQUAL)."""
+    from nlp_with_pyspark_spark.operators.search import (
+        bm25_topk_indexed,
+        build_posting_index,
+        load_posting_index,
+        persist_posting_index,
+    )
+    from nlp_with_pyspark_spark.plans.inspect import exchanges_covering
+
+    prefix = "t_bm25_idx"
+    persist_posting_index(
+        build_posting_index(tokenized_docs), prefix, n_buckets=8,
+        path=str(tmp_path / "pidx"),
+    )
+    try:
+        idx = load_posting_index(spark, prefix)
+        # plan contract FIRST, on the un-executed query (AQE rewrites
+        # the printed tree after execution): the term IN-filter reaches
+        # the parquet scan with bucket pruning, the df aggregation is
+        # Exchange-free on the bucketed-by-word layout, and the ONLY
+        # shuffle the index rows ever cross is the final candidate-sized
+        # per-doc aggregation
+        indexed = bm25_topk_indexed(idx, TERMS, k=15)
+        assert exchanges_covering(indexed, f"{prefix}_postings") == 1
+        plan = plan_string(indexed)
+        assert "In(word, [dup,join,scan])" in plan
+        assert "SelectedBucketsCount: 3 out of 8" in plan
+        assert "SortMergeJoin" not in plan
+        assert _topk_rows(indexed) == _topk_rows(
+            bm25_topk(tokenized_docs, TERMS, k=15)
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_postings")
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_stats")
+
+
+def test_posting_index_append_equivalence(spark, tokenized_docs, tmp_path):
+    """Build on half the corpus, append the other half: queries and the
+    exact (n_docs, total_dl) stats equal the one-shot full build — and
+    the Exchange-free query layout survives the append."""
+    from pyspark.sql import functions as F  # noqa: F811
+    from nlp_with_pyspark_spark.operators.search import (
+        bm25_topk_indexed,
+        append_to_posting_index,
+        build_posting_index,
+        load_posting_index,
+        persist_posting_index,
+    )
+    from nlp_with_pyspark_spark.plans.inspect import exchanges_covering
+
+    prefix = "t_bm25_app"
+    half_a = tokenized_docs.where(F.col("doc_id") % 2 == 0)
+    half_b = tokenized_docs.where(F.col("doc_id") % 2 == 1)
+    persist_posting_index(
+        build_posting_index(half_a), prefix, n_buckets=8,
+        path=str(tmp_path / "pidx"),
+    )
+    try:
+        append_to_posting_index(build_posting_index(half_b), prefix)
+        idx = load_posting_index(spark, prefix)
+        indexed = bm25_topk_indexed(idx, TERMS, k=15)
+        assert exchanges_covering(indexed, f"{prefix}_postings") == 1
+        assert _topk_rows(indexed) == _topk_rows(
+            bm25_topk(tokenized_docs, TERMS, k=15)
+        )
+        got = idx.stats.collect()[0]
+        ref = build_posting_index(tokenized_docs).stats.collect()[0]
+        assert (got["n_docs"], got["total_dl"]) == (ref["n_docs"], ref["total_dl"])
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_postings")
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_stats")
