@@ -3,7 +3,13 @@ from .joins import (
     interval_join_streams,
     interval_join_streams_outer,
 )
-from .sinks import incremental_dedup_sink
+from .sinks import (
+    incremental_dedup_sink,
+    neardup_dedup_sink,
+    neardup_upsert_batch,
+    search_index_sink,
+    search_index_upsert_batch,
+)
 from .stateful import user_running_stats
 from .windows import (
     events_stream_from_dir,
@@ -20,6 +26,10 @@ __all__ = [
     "events_stream_from_dir",
     "incremental_dedup_sink",
     "interval_join_streams",
+    "neardup_dedup_sink",
+    "neardup_upsert_batch",
+    "search_index_sink",
+    "search_index_upsert_batch",
     "interval_join_streams_outer",
     "sessionized_stream",
     "sliding_stream",

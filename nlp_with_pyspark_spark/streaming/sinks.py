@@ -572,3 +572,199 @@ def neardup_dedup_sink(
     )
     q.awaitTermination()
     return q
+
+
+def search_index_upsert_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    table_prefix: str | None = None,
+    n_buckets: int = 32,
+    compact_threshold_files: int | None = None,
+) -> None:
+    """One search-index-on-ingest step: append ``batch_df``'s postings
+    into a persistent inverted index (operators/search.PostingIndex on
+    disk), so BM25 serves every document the moment its batch commits —
+    the streaming write half of :func:`~..operators.search.
+    bm25_topk_indexed`'s read path.
+
+    Store layout mirrors the near-dup sinks: ``postings/`` (word,
+    doc_id, tf, dl) and ``docs/`` (doc_id, dl) parquet dirs — or, with
+    ``table_prefix``, bucketed catalog tables (postings by word: the
+    query-time Exchange-free layout; docs by doc_id: the replay guard's
+    anti-join reads the stored ids already partitioned on the join key,
+    zero store-side Exchange). The ``{prefix}_stats`` table
+    :func:`~..operators.search.load_posting_index` expects is
+    maintained as a DERIVED value — recomputed from the committed docs
+    table after every append and overwritten — never a read-modify-
+    write fold, so a replayed batch cannot double-count it.
+
+    Idempotence / crash ordering (the near-dup sinks' protocol):
+    append order is postings → docs → stats, so the docs append is the
+    commit point. A replayed batch loses its docs to the guard
+    anti-join and appends nothing. A crash BETWEEN the postings append
+    and the docs append leaves postings rows for unstored docs; on
+    replay those docs re-enter as delta, and the idempotent append —
+    recomputation is deterministic, so the replay's rows equal the
+    crashed attempt's — anti-joins the to-append postings against the
+    store's stale rows for the delta's doc ids ((word, doc_id) is
+    row-identifying), so no duplicate posting is ever stored. A crash
+    after the docs append but before the stats overwrite leaves stats
+    stale by one batch; the next batch's recompute repairs it, and
+    BM25 degrades smoothly under a slightly-stale avgdl in the
+    meantime (a corpus-level smoothing constant, not a correctness
+    key). Every load first runs ``recover_compact_swap``; with
+    ``compact_threshold_files`` set, over-fragmented store tables are
+    compacted after the commit point.
+
+    Per-batch cost: the batch's postings build is O(batch); the guard
+    is a keys-only docs scan (zero store-side shuffle when bucketed);
+    the idempotence check semi-filters the postings scan by the
+    broadcast batch id list before the anti-join, so only stale rows of
+    THIS batch's docs ever reach the join.
+    """
+    from ..operators.search import build_posting_index
+    from ..sources.io import (
+        append_to_bucketed_table,
+        compact_bucketed_table,
+        compact_parquet,
+        recover_compact_swap,
+        register_bucketed_table,
+        write_bucketed,
+    )
+
+    spark = batch_df.sparkSession
+    postings_path = f"{store_path}/postings"
+    docs_path = f"{store_path}/docs"
+    for p in (postings_path, docs_path):
+        recover_compact_swap(p)
+
+    bucketed = table_prefix is not None
+    postings_tbl = f"{table_prefix}_postings" if bucketed else None
+    docs_tbl = f"{table_prefix}_docs" if bucketed else None
+
+    fresh = batch_df.dropDuplicates([id_col]).select(
+        F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("tokens")
+    )
+
+    def _load(path: str, tbl: str | None):
+        """Store frame or None if absent. Absence is only 'first batch'
+        for a genuinely missing dir — any other read error must raise
+        (the incremental_dedup_sink rule: treating a corrupt store as
+        first-batch voids the guard silently)."""
+        if bucketed and spark.catalog.tableExists(tbl):
+            spark.catalog.refreshTable(tbl)
+            return spark.table(tbl)
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException as exc:
+            cond = getattr(exc, "getErrorClass", lambda: None)() or str(exc)
+            if "PATH_NOT_FOUND" not in cond and "UNABLE_TO_INFER_SCHEMA" not in cond:
+                raise
+            return None
+
+    if bucketed:
+        # restart self-heal: re-register over surviving data dirs (the
+        # sidecar carries the spec; no-op on a live metastore)
+        register_bucketed_table(spark, postings_tbl, "word", n_buckets, postings_path)
+        register_bucketed_table(spark, docs_tbl, "doc_id", n_buckets, docs_path)
+
+    stored_docs = _load(docs_path, docs_tbl)
+    if stored_docs is not None:
+        # replay/duplicate-id guard; bucketed: store side Exchange-free
+        fresh = fresh.join(stored_docs.select("doc_id"), "doc_id", "left_anti")
+    # the delta is consumed by the postings build, the idempotence
+    # anti-join's broadcast id list, the docs append, and (bucketed
+    # first-batch) the table create — pin it once
+    fresh = fresh.localCheckpoint()
+
+    delta = build_posting_index(fresh, tokens_col="tokens", id_col="doc_id")
+    to_append = delta.postings
+    stored_postings = _load(postings_path, postings_tbl)
+    if stored_postings is not None:
+        # idempotent append: stale rows (a crashed attempt's postings
+        # for THIS batch's docs) are found under a broadcast semi-join
+        # prefilter, then cancelled row-for-row — (word, doc_id) is
+        # row-identifying and recomputation is deterministic
+        batch_ids = F.broadcast(fresh.select("doc_id"))
+        stale = stored_postings.join(batch_ids, "doc_id", "left_semi")
+        to_append = to_append.join(stale, ["word", "doc_id"], "left_anti")
+
+    docs_rows = fresh.select("doc_id", F.size("tokens").alias("dl"))
+    if bucketed:
+        if spark.catalog.tableExists(postings_tbl):
+            append_to_bucketed_table(to_append, postings_tbl)
+        else:
+            write_bucketed(
+                to_append, postings_tbl, "word", n_buckets, path=postings_path
+            )
+        if spark.catalog.tableExists(docs_tbl):
+            append_to_bucketed_table(docs_rows, docs_tbl)  # commit point
+        else:
+            write_bucketed(docs_rows, docs_tbl, "doc_id", n_buckets, path=docs_path)
+    else:
+        to_append.write.mode("append").parquet(postings_path)
+        docs_rows.write.mode("append").parquet(docs_path)  # commit point
+
+    # stats: DERIVED from the committed docs table (exact BIGINTs), so
+    # the overwrite is idempotent under any replay
+    committed = _load(docs_path, docs_tbl)
+    stats = committed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    )
+    if bucketed:
+        # collect-then-recreate: saveAsTable('overwrite') cannot read
+        # from the table it replaces, and the 1-row collect is bounded
+        row = stats.collect()[0]
+        spark.createDataFrame(
+            [(row["n_docs"], row["total_dl"])], "n_docs bigint, total_dl bigint"
+        ).write.mode("overwrite").format("parquet").option(
+            "path", f"{store_path}/stats"
+        ).saveAsTable(f"{table_prefix}_stats")
+    else:
+        stats.localCheckpoint().write.mode("overwrite").parquet(
+            f"{store_path}/stats"
+        )
+
+    if compact_threshold_files is not None:
+        if bucketed:
+            for tbl, path in ((postings_tbl, postings_path), (docs_tbl, docs_path)):
+                if _parquet_file_count(path) > compact_threshold_files:
+                    compact_bucketed_table(spark, tbl)
+        else:
+            for path in (postings_path, docs_path):
+                if _parquet_file_count(path) > compact_threshold_files:
+                    compact_parquet(spark, path)
+
+
+def search_index_sink(
+    stream_docs: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    **kwargs,
+):
+    """Streaming search-index-on-ingest: each micro-batch runs
+    :func:`search_index_upsert_batch` against the persistent inverted
+    index, so a BM25 query (``bm25_topk_indexed`` over
+    ``load_posting_index``) serves every document as soon as its batch
+    commits. All upsert knobs pass through (``table_prefix`` for the
+    bucketed 100 TB layout, ``compact_threshold_files`` for small-file
+    maintenance)."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        search_index_upsert_batch(
+            batch_df, store_path, tokens_col=tokens_col, id_col=id_col, **kwargs
+        )
+
+    q = (
+        stream_docs.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

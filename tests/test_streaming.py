@@ -1435,3 +1435,170 @@ def test_neardup_upsert_semantic_pandas_assign_matches_literal(spark, sf_dir, tm
             for r in spark.read.parquet(f"{store}/docs").select("vec_id").collect()
         }
     assert ids["literal"] == ids["pandas"] and ids["literal"]
+
+
+# ---------------------------------------------------------------------------
+# Search-index-on-ingest sink
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["dup", "join", "scan"]
+
+
+def _bm25_rows(df):
+    return [(r.doc_id, r.matched, r.score) for r in df.collect()]
+
+
+@pytest.mark.parametrize("bucketed", [False, True])
+def test_search_index_upsert_across_batches_matches_direct(
+    spark, sf_dir, bucketed, tmp_path
+):
+    """Two ingest batches, then BM25 against the store: identical rows
+    (scores compared with ==, not approx) to the direct scorer over the
+    full corpus, and the derived stats equal the one-shot build's exact
+    BIGINTs."""
+    from nlp_with_pyspark_spark.operators.search import (
+        PostingIndex,
+        bm25_topk,
+        bm25_topk_indexed,
+        build_posting_index,
+        load_posting_index,
+    )
+    from nlp_with_pyspark_spark.streaming.sinks import search_index_upsert_batch
+
+    toks = _neardup_toks(spark, sf_dir).localCheckpoint()
+    cut = _id_cuts(toks)[0]
+    store = str(tmp_path / "store")
+    prefix = "t_sidx" if bucketed else None
+    kw = dict(table_prefix=prefix, n_buckets=8) if bucketed else {}
+    try:
+        search_index_upsert_batch(toks.where(F.col("doc_id") < cut), store, **kw)
+        search_index_upsert_batch(toks.where(F.col("doc_id") >= cut), store, **kw)
+        if bucketed:
+            idx = load_posting_index(spark, prefix)
+        else:
+            idx = PostingIndex(
+                spark.read.parquet(f"{store}/postings"),
+                spark.read.parquet(f"{store}/stats"),
+            )
+        assert _bm25_rows(bm25_topk_indexed(idx, _BM25_TERMS, k=15)) == _bm25_rows(
+            bm25_topk(toks, _BM25_TERMS, k=15)
+        )
+        got = idx.stats.collect()[0]
+        ref = build_posting_index(toks).stats.collect()[0]
+        assert (got["n_docs"], got["total_dl"]) == (ref["n_docs"], ref["total_dl"])
+    finally:
+        if bucketed:
+            for t in ("postings", "docs", "stats"):
+                spark.sql(f"DROP TABLE IF EXISTS t_sidx_{t}")
+
+
+@pytest.mark.parametrize("bucketed", [False, True])
+def test_search_index_crash_replay_no_duplicate_postings(
+    spark, sf_dir, bucketed, tmp_path
+):
+    """Worst crash window — postings appended, docs append (the commit
+    point) never ran — then replay. The idempotent append must cancel
+    the stale rows: no duplicate (word, doc_id) anywhere, results and
+    stats identical to a crash-free run."""
+    import glob as _glob
+    import os
+
+    from nlp_with_pyspark_spark.operators.search import (
+        PostingIndex,
+        bm25_topk,
+        bm25_topk_indexed,
+    )
+    from nlp_with_pyspark_spark.streaming.sinks import search_index_upsert_batch
+
+    toks = _neardup_toks(spark, sf_dir).localCheckpoint()
+    cut = _id_cuts(toks)[0]
+    b1 = toks.where(F.col("doc_id") < cut)
+    b2 = toks.where(F.col("doc_id") >= cut)
+    store = str(tmp_path / "store")
+    prefix = "t_sidxcrash" if bucketed else None
+    kw = dict(table_prefix=prefix, n_buckets=8) if bucketed else {}
+    try:
+        search_index_upsert_batch(b1, store, **kw)
+        docs_path = f"{store}/docs"
+
+        def docs_files():
+            return set(_glob.glob(os.path.join(docs_path, "*.parquet")))
+
+        before = docs_files()
+        search_index_upsert_batch(b2, store, **kw)
+        for f in docs_files() - before:  # crash: undo ONLY the commit point
+            os.remove(f)
+        if bucketed:
+            spark.catalog.refreshTable(f"{prefix}_docs")
+
+        search_index_upsert_batch(b2, store, **kw)  # replay
+
+        def tbl(name):
+            if bucketed:
+                spark.catalog.refreshTable(f"{prefix}_{name}")
+                return spark.table(f"{prefix}_{name}")
+            return spark.read.parquet(f"{store}/{name}")
+
+        postings = tbl("postings")
+        dups = postings.groupBy("word", "doc_id").count().where(F.col("count") > 1)
+        assert dups.count() == 0
+        # the postings track the stored docs exactly
+        p_ids = {r.doc_id for r in postings.select("doc_id").distinct().collect()}
+        d_ids = {r.doc_id for r in tbl("docs").select("doc_id").collect()}
+        assert p_ids <= d_ids  # token-less docs have no postings
+        assert d_ids == {r.doc_id for r in toks.select("doc_id").collect()}
+        idx = PostingIndex(postings, tbl("stats"))
+        assert _bm25_rows(bm25_topk_indexed(idx, _BM25_TERMS, k=15)) == _bm25_rows(
+            bm25_topk(toks, _BM25_TERMS, k=15)
+        )
+    finally:
+        if bucketed:
+            for t in ("postings", "docs", "stats"):
+                spark.sql(f"DROP TABLE IF EXISTS t_sidxcrash_{t}")
+
+
+def test_search_index_streaming_sink_end_to_end(spark, tmp_path):
+    """The writeStream wrapper drains a file stream one file per
+    trigger; the index then serves the whole corpus, and re-running
+    from the same checkpoint appends nothing (stats unchanged)."""
+    from nlp_with_pyspark_spark.functions.text import tokens_pipeline
+    from nlp_with_pyspark_spark.operators.search import (
+        PostingIndex,
+        bm25_topk,
+        bm25_topk_indexed,
+    )
+    from nlp_with_pyspark_spark.streaming.sinks import search_index_sink
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    cut = 250
+    docs.where(F.col("doc_id") < cut).coalesce(1).write.parquet(str(src / "b0"))
+    docs.where(F.col("doc_id") >= cut).coalesce(1).write.parquet(str(src / "b1"))
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "b*"))
+            .withColumn("tokens", tokens_pipeline(F.col("text")))
+        )
+        search_index_sink(stream, store, ckpt)
+
+    run()
+    idx = PostingIndex(
+        spark.read.parquet(f"{store}/postings"), spark.read.parquet(f"{store}/stats")
+    )
+    toks = docs.withColumn("tokens", tokens_pipeline(F.col("text")))
+    expect = _bm25_rows(bm25_topk(toks, _BM25_TERMS, k=10))
+    assert _bm25_rows(bm25_topk_indexed(idx, _BM25_TERMS, k=10)) == expect
+    stats_before = spark.read.parquet(f"{store}/stats").collect()[0]
+    run()  # same checkpoint: no new input
+    stats_after = spark.read.parquet(f"{store}/stats").collect()[0]
+    assert (stats_before["n_docs"], stats_before["total_dl"]) == (
+        stats_after["n_docs"], stats_after["total_dl"],
+    )
