@@ -90,6 +90,89 @@ def test_exact_quantiles_validates(spark, values_df):
         exact_quantiles(values_df, "v", [1.5])
 
 
+def test_exact_quantiles_refinement_exact_under_hot_bucket(spark):
+    """Adversarial skew: 95% of rows share one value, the tail spreads
+    wide, n_buckets=4 rams most ranks into one hot bucket. With
+    refinement on, answers must STILL equal naive sorted selection —
+    the hot constant bucket short-circuits via min==max, the mixed
+    buckets re-histogram until the threshold holds."""
+    df = spark.range(5000).select(
+        F.when(F.col("id") % 20 != 0, F.lit(1000))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(100000)))
+        .cast("long")
+        .alias("v")
+    ).localCheckpoint()
+    vals = sorted(r.v for r in df.collect())
+    expect = {q: _disc_quantile(vals, q) for q in QS}
+    for thr in (10, 100):
+        got = {
+            r.q: r.value
+            for r in exact_quantiles(
+                df, "v", QS, n_buckets=4, refine_threshold=thr, max_levels=5
+            ).collect()
+        }
+        assert got == expect, thr
+
+
+def test_exact_quantiles_refinement_grouped_matches_single_level(spark, values_df):
+    """Refinement is pure strategy: grouped answers with an aggressive
+    threshold equal the single-level plan's (already pinned against
+    naive selection above)."""
+    base = exact_quantiles(values_df, "v", QS, by=["grp"], n_buckets=8)
+    refined = exact_quantiles(
+        values_df, "v", QS, by=["grp"], n_buckets=8, refine_threshold=25
+    )
+    key = lambda df: {(r.grp, r.q): r.value for r in df.collect()}
+    assert key(refined) == key(base)
+
+
+def test_exact_quantiles_refinement_max_levels_cap(spark):
+    """max_levels=1 forbids refinement entirely — identical to the
+    single-level plan even with a tiny threshold (the cap falls back to
+    sorting the oversized bucket, never wrong answers)."""
+    df = spark.range(1000).select(F.pmod(F.xxhash64("id"), F.lit(37)).alias("v"))
+    a = {r.q: r.value for r in exact_quantiles(df, "v", QS, n_buckets=4).collect()}
+    b = {
+        r.q: r.value
+        for r in exact_quantiles(
+            df, "v", QS, n_buckets=4, refine_threshold=5, max_levels=1
+        ).collect()
+    }
+    assert a == b
+
+
+def test_hll_distinct_merge_equals_single_pass(spark):
+    """Mergeability is exact, not approximate: per-shard sketches
+    unioned give the SAME estimate as one global sketch (registers are
+    max-of-hashes), and the estimate sits inside the lgk error bound of
+    the true distinct count."""
+    from nlp_with_pyspark_spark.operators.sketch import (
+        approx_distinct,
+        distinct_sketches,
+        merge_distinct_sketches,
+    )
+
+    df = spark.range(200_000).select(
+        (F.col("id") % 3).alias("g"),
+        F.pmod(F.xxhash64("id"), F.lit(40_000)).alias("u"),
+        (F.col("id") % 13).alias("shard"),
+    ).localCheckpoint()
+    direct = {
+        r.g: r.n_distinct_est for r in approx_distinct(df, "u", by=["g"], lgk=12).collect()
+    }
+    sharded = distinct_sketches(df, "u", by=["g", "shard"], lgk=12)
+    merged = {
+        r.g: r.n_distinct_est
+        for r in merge_distinct_sketches(sharded, by=["g"]).collect()
+    }
+    assert merged == direct
+    exact = {
+        r.g: r.n for r in df.groupBy("g").agg(F.count_distinct("u").alias("n")).collect()
+    }
+    for g, est in direct.items():
+        assert abs(est - exact[g]) / exact[g] < 0.05, (g, est, exact[g])
+
+
 @pytest.fixture(scope="module")
 def tokenized_docs(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
