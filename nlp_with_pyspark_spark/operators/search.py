@@ -135,6 +135,85 @@ def bm25_topk(
     return _bm25_topk(tf, stats, id_col, k, k1, b)
 
 
+def bm25_batch_topk(
+    docs: DataFrame,
+    queries: dict[str, Sequence[str]],
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score MANY bag-of-words queries in one corpus pass — the shape a
+    retrieval evaluation or a batched search API actually runs:
+    ``(query_id, rank, doc_id, matched, score)``, rank 1..k per query,
+    ordered (query_id, rank). Per-query slices are row-identical to
+    :func:`bm25_topk` run alone (pinned in tests): tf and df are
+    query-independent, so they are computed ONCE over the union of all
+    terms, and the tiny (query_id, word) table broadcast-joins on top —
+    Q queries cost one corpus scan plus candidate-sized aggregations,
+    not Q scans. The per-query top-k is a rank window partitioned by
+    query_id over the ≤(Q × candidates) scored frame."""
+    from pyspark.sql import Window
+
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    qrows = sorted(
+        {(qid, t) for qid, terms in queries.items() for t in _clean_terms(terms)}
+    )
+    union_terms = sorted({w for _, w in qrows})
+    toks = docs.select(id_col, F.col(tokens_col).alias("__toks")).withColumn(
+        "__dl", F.size("__toks")
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    hits = (
+        toks.select(id_col, "__dl", F.explode("__toks").alias("word"))
+        .where(F.col("word").isin(union_terms))
+    )
+    tf = hits.groupBy(id_col, "word").agg(
+        F.count(F.lit(1)).alias("__tf"), F.max("__dl").alias("__dl")
+    )
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("__df"))
+    qdf = docs.sparkSession.createDataFrame(qrows, "query_id string, word string")
+    scored = (
+        tf.join(F.broadcast(qdf), "word")
+        .join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        1.0
+        + (F.col("__n_docs") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    wtd = (
+        idf
+        * (F.col("__tf") * (k1 + 1.0))
+        / (
+            F.col("__tf")
+            + k1 * ((1.0 - b) + b * (F.col("__dl") / F.col("__avgdl")))
+        )
+    )
+    per = (
+        scored.select("query_id", id_col, wtd.alias("__w"))
+        .groupBy("query_id", id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("matched"),
+            F.round(F.sum("__w"), 6).alias("score"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    )
+    return (
+        per.withColumn("rank", rn)
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "matched", "score")
+        .orderBy("query_id", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Persisted posting index
 # ---------------------------------------------------------------------------

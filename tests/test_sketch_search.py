@@ -282,6 +282,30 @@ def test_bm25_validates_and_broadcasts(spark, tokenized_docs):
     assert "SortMergeJoin" not in plan
 
 
+def test_bm25_batch_matches_per_query_runs(spark, tokenized_docs):
+    """Each query's slice of the batch output is row-identical (== on
+    scores) to running bm25_topk alone — one corpus pass serves all."""
+    from nlp_with_pyspark_spark.operators.search import bm25_batch_topk
+
+    queries = {
+        "q_mixed": ["dup", "join", "scan"],
+        "q_rare": ["dup"],
+        "q_common": ["join", "scan", "the"],
+    }
+    batch = bm25_batch_topk(tokenized_docs, queries, k=10).collect()
+    for qid, terms in queries.items():
+        mine = [
+            (r.rank, r.doc_id, r.matched, r.score) for r in batch if r.query_id == qid
+        ]
+        solo = [
+            (i + 1, r.doc_id, r.matched, r.score)
+            for i, r in enumerate(bm25_topk(tokenized_docs, terms, k=10).collect())
+        ]
+        assert mine == solo, qid
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_batch_topk(tokenized_docs, {})
+
+
 # ---------------------------------------------------------------------------
 # Persisted posting index
 # ---------------------------------------------------------------------------
