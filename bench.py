@@ -53,7 +53,7 @@ HEADLINE = [
     "top_orders_per_customer",
     "revenue_rollup",
     "events_tumbling_5m",
-    "events_sliding_10m",
+    "events_gap_filled_hourly",
     "events_session_stats",
     "events_json_stats",
     "dedup_exact_groups",
@@ -189,6 +189,11 @@ HEADLINE = [
 # Round 8 ninth swap — IN: model_calibration_bins (new registration).
 # OUT: doc_fingerprints (benched r1-r8; hashing-projection shape stays
 # via simhash_fingerprints and doc_lm_scores, both benched).
+# Round 8 tenth swap — IN: events_gap_filled_hourly (new registration).
+# OUT: events_sliding_10m (benched r1-r8; the covering-bucket
+# sequence+explode shape stays via events_tumbling_5m — benched — and
+# the gap-fill query itself, whose run-length expansion is the same
+# explode machinery).
 # Rotation debt for round 9: the round-8-OUT set re-enters by round 11
 # under the every-3-rounds rule (oldest first: order_priority_counts,
 # small_qty_part_revenue, high_balance_inactive, promo_revenue_share,

@@ -35,6 +35,76 @@ def _bucket(sec: Column, width_sec: int) -> Column:
     return (sec - (sec % width_sec)).cast("long")
 
 
+def resample_forward_fill(
+    events: DataFrame,
+    width_sec: int = 3600,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Resample an irregular event series onto a fixed per-key grid with
+    forward fill — the time-series densification Spark has no native
+    operator for: ``(key, bucket_start_epoch, value, is_gap)`` with one
+    row per ``width_sec`` bucket from each key's first observed bucket
+    to its last, ``value`` = the key's most recent in-bucket observation
+    at or before that bucket (last-observation-carried-forward), and
+    ``is_gap`` marking rows whose bucket had no event.
+
+    Per-bucket "last" is made deterministic by the (ts_ns, id) order —
+    two events in one bucket resolve by timestamp then id, never by
+    partition layout. The value rides through untouched (no float
+    arithmetic), so the output is exactly a stored input value.
+
+    Scale shape — ONE shuffle for the whole plan (plan-tested): the
+    input is repartitioned by key up front; the in-bucket rank window
+    ((key, bucket) — a key-subset partitioning satisfies it, and Spark
+    rewrites the rank-1 filter into a WindowGroupLimit so only one row
+    per bucket survives the sort) and the ``lead`` window (key) both
+    reuse that layout. Densification is then RUN-LENGTH EXPANSION, not
+    a grid join: each observation knows the next observed bucket via
+    ``lead`` and explodes its own gap run ``[b, next)`` with its value
+    carried — the naive build-a-grid-and-left-join formulation costs
+    two more shuffles (the grid⋈agg join re-partitions both sides on
+    the full (key, bucket) pair and re-computes the agg subtree) for
+    identical output. The expansion is ``sequence`` + ``explode`` —
+    distributed, no driver loop. Output size is Σ_key span/width; the
+    caller picks ``width_sec`` to keep that sane, as with any resample.
+    """
+    sec = _epoch_sec()
+    b = _bucket(sec, width_sec)
+    keyed = events.select(
+        F.col(key_col).alias("__key"),
+        b.alias("__b"),
+        F.col("ts_ns").alias("__ts"),
+        F.col(id_col).alias("__id"),
+        F.col(value_col).alias("__v"),
+    ).repartition(F.col("__key"))
+    rn = F.row_number().over(
+        Window.partitionBy("__key", "__b").orderBy(
+            F.desc("__ts"), F.desc("__id")
+        )
+    )
+    agg = keyed.withColumn("__rn", rn).where(F.col("__rn") == 1).select(
+        "__key", "__b", "__v"
+    )
+    nxt = F.lead("__b").over(Window.partitionBy("__key").orderBy("__b"))
+    run_end = F.coalesce(nxt - F.lit(width_sec), F.col("__b"))
+    expanded = agg.withColumn("__end", run_end).select(
+        "__key",
+        "__b",
+        "__v",
+        F.explode(
+            F.sequence(F.col("__b"), F.col("__end"), F.lit(width_sec).cast("long"))
+        ).alias("__bb"),
+    )
+    return expanded.select(
+        F.col("__key").alias(key_col),
+        F.col("__bb").alias("bucket_start_epoch"),
+        F.col("__v").alias(value_col),
+        (F.col("__bb") != F.col("__b")).alias("is_gap"),
+    )
+
+
 def tumbling_counts(events: DataFrame, width_sec: int = 300) -> DataFrame:
     """Tumbling window: per (bucket, event_type) count + value sum."""
     return (

@@ -349,6 +349,56 @@ def events_tumbling_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_gap_filled_hourly",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, value, epoch_ns(ts) AS ns,
+               (epoch_ns(ts) // 1000000000)
+               - ((epoch_ns(ts) // 1000000000) % 3600) AS b
+        FROM events
+    ),
+    r AS (
+        SELECT user_id, b, value,
+               row_number() OVER (
+                   PARTITION BY user_id, b ORDER BY ns DESC, event_id DESC
+               ) AS rn
+        FROM e
+    ),
+    a AS (SELECT user_id, b, value FROM r WHERE rn = 1),
+    s AS (SELECT user_id, min(b) AS b0, max(b) AS b1 FROM a GROUP BY 1),
+    g AS (
+        SELECT user_id, unnest(generate_series(b0, b1, 3600)) AS b FROM s
+    ),
+    j AS (
+        SELECT g.user_id, g.b, a.value AS v
+        FROM g LEFT JOIN a ON g.user_id = a.user_id AND g.b = a.b
+    )
+    SELECT user_id, b AS bucket_start_epoch,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value,
+           v IS NULL AS is_gap
+    FROM j
+    """,
+)
+def events_gap_filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification (operators/windows.resample_forward_
+    fill — an operator Spark lacks natively): every user's irregular
+    event stream resampled onto an hourly grid from their first to
+    last observed hour, value = last observation carried forward
+    (deterministic in-bucket tie-break on (ts_ns, event_id)), is_gap
+    marking synthesized rows. The grid is generated DISTRIBUTED via
+    sequence+explode — no driver loop — and the whole plan rides ONE
+    shuffle: the up-front repartition by user satisfies the in-bucket
+    rank window, the span agg, the grid⋈agg join and the fill window
+    (key-subset co-location; plan-tested in tests/test_gap_fill.py)."""
+    return windows.resample_forward_fill(
+        read_table(spark, sf_dir, "events"), width_sec=3600
+    )
+
+
+@query(
     "events_sliding_10m",
     """
     WITH e AS (SELECT event_type, value, epoch_ns(ts) // 1000000000 AS sec FROM events)
@@ -4158,6 +4208,16 @@ _DEMOTED_PAST_CHECK_WINDOW = [
     #                             (which composes the exact pass)
     "confusion_metrics",
     "customer_order_setops",
+    # round 8 (ninth rotation): demoted for the never-checked
+    # events_gap_filled_hourly:
+    #   events_session_stats — green r1-r7; the new query exercises the
+    #                          same event-time bucketing + per-user
+    #                          windows; sessionization itself stays
+    #                          in-window via session_event_overlap's
+    #                          constituents (events_asof, rolling-7d,
+    #                          click_purchase_funnel) and re-verifies
+    #                          against DuckDB locally every pytest run
+    "events_session_stats",
     # round 8 (eighth rotation): demoted for the never-checked
     # model_calibration_bins:
     #   events_json_stats — green r1-r7; the events family keeps

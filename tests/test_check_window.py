@@ -27,7 +27,11 @@ REQUIRED_IN_WINDOW = {
     # rounds; session/json/asof/rolling keep the family repped)
     # (second round-8 rotation: session_event_overlap demoted, interval
     # joins covered by events_asof + click_purchase_funnel)
-    "events_session_stats",
+    # (ninth round-8 rotation: events_session_stats demoted after 7
+    # green rounds for events_gap_filled_hourly — same event-time
+    # bucketing + per-user window machinery, sessionization re-verifies
+    # locally)
+    "events_gap_filled_hourly",
     "events_asof_click_purchase",
     # (eighth round-8 rotation: events_json_stats demoted after 7 green
     # rounds for model_calibration_bins; JSON parse re-verifies locally)
