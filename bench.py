@@ -92,7 +92,7 @@ HEADLINE = [
     "bpe_merge_stats",
     "simhash_delta_pairs",
     # round 8 rotation — see MEMBERSHIP POLICY below
-    "tfidf_smoothed_long",
+    "collocations_pmi_top50",
     "simhash_fingerprints",
     "order_priority_melt",
     "multimodal_resize",
@@ -194,6 +194,10 @@ HEADLINE = [
 # sequence+explode shape stays via events_tumbling_5m — benched — and
 # the gap-fill query itself, whose run-length expansion is the same
 # explode machinery).
+# Round 8 eleventh swap — IN: collocations_pmi_top50 (new
+# registration). OUT: tfidf_smoothed_long (benched r8; its unsmoothed
+# twin tfidf_long stays benched, and the PMI query exercises the same
+# unigram/bigram count + broadcast-join machinery).
 # Rotation debt for round 9: the round-8-OUT set re-enters by round 11
 # under the every-3-rounds rule (oldest first: order_priority_counts,
 # small_qty_part_revenue, high_balance_inactive, promo_revenue_share,

@@ -49,6 +49,70 @@ def top_k_vocabulary(df: DataFrame, k: int, tokens_col: Column | str = "tokens")
     return counts.withColumn("idx", F.row_number().over(w) - F.lit(1))
 
 
+def pmi_collocations(
+    df: DataFrame,
+    tokens_col: Column | str = "tokens",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-``k`` collocations by pointwise mutual information:
+    ``(ngram, count, pmi)`` ordered pmi desc then ngram asc, restricted
+    to bigrams with ``count ≥ min_count`` (the standard PMI floor —
+    rare pairs otherwise dominate with inflated scores).
+
+        pmi(a,b) = ln( (c_ab/N2) / ((c_a/N1) · (c_b/N1)) )
+
+    with exact BIGINT counts (c_ab bigram count, N2 total bigrams, c_a
+    unigram counts, N1 total tokens) — divisions of exact longs in a
+    PINNED association order, so both engines feed ``ln`` the same
+    double and the 6-decimal rounding absorbs its 1-ulp.
+
+    Scale shape: the ``min_count`` floor is applied to the bigram
+    counts BEFORE any join, so only surviving collocation candidates
+    (≤ vocab²/floor, in practice thousands) proceed; the unigram table
+    — corpus-vocabulary-sized, too big to broadcast at 100 TB — is
+    first semi-filtered to the candidates' member words under a
+    broadcast and THEN broadcast-joined twice (word_a, word_b). The
+    only full-data shuffles are the two count aggregations themselves.
+    """
+    tokens = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    uni = word_counts(df.select(tokens.alias("__toks")), "__toks").select(
+        F.col("word"), F.col("count").alias("__ca")
+    )
+    n1 = uni.agg(F.sum("__ca").alias("__n1"))
+    bi = ngram_counts(df, n=2, tokens_col=tokens_col)
+    n2 = bi.agg(F.sum("count").alias("__n2"))
+    cand = bi.where(F.col("count") >= min_count).select(
+        "ngram",
+        "count",
+        F.split_part(F.col("ngram"), F.lit(" "), F.lit(1)).alias("__wa"),
+        F.split_part(F.col("ngram"), F.lit(" "), F.lit(2)).alias("__wb"),
+    )
+    needed = cand.select(F.explode(F.array("__wa", "__wb")).alias("word")).distinct()
+    uni_small = F.broadcast(uni.join(F.broadcast(needed), "word", "left_semi"))
+    scored = (
+        cand.join(uni_small.select(F.col("word").alias("__wa"), F.col("__ca")), "__wa")
+        .join(
+            uni_small.select(F.col("word").alias("__wb"), F.col("__ca").alias("__cb")),
+            "__wb",
+        )
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+    )
+    pmi = F.log(
+        (F.col("count").cast("double") / F.col("__n2").cast("double"))
+        / (
+            (F.col("__ca").cast("double") / F.col("__n1").cast("double"))
+            * (F.col("__cb").cast("double") / F.col("__n1").cast("double"))
+        )
+    )
+    return (
+        scored.select("ngram", "count", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
 def ngram_counts(df: DataFrame, n: int = 2, tokens_col: Column | str = "tokens") -> DataFrame:
     """Corpus n-gram counts → (ngram, count), space-joined tokens.
 

@@ -2793,6 +2793,59 @@ def bigram_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "collocations_pmi_top50",
+    """
+    WITH toks AS (
+        SELECT list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tokens
+        FROM documents
+    ),
+    uni AS (
+        SELECT w AS word, count(*) AS ca
+        FROM toks, LATERAL (SELECT unnest(tokens) AS w) u
+        GROUP BY 1
+    ),
+    n1 AS (SELECT sum(ca) AS n1 FROM uni),
+    bi AS (
+        SELECT tokens[i] AS wa, tokens[i+1] AS wb,
+               tokens[i] || ' ' || tokens[i+1] AS ngram, count(*) AS cab
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tokens)-1)) AS i) g
+        GROUP BY 1, 2, 3
+    ),
+    n2 AS (SELECT sum(cab) AS n2 FROM bi)
+    SELECT ngram, cab AS count,
+           round(ln(
+               (CAST(cab AS DOUBLE) / CAST(n2 AS DOUBLE))
+               / ((CAST(a.ca AS DOUBLE) / CAST(n1 AS DOUBLE))
+                  * (CAST(b.ca AS DOUBLE) / CAST(n1 AS DOUBLE)))
+           ), 6) AS pmi
+    FROM bi JOIN uni a ON bi.wa = a.word JOIN uni b ON bi.wb = b.word, n1, n2
+    WHERE cab >= 5
+    ORDER BY pmi DESC, ngram ASC
+    LIMIT 50
+    """,
+)
+def collocations_pmi_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-50 bigrams by pointwise mutual
+    information with a count≥5 floor, over raw lowercased whitespace
+    tokens (bigram_top50's counting base — a collocation model needs
+    stopwords). PMI divides exact BIGINT count ratios in a pinned
+    association order before the single ln (operators/vocab.
+    pmi_collocations; the min-count floor prunes candidates BEFORE any
+    join, and the vocabulary-sized unigram table is semi-filtered to
+    candidate member words before it is broadcast — the only full-data
+    shuffles are the two count aggregations)."""
+    from .operators.vocab import pmi_collocations
+
+    docs = read_table(spark, sf_dir, "documents")
+    raw_tokens = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    return pmi_collocations(
+        docs.withColumn("tokens", raw_tokens), min_count=5, k=50
+    )
+
+
+@query(
     "embedding_centroid_topk",
     """
     WITH exploded AS (
@@ -4208,6 +4261,15 @@ _DEMOTED_PAST_CHECK_WINDOW = [
     #                             (which composes the exact pass)
     "confusion_metrics",
     "customer_order_setops",
+    # round 8 (tenth rotation): demoted for the never-checked
+    # collocations_pmi_top50:
+    #   pricing_summary — green r1-r7 (TPC-H Q1); the relational
+    #                     scan+agg family keeps customer_nation_revenue,
+    #                     revenue_rollup, order_status_cube,
+    #                     top_orders_per_customer, customer_running_
+    #                     revenue and dormant_customers in-window, and
+    #                     the Q1 shape stays benched
+    "pricing_summary",
     # round 8 (ninth rotation): demoted for the never-checked
     # events_gap_filled_hourly:
     #   events_session_stats — green r1-r7; the new query exercises the

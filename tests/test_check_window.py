@@ -15,7 +15,11 @@ from nlp_with_pyspark_spark.queries import (
 REQUIRED_IN_WINDOW = {
     # relational / TPC-H-ish (round 8: order_priority_counts demoted,
     # the returning order_status_cube covers the grouping family)
-    "pricing_summary", "customer_nation_revenue", "top_orders_per_customer",
+    # (tenth round-8 rotation: pricing_summary demoted after 7 green
+    # rounds for collocations_pmi_top50; Q1 shape stays benched, the
+    # scan+agg family keeps six members in-window)
+    "collocations_pmi_top50",
+    "customer_nation_revenue", "top_orders_per_customer",
     "revenue_rollup", "order_status_cube",
     # (fourth round-8 rotation: sql_top_unshipped_orders demoted for
     # corpus_shuffle_order; fifth rotation: customer_order_setops
