@@ -10,7 +10,7 @@ from .sinks import (
     search_index_sink,
     search_index_upsert_batch,
 )
-from .stateful import user_running_stats
+from .stateful import gap_filled_stream, user_running_stats
 from .windows import (
     events_stream_from_dir,
     sessionized_stream,
@@ -24,6 +24,7 @@ from .windows import (
 __all__ = [
     "click_purchase_attribution",
     "events_stream_from_dir",
+    "gap_filled_stream",
     "incremental_dedup_sink",
     "interval_join_streams",
     "neardup_dedup_sink",

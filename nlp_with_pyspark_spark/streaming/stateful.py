@@ -126,3 +126,187 @@ def user_running_stats(
             timeoutConf=timeout,
         )
     )
+
+
+#: output schema of gap_filled_stream — matches the batch
+#: resample_forward_fill columns exactly (stream-vs-batch equality)
+GAP_FILL_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("bucket_start_epoch", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("is_gap", T.BooleanType()),
+    ]
+)
+
+_GAP_STATE_SCHEMA = (
+    "pend_b array<long>, pend_ts array<long>, pend_id array<long>, "
+    "pend_v array<double>, last_b long, last_v double, has_last boolean"
+)
+
+
+def _gap_drain(pend, last, wm_sec, w):
+    """Emit every grid row the watermark has sealed, in bucket order.
+
+    ``pend``: sorted [(bucket, ts_ns, event_id, value)] per-bucket last
+    observations not yet emitted. ``last``: (bucket, value) of the most
+    recently emitted row, or None. A bucket [b, b+w) is sealed once
+    ``b + w <= wm_sec`` — no event for it can still arrive. Gap rows
+    between the last emitted bucket and the next OBSERVED bucket carry
+    the last value; trailing silence after the final observation emits
+    NOTHING (the batch grid ends at the key's last observed bucket, and
+    the stream cannot know whether a later observation extends it — so
+    it waits, exactly preserving batch semantics)."""
+    out = []
+    while pend:
+        b0, _ts0, _id0, v0 = pend[0]
+        if last is not None:
+            g, stalled = last[0] + w, False
+            while g < b0:
+                if g + w <= wm_sec:
+                    out.append((g, last[1], True))
+                    last = (g, last[1])
+                    g += w
+                else:
+                    stalled = True
+                    break
+            if stalled:
+                break
+        if b0 + w <= wm_sec:
+            out.append((b0, v0, False))
+            last = (b0, v0)
+            pend.pop(0)
+        else:
+            break
+    return out, pend, last
+
+
+def _make_gap_fill(width_sec: int, idle_ttl_ms: int):
+    w = width_sec
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd  # noqa: F811 (worker-side import)
+
+        if state.exists:
+            pb, pts, pid, pv, lb, lv, has_last = state.get
+            pend = sorted(zip(pb, pts, pid, pv))
+            last = (lb, lv) if has_last else None
+        else:
+            pend, last = [], None
+        if state.hasTimedOut and not pend:
+            # idle past ttl with nothing sealed-pending: evict
+            state.remove()
+            return
+
+        new_rows = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            ts_ns = pdf["ts_ns"].astype("int64")
+            new_rows.append(
+                pd.DataFrame(
+                    {
+                        "b": (ts_ns // 1_000_000_000) // w * w,
+                        "ts": ts_ns,
+                        "id": pdf["event_id"].astype("int64"),
+                        "v": pdf["value"].astype("float64"),
+                    }
+                )
+            )
+        if new_rows:
+            allobs = pd.concat(
+                [pd.DataFrame({"b": [b for b, *_ in pend],
+                               "ts": [t for _, t, *_ in pend],
+                               "id": [i for *_, i, _ in pend],
+                               "v": [v for *_, v in pend]})]
+                + new_rows
+            )
+            # per-bucket last observation, tie-break (ts_ns, event_id):
+            # sort ascending, keep the final row of each bucket
+            allobs = allobs.sort_values(["b", "ts", "id"]).drop_duplicates(
+                "b", keep="last"
+            )
+            pend = [
+                (int(r.b), int(r.ts), int(r.id), float(r.v))
+                for r in allobs.itertuples(index=False)
+            ]
+            pend.sort()
+            if last is not None:
+                # anything at or before the emitted frontier arrived
+                # beyond the watermark contract; drop (cannot re-emit)
+                pend = [p for p in pend if p[0] > last[0]]
+
+        wm_ms = state.getCurrentWatermarkMs()
+        out, pend, last = _gap_drain(pend, last, wm_ms // 1000, w)
+
+        state.update(
+            (
+                [p[0] for p in pend],
+                [p[1] for p in pend],
+                [p[2] for p in pend],
+                [p[3] for p in pend],
+                last[0] if last else 0,
+                last[1] if last else 0.0,
+                last is not None,
+            )
+        )
+        if pend:
+            # wake when the next emittable bucket seals (gap frontier if
+            # one is owed, else the first pending observation)
+            nxt = min(pend[0][0], last[0] + w) if last else pend[0][0]
+            state.setTimeoutTimestamp(max((nxt + w) * 1000, wm_ms + 1))
+        else:
+            # nothing owed: plain idle eviction
+            state.setTimeoutTimestamp(wm_ms + idle_ttl_ms)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out),
+                    "bucket_start_epoch": [b for b, _, _ in out],
+                    "value": [v for _, v, _ in out],
+                    "is_gap": [g for _, _, g in out],
+                }
+            )
+
+    return update
+
+
+def gap_filled_stream(
+    events: DataFrame,
+    width_sec: int = 3600,
+    watermark: str = "1 hour",
+    idle_ttl_sec: int = 3600,
+) -> DataFrame:
+    """Streaming twin of ``operators.windows.resample_forward_fill``:
+    per-user fixed-grid rows with last-observation-carried-forward,
+    emitted as the watermark SEALS each bucket — a custom stateful
+    operator (``applyInPandasWithState``, append mode) Spark's built-in
+    windowed aggregations cannot express, because a gap row's value
+    comes from an arbitrarily older event.
+
+    Equality contract (pinned in tests): drain a finite stream whose
+    watermark ends beyond every bucket, and the collected rows equal
+    the batch operator's over the same events — same grid, same fill
+    values, same (ts_ns, event_id) in-bucket tie-break, and the same
+    trailing-silence rule (the grid ends at each key's last observed
+    bucket; the stream holds that bucket back until a later observation
+    proves the grid extends, so it never emits a row batch wouldn't).
+
+    State per key is the un-sealed observation span only — bounded by
+    (watermark delay + max gap)/width rows, not stream length — plus
+    one (bucket, value) frontier; sealed rows leave state immediately.
+    Keys use event-time timeouts both to flush buckets that seal while
+    the key itself is silent (other keys advance the watermark) and to
+    evict idle keys after ``idle_ttl_sec``.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_gap_fill(width_sec, idle_ttl_sec * 1000),
+            outputStructType=GAP_FILL_SCHEMA,
+            stateStructType=_GAP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

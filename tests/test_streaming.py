@@ -1602,3 +1602,69 @@ def test_search_index_streaming_sink_end_to_end(spark, tmp_path):
     assert (stats_before["n_docs"], stats_before["total_dl"]) == (
         stats_after["n_docs"], stats_after["total_dl"],
     )
+
+
+def test_gap_filled_stream_matches_batch(spark, tmp_path):
+    """Streaming LOCF resample ≡ batch resample_forward_fill after a
+    finite drain: same grid, same fill values, same in-bucket
+    tie-break. Sentinel far-future events under user -1 drive the
+    watermark so every real bucket seals, and the second sentinel batch
+    gives the event-time timeouts a trigger to flush buckets whose keys
+    went silent."""
+    import pyspark.sql.functions as F
+
+    from nlp_with_pyspark_spark.operators.windows import resample_forward_fill
+    from nlp_with_pyspark_spark.sources.io import normalize_events
+    from nlp_with_pyspark_spark.streaming.stateful import gap_filled_stream
+    from nlp_with_pyspark_spark.streaming.windows import (
+        events_stream_from_dir,
+        run_to_memory,
+    )
+
+    base = 1_700_000_000_000_000
+    hour = 3_600_000_000
+    src = tmp_path / "gf_src"
+    src.mkdir()
+    # user 10: two in-bucket events at hour 0 (tie-break), then hour 3
+    # (two gap hours); user 20: a single observation. Split across files
+    # so the state crosses micro-batches mid-gap.
+    _write_events_file(
+        spark,
+        src / "f1",
+        [
+            (1, base + 5_000_000, 10, "click", 1.0, "{}"),
+            (2, base + 9_000_000, 10, "click", 2.5, "{}"),
+            (3, base + hour + 1_000_000, 20, "view", 7.0, "{}"),
+        ],
+    )
+    _write_events_file(
+        spark,
+        src / "f2",
+        [(4, base + 3 * hour + 1_000_000, 10, "click", 9.0, "{}")],
+    )
+    _write_events_file(spark, src / "f3", [(900, base + 24 * hour, -1, "click", 0.0, "{}")])
+    _write_events_file(spark, src / "f4", [(901, base + 25 * hour, -1, "click", 0.0, "{}")])
+
+    stream = events_stream_from_dir(spark, str(src / "f*"), max_files_per_trigger=1)
+    out = gap_filled_stream(stream, width_sec=3600, watermark="1 minute")
+    q = run_to_memory(out, "t_gapfill", output_mode="append")
+    try:
+        got = sorted(
+            (r.user_id, r.bucket_start_epoch, r.value, r.is_gap)
+            for r in spark.table("t_gapfill").collect()
+            if r.user_id != -1
+        )
+    finally:
+        q.stop()
+
+    b = normalize_events(spark.read.parquet(str(src / "f*"))).where(
+        F.col("user_id") != -1
+    )
+    want = sorted(
+        (r.user_id, r.bucket_start_epoch, r.value, r.is_gap)
+        for r in resample_forward_fill(b, width_sec=3600).collect()
+    )
+    assert got == want
+    # the scenario actually exercises gaps + the in-bucket tie-break
+    assert sum(1 for _, _, _, g in want if g) == 2
+    assert (10, base // 1_000_000 // 3600 * 3600, 2.5, False) in want
