@@ -168,6 +168,15 @@ def group_safe_split(
     """
     from pyspark.sql import Window
 
+    taken = {"rep", "split"} & set(df.columns)
+    if taken:
+        # withColumn silently REPLACES on name collision — refuse rather
+        # than overwrite caller data (the __-prefix convention guards the
+        # internal columns elsewhere; these two are deliberate outputs)
+        raise ValueError(
+            f"group_safe_split writes output columns {sorted(taken)} that "
+            "already exist in the input — rename or drop them first"
+        )
     g = F.col(group_col) if isinstance(group_col, str) else group_col
     rep = F.min(id_col).over(Window.partitionBy(g))
     return hash_split(

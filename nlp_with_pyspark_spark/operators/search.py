@@ -28,7 +28,8 @@ here follows the engine's bucketed-store contract (the
 keyed by word, the doc-length norm DENORMALIZED into each posting (the
 classic posting-list layout) so query-time needs NO join back to a
 per-doc table; corpus stats are a one-row ``(n_docs, total_dl)`` table
-kept exactly mergeable across appends. A query is then: scan postings
+re-derived from a committed per-doc ledger after every append (exact
+BIGINTs — never a read-modify-write fold). A query is then: scan postings
 with the term IN-filter pushed to parquet (the index side crosses ZERO
 shuffle Exchanges — plan-asserted in tests), aggregate candidate-sized
 frames only, broadcast the ≤|query|-row df table. Appends reuse
@@ -221,13 +222,21 @@ def bm25_batch_topk(
 
 @dataclass(frozen=True)
 class PostingIndex:
-    """An inverted index as two frames: ``postings`` (word, doc_id, tf,
-    dl — the length norm denormalized into every posting) and ``stats``
-    (one row: n_docs, total_dl — exact BIGINTs, so appends merge by
-    addition and ``avgdl = total_dl / n_docs`` is reproduced exactly)."""
+    """An inverted index as three frames: ``postings`` (word, doc_id,
+    tf, dl — the length norm denormalized into every posting),
+    ``stats`` (one row: n_docs, total_dl — exact BIGINTs, so
+    ``avgdl = total_dl / n_docs`` is reproduced exactly), and ``docs``
+    (doc_id, dl — one row per indexed document, INCLUDING token-less
+    docs that have no postings). ``docs`` is the append-time ledger:
+    the replay guard anti-joins against it and ``stats`` re-derives
+    from it, the same store layout the streaming ingest sink keeps
+    (streaming/sinks.search_index_upsert_batch). Query-time never
+    touches it (``None`` on indexes loaded from a legacy two-table
+    store)."""
 
     postings: DataFrame
     stats: DataFrame
+    docs: DataFrame | None = None
 
 
 def build_posting_index(
@@ -249,7 +258,7 @@ def build_posting_index(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("__dl").cast("long").alias("total_dl"),
     )
-    return PostingIndex(postings, stats)
+    return PostingIndex(postings, stats, toks.select("doc_id", F.col("__dl").alias("dl")))
 
 
 def persist_posting_index(
@@ -261,7 +270,10 @@ def persist_posting_index(
     """Write ``{prefix}_postings`` bucketed+sorted by word (the
     query-time key — the IN-filter prunes buckets and row groups, and
     the bucket count is the index's layout contract for the life of the
-    store) and ``{prefix}_stats`` as a one-row table."""
+    store), ``{prefix}_docs`` bucketed by doc_id (the append-time
+    ledger: the replay guard's anti-join reads it already partitioned
+    on the join key, zero store-side Exchange), and ``{prefix}_stats``
+    as a one-row table."""
     from ..sources.io import write_bucketed
 
     write_bucketed(
@@ -271,6 +283,14 @@ def persist_posting_index(
         n_buckets,
         path=None if path is None else f"{path}/postings",
     )
+    if index.docs is not None:
+        write_bucketed(
+            index.docs,
+            f"{table_prefix}_docs",
+            "doc_id",
+            n_buckets,
+            path=None if path is None else f"{path}/docs",
+        )
     writer = index.stats.write.mode("overwrite").format("parquet")
     if path is not None:
         writer = writer.option("path", f"{path}/stats")
@@ -278,41 +298,85 @@ def persist_posting_index(
 
 
 def load_posting_index(spark: SparkSession, table_prefix: str) -> PostingIndex:
+    docs_tbl = f"{table_prefix}_docs"
     return PostingIndex(
-        spark.table(f"{table_prefix}_postings"), spark.table(f"{table_prefix}_stats")
+        spark.table(f"{table_prefix}_postings"),
+        spark.table(f"{table_prefix}_stats"),
+        spark.table(docs_tbl) if spark.catalog.tableExists(docs_tbl) else None,
     )
 
 
 def append_to_posting_index(index_delta: PostingIndex, table_prefix: str) -> None:
-    """Append a new batch's postings into the persisted index and fold
-    its stats into the one-row stats table. The postings append goes
-    through ``append_to_bucketed_table`` (bucket spec read from the
+    """Append a new batch into the persisted index, REPLAY-SAFELY, and
+    refresh the one-row stats table from committed data. Both appends
+    go through ``append_to_bucketed_table`` (bucket spec read from the
     catalog, never the caller), so the Exchange-free query layout
-    survives every append. Appended doc ids must be DISJOINT from the
-    index (same contract as ``append_to_minhash_index``: dedup/identify
-    first); the stats fold is exact BIGINT addition, so ``avgdl`` after
-    N appends equals the one-shot build's to the last bit.
+    survives every append.
 
-    The two writes are not atomic: a crash between them leaves postings
-    counted in queries but not in (n_docs, avgdl). BM25 degrades
-    smoothly under a slightly-stale avgdl (it is a corpus-level
-    smoothing constant, not a correctness key), and re-running the
-    append's stats fold is idempotent repair; a store that needs
-    stronger guarantees should wrap the append in the ingest sink's
-    batch protocol (streaming/sinks.py)."""
+    Idempotence / crash ordering (the ingest sink's protocol,
+    streaming/sinks.search_index_upsert_batch): docs already present in
+    the ``{prefix}_docs`` ledger are dropped from the delta up front
+    (anti-join against the ledger — re-appending a committed doc, the
+    natural recovery after a crash, is a no-op rather than a double
+    count). The delta's postings are then anti-joined against the
+    store's rows for the delta's own doc ids — (word, doc_id) is
+    row-identifying and the posting build is deterministic, so a
+    replay after a crash BETWEEN the postings append and the docs
+    append cancels row-for-row and appends only what the crashed
+    attempt did not commit. Append order is postings → docs (the
+    commit point) → stats; stats are DERIVED from the committed docs
+    ledger (exact BIGINTs, token-less docs included) and overwritten —
+    never a read-modify-write fold — so no sequence of crashes or
+    replays can double-count them, and ``avgdl`` after N appends
+    equals the one-shot build's to the last bit.
+
+    Scale shape: both guard joins semi-filter the store scan by the
+    broadcast delta id list, so only this batch's (possibly stale)
+    rows ever reach a join, and the ledger side is bucketed on the
+    join key; the stats recompute is a keys-only ledger scan — an
+    append-time, not query-time, cost."""
     from ..sources.io import append_to_bucketed_table
 
+    if index_delta.docs is None:
+        raise ValueError(
+            "append_to_posting_index needs a delta with a docs ledger "
+            "(build_posting_index provides one); a legacy two-table store "
+            "cannot be appended to replay-safely"
+        )
     spark = index_delta.postings.sparkSession
-    append_to_bucketed_table(index_delta.postings, f"{table_prefix}_postings")
-    old = spark.table(f"{table_prefix}_stats").collect()[0]
-    delta = index_delta.stats.collect()[0]
-    merged = spark.createDataFrame(
-        [(old["n_docs"] + delta["n_docs"], old["total_dl"] + delta["total_dl"])],
-        "n_docs bigint, total_dl bigint",
+    postings_tbl = f"{table_prefix}_postings"
+    docs_tbl = f"{table_prefix}_docs"
+    if not spark.catalog.tableExists(docs_tbl):
+        raise ValueError(
+            f"{docs_tbl} not found: the store predates the docs ledger — "
+            "rebuild it with persist_posting_index before appending"
+        )
+    spark.catalog.refreshTable(postings_tbl)
+    spark.catalog.refreshTable(docs_tbl)
+    # replay guard: committed docs leave the delta entirely
+    committed_ids = spark.table(docs_tbl).select("doc_id")
+    fresh_docs = index_delta.docs.join(committed_ids, "doc_id", "left_anti")
+    # the ledger delta is consumed by the stale-row guard's broadcast id
+    # list, the postings anti-join and the docs append — pin it once
+    fresh_docs = fresh_docs.localCheckpoint()
+    batch_ids = F.broadcast(fresh_docs.select("doc_id"))
+    to_append = index_delta.postings.join(batch_ids, "doc_id", "left_semi")
+    stale = spark.table(postings_tbl).join(batch_ids, "doc_id", "left_semi")
+    to_append = to_append.join(stale, ["word", "doc_id"], "left_anti")
+    append_to_bucketed_table(to_append, postings_tbl)
+    append_to_bucketed_table(fresh_docs, docs_tbl)  # commit point
+    spark.catalog.refreshTable(docs_tbl)
+    row = (
+        spark.table(docs_tbl)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").cast("long").alias("total_dl"),
+        )
+        .collect()[0]
     )
-    merged.write.mode("overwrite").format("parquet").saveAsTable(
-        f"{table_prefix}_stats"
-    )
+    spark.createDataFrame(
+        [(row["n_docs"], row["total_dl"])], "n_docs bigint, total_dl bigint"
+    ).write.mode("overwrite").format("parquet").saveAsTable(f"{table_prefix}_stats")
 
 
 def bm25_topk_indexed(

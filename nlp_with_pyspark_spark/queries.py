@@ -388,11 +388,13 @@ def events_gap_filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     event stream resampled onto an hourly grid from their first to
     last observed hour, value = last observation carried forward
     (deterministic in-bucket tie-break on (ts_ns, event_id)), is_gap
-    marking synthesized rows. The grid is generated DISTRIBUTED via
-    sequence+explode — no driver loop — and the whole plan rides ONE
-    shuffle: the up-front repartition by user satisfies the in-bucket
-    rank window, the span agg, the grid⋈agg join and the fill window
-    (key-subset co-location; plan-tested in tests/test_gap_fill.py)."""
+    marking synthesized rows. Densification is RUN-LENGTH EXPANSION —
+    each observation learns the next observed bucket via ``lead`` and
+    explodes its own gap run with ``sequence``+``explode``, no grid
+    table and no grid⋈agg join — and the whole plan rides ONE shuffle:
+    the up-front repartition by user satisfies both the in-bucket rank
+    window and the lead window via key-subset co-location (plan-tested
+    in tests/test_gap_fill.py)."""
     return windows.resample_forward_fill(
         read_table(spark, sf_dir, "events"), width_sec=3600
     )

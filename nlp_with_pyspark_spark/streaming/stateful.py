@@ -194,8 +194,22 @@ def _make_gap_fill(width_sec: int, idle_ttl_ms: int):
         else:
             pend, last = [], None
         if state.hasTimedOut and not pend:
-            # idle past ttl with nothing sealed-pending: evict
-            state.remove()
+            if last is None:
+                # idle past ttl, nothing pending, nothing ever emitted:
+                # nothing to preserve — evict outright
+                state.remove()
+            else:
+                # idle past ttl: shed the (empty) pending buffer but
+                # RETAIN the LOCF frontier (two scalars). A key that
+                # resumes after an event-time silence longer than the
+                # ttl must still fill the whole silent span, exactly
+                # like the batch twin — if the frontier were evicted
+                # the key would restart at last=None and the gap rows
+                # for the silent span would silently never be emitted.
+                # No new timeout is registered: the frontier-only
+                # state costs nothing per trigger and sleeps until the
+                # key's next event re-arms the machine.
+                state.update(([], [], [], [], last[0], last[1], True))
             return
 
         new_rows = []
@@ -297,7 +311,15 @@ def gap_filled_stream(
     one (bucket, value) frontier; sealed rows leave state immediately.
     Keys use event-time timeouts both to flush buckets that seal while
     the key itself is silent (other keys advance the watermark) and to
-    evict idle keys after ``idle_ttl_sec``.
+    shed idle keys after ``idle_ttl_sec``. Idle shedding drops the
+    (empty) pending buffer but RETAINS the two-scalar LOCF frontier —
+    a key that resumes after a silence longer than the ttl still fills
+    the entire silent span, so stream == batch holds across arbitrary
+    gaps (pinned in tests); only keys that never emitted a row are
+    evicted outright. The frontier residual is (long, double) per
+    ever-active key — the same order of state a streaming
+    de-duplicator keeps — and frontier-only keys register no timeout,
+    so they cost nothing per trigger.
     """
     return (
         events.withWatermark("ts", watermark)

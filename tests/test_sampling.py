@@ -245,3 +245,18 @@ def test_shuffle_payload_rides_along(docs):
     got = {r.doc_id: (r.lang, r.n_chars) for r in out.collect()}
     want = {r.doc_id: (r.lang, r.n_chars) for r in docs.select("doc_id", "lang", "n_chars").collect()}
     assert got == want
+
+
+def test_group_safe_split_refuses_output_column_collision(docs):
+    """withColumn replaces on name collision — the operator must refuse
+    to silently overwrite a caller's existing 'rep' or 'split' column."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    keyed = _prefix_keyed(docs)
+    with pytest.raises(ValueError, match="rep"):
+        group_safe_split(keyed.withColumn("rep", F.lit(0)), FR, group_col="grp")
+    with pytest.raises(ValueError, match="split"):
+        group_safe_split(
+            keyed.withColumn("split", F.lit("x")), FR, group_col="grp"
+        )

@@ -352,8 +352,8 @@ def test_posting_index_matches_direct_bitwise(spark, tokenized_docs, tmp_path):
             bm25_topk(tokenized_docs, TERMS, k=15)
         )
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {prefix}_postings")
-        spark.sql(f"DROP TABLE IF EXISTS {prefix}_stats")
+        for t in ("postings", "docs", "stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
 
 
 def test_posting_index_append_equivalence(spark, tokenized_docs, tmp_path):
@@ -389,5 +389,106 @@ def test_posting_index_append_equivalence(spark, tokenized_docs, tmp_path):
         ref = build_posting_index(tokenized_docs).stats.collect()[0]
         assert (got["n_docs"], got["total_dl"]) == (ref["n_docs"], ref["total_dl"])
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {prefix}_postings")
-        spark.sql(f"DROP TABLE IF EXISTS {prefix}_stats")
+        for t in ("postings", "docs", "stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_posting_index_append_replay_is_noop(spark, tokenized_docs, tmp_path):
+    """Re-running the SAME append (the natural recovery after a crash
+    mid-append) changes nothing: no duplicate postings, the docs ledger
+    stays one row per doc, and the derived stats are byte-identical —
+    the replay guard + derive-don't-fold protocol. Pre-fix this
+    double-appended postings and double-folded stats."""
+    from pyspark.sql import functions as F  # noqa: F811
+    from nlp_with_pyspark_spark.operators.search import (
+        append_to_posting_index,
+        bm25_topk,
+        bm25_topk_indexed,
+        build_posting_index,
+        load_posting_index,
+        persist_posting_index,
+    )
+
+    prefix = "t_bm25_replay"
+    half_a = tokenized_docs.where(F.col("doc_id") % 2 == 0)
+    half_b = tokenized_docs.where(F.col("doc_id") % 2 == 1)
+    persist_posting_index(
+        build_posting_index(half_a), prefix, n_buckets=8,
+        path=str(tmp_path / "pidx"),
+    )
+    try:
+        append_to_posting_index(build_posting_index(half_b), prefix)
+        idx = load_posting_index(spark, prefix)
+        snap = sorted(
+            (r.word, r.doc_id, r.tf, r.dl) for r in idx.postings.collect()
+        )
+        stats = idx.stats.collect()[0]
+        # replay the exact same delta — and once more for good measure
+        append_to_posting_index(build_posting_index(half_b), prefix)
+        append_to_posting_index(build_posting_index(half_b), prefix)
+        idx2 = load_posting_index(spark, prefix)
+        assert sorted(
+            (r.word, r.doc_id, r.tf, r.dl) for r in idx2.postings.collect()
+        ) == snap
+        got = idx2.stats.collect()[0]
+        assert (got["n_docs"], got["total_dl"]) == (
+            stats["n_docs"], stats["total_dl"],
+        )
+        ledger_dups = (
+            idx2.docs.groupBy("doc_id").count().where(F.col("count") > 1)
+        )
+        assert ledger_dups.count() == 0
+        # and the index still answers identically to the direct path
+        assert _topk_rows(bm25_topk_indexed(idx2, TERMS, k=15)) == _topk_rows(
+            bm25_topk(tokenized_docs, TERMS, k=15)
+        )
+    finally:
+        for t in ("postings", "docs", "stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_posting_index_append_heals_partial_postings(spark, tokenized_docs, tmp_path):
+    """Crash window between the postings append and the docs-ledger
+    append: stale postings rows exist for docs the ledger does not
+    know. The replayed append must cancel those rows row-for-row (not
+    duplicate them) and commit the rest — the (word, doc_id) anti-join
+    leg of the protocol."""
+    from pyspark.sql import functions as F  # noqa: F811
+    from nlp_with_pyspark_spark.operators.search import (
+        append_to_posting_index,
+        build_posting_index,
+        load_posting_index,
+        persist_posting_index,
+    )
+    from nlp_with_pyspark_spark.sources.io import append_to_bucketed_table
+
+    prefix = "t_bm25_crashwin"
+    half_a = tokenized_docs.where(F.col("doc_id") % 2 == 0)
+    half_b = tokenized_docs.where(F.col("doc_id") % 2 == 1)
+    persist_posting_index(
+        build_posting_index(half_a), prefix, n_buckets=8,
+        path=str(tmp_path / "pidx"),
+    )
+    try:
+        delta = build_posting_index(half_b)
+        # simulate the crashed attempt: HALF the delta's postings land,
+        # the docs ledger and stats never do
+        partial = delta.postings.where(F.col("doc_id") % 4 == 1)
+        append_to_bucketed_table(partial, f"{prefix}_postings")
+        # recovery = replay the whole append
+        append_to_posting_index(build_posting_index(half_b), prefix)
+        idx = load_posting_index(spark, prefix)
+        dups = (
+            idx.postings.groupBy("word", "doc_id").count().where(F.col("count") > 1)
+        )
+        assert dups.count() == 0
+        ref = build_posting_index(tokenized_docs)
+        assert idx.postings.count() == ref.postings.count()
+        got = idx.stats.collect()[0]
+        want = ref.stats.collect()[0]
+        assert (got["n_docs"], got["total_dl"]) == (
+            want["n_docs"], want["total_dl"],
+        )
+    finally:
+        for t in ("postings", "docs", "stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")

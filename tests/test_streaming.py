@@ -1668,3 +1668,68 @@ def test_gap_filled_stream_matches_batch(spark, tmp_path):
     # the scenario actually exercises gaps + the in-bucket tie-break
     assert sum(1 for _, _, _, g in want if g) == 2
     assert (10, base // 1_000_000 // 3600 * 3600, 2.5, False) in want
+
+
+def test_gap_filled_stream_resumes_after_idle_ttl(spark, tmp_path):
+    """A key silent for (much) longer than idle_ttl_sec must still fill
+    the WHOLE silent span when it resumes — the idle timeout sheds the
+    pending buffer but retains the two-scalar LOCF frontier. The file
+    sequence forces the timeout to actually fire mid-silence (sentinel
+    user -1 triggers advance the watermark ~20 event-time hours past
+    the key's last event while idle_ttl is 1 hour), so with an evicting
+    timeout the resumed key would restart at last=None and the ~29 gap
+    rows would silently never appear (the pre-fix divergence)."""
+    import pyspark.sql.functions as F
+
+    from nlp_with_pyspark_spark.operators.windows import resample_forward_fill
+    from nlp_with_pyspark_spark.sources.io import normalize_events
+    from nlp_with_pyspark_spark.streaming.stateful import gap_filled_stream
+    from nlp_with_pyspark_spark.streaming.windows import (
+        events_stream_from_dir,
+        run_to_memory,
+    )
+
+    base = 1_700_000_000_000_000
+    hour = 3_600_000_000
+    src = tmp_path / "gf_ttl_src"
+    src.mkdir()
+    # one trigger per file: observe → seal → time out idle → resume
+    files = [
+        [(1, base + 5_000_000, 10, "click", 4.0, "{}")],        # obs @ h0
+        [(900, base + 10 * hour, -1, "click", 0.0, "{}")],      # wm → ~h10
+        [(901, base + 20 * hour, -1, "click", 0.0, "{}")],      # seal h0; arm idle ttl
+        [(902, base + 21 * hour, -1, "click", 0.0, "{}")],      # idle timeout FIRES here
+        [(2, base + 30 * hour + 1_000, 10, "click", 8.0, "{}")],  # resume @ h30
+        [(903, base + 40 * hour, -1, "click", 0.0, "{}")],      # wm → ~h30, drain gaps
+        [(904, base + 41 * hour, -1, "click", 0.0, "{}")],      # seal h30
+    ]
+    for i, rows in enumerate(files):
+        _write_events_file(spark, src / f"f{i}", rows)
+
+    stream = events_stream_from_dir(spark, str(src / "f*"), max_files_per_trigger=1)
+    out = gap_filled_stream(
+        stream, width_sec=3600, watermark="1 minute", idle_ttl_sec=3600
+    )
+    q = run_to_memory(out, "t_gapfill_ttl", output_mode="append")
+    try:
+        got = sorted(
+            (r.user_id, r.bucket_start_epoch, r.value, r.is_gap)
+            for r in spark.table("t_gapfill_ttl").collect()
+            if r.user_id != -1
+        )
+    finally:
+        q.stop()
+
+    b = normalize_events(spark.read.parquet(str(src / "f*"))).where(
+        F.col("user_id") != -1
+    )
+    want = sorted(
+        (r.user_id, r.bucket_start_epoch, r.value, r.is_gap)
+        for r in resample_forward_fill(b, width_sec=3600).collect()
+    )
+    assert got == want
+    # the scenario is only meaningful if the silent span dwarfs the ttl:
+    # 29 gap hours all carrying the pre-silence value
+    gaps = [(bkt, v) for _, bkt, v, g in want if g]
+    assert len(gaps) == 29
+    assert {v for _, v in gaps} == {4.0}
