@@ -980,14 +980,20 @@ def semantic_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-orthogonal synthetic vectors): nearest-centroid assignment is a
     literal-compiled projection, the quadratic search never crosses a
     cluster boundary. embedding_near_dups (the exact all-pairs verifier)
-    bounds this query's recall in tests/test_dedup_similarity.py."""
-    from .operators.dedup import semantic_dedup_pairs
+    bounds this query's recall in tests/test_dedup_similarity.py.
 
-    return semantic_dedup_pairs(
-        read_table(spark, sf_dir, "embeddings"),
-        _collect_centroids(spark, sf_dir),
-        threshold=0.3,
-    )
+    The assignment is computed ONCE and pinned (the `assigned=` reuse
+    seam + localCheckpoint — the _tokenized_documents_shared pattern):
+    the pair plan consumes it in three subtrees (cap filter, both
+    self-join sides), and an unmaterialized lineage re-evaluates the
+    O(k·d) argmin projection once per subtree — at 100 TB, one
+    redundant corpus scan per subtree."""
+    from .operators.dedup import semantic_cluster_assign, semantic_dedup_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = _collect_centroids(spark, sf_dir)
+    assigned = semantic_cluster_assign(emb, cents).localCheckpoint()
+    return semantic_dedup_pairs(emb, cents, threshold=0.3, assigned=assigned)
 
 
 @query(
@@ -1011,14 +1017,16 @@ def semantic_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def semantic_dedup_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster SemDeDup prune report under the keep-lowest-id drop
     rule (n_dropped = distinct id_b over the pair set; every centroid
-    present even with zero drops)."""
-    from .operators.dedup import semantic_dedup_stats
+    present even with zero drops). The assignment is computed once and
+    pinned via the `assigned=` seam — the report consumes it in FOUR
+    plan subtrees (sizes, cap filter, both self-join sides), exactly
+    the production pattern the operator docstring prescribes."""
+    from .operators.dedup import semantic_cluster_assign, semantic_dedup_stats
 
-    return semantic_dedup_stats(
-        read_table(spark, sf_dir, "embeddings"),
-        _collect_centroids(spark, sf_dir),
-        threshold=0.3,
-    )
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = _collect_centroids(spark, sf_dir)
+    assigned = semantic_cluster_assign(emb, cents).localCheckpoint()
+    return semantic_dedup_stats(emb, cents, threshold=0.3, assigned=assigned)
 
 
 @query(
