@@ -93,11 +93,6 @@ HEADLINE = [
     "simhash_delta_pairs",
     # round 8 rotation — see MEMBERSHIP POLICY below
     "collocations_pmi_top50",
-    "simhash_fingerprints",
-    "order_priority_melt",
-    "multimodal_resize",
-    "corpus_train_split",
-    "doc_length_histogram",
     "zorder_file_envelopes",
     # round 8 (second swap): the new semantic-dedup family, never benched
     "semantic_dedup_pairs",
@@ -107,17 +102,23 @@ HEADLINE = [
     "decontam_fuzzy_overlap",
     # round 8 (fourth swap): deterministic training order, new registration
     "corpus_shuffle_order",
-    # round 8 (fifth swap): the round-9 rotation debt cleared early —
-    # every remaining never-benched registered query
-    "token_budget",
-    "order_status_cube",
-    "customer_running_revenue",
-    "events_distinct_users",
-    "multimodal_asset_stats",
     # round 8 (sixth swap): sketch/search family, new registrations
     "doc_length_quantiles",
     "vocab_heavy_hitters",
     "bm25_search_topk",
+    # round 9 rotation — IN: the two new registrations (never benched)
+    # plus the seven r8-OUT queries benched through r7, re-entering
+    # under the every-3-rounds rule. OUT (all benched r8, kin stays —
+    # see the round-9 note in MEMBERSHIP POLICY below)
+    "bm25_indexed_topk",
+    "events_distinct_sketch",
+    "order_priority_counts",
+    "small_qty_part_revenue",
+    "high_balance_inactive",
+    "promo_revenue_share",
+    "doc_token_stats",
+    "latest_event_per_user",
+    "supplier_nation_revenue",
 ]
 # MEMBERSHIP POLICY (round 8). The printed JSON line must stay under
 # ~1850 chars (the driver captures only the last 2000 chars of stdout),
@@ -198,11 +199,33 @@ HEADLINE = [
 # registration). OUT: tfidf_smoothed_long (benched r8; its unsmoothed
 # twin tfidf_long stays benched, and the PMI query exercises the same
 # unigram/bigram count + broadcast-join machinery).
-# Rotation debt for round 9: the round-8-OUT set re-enters by round 11
-# under the every-3-rounds rule (oldest first: order_priority_counts,
-# small_qty_part_revenue, high_balance_inactive, promo_revenue_share,
-# doc_token_stats, latest_event_per_user, supplier_nation_revenue —
-# benched through r7; then the r8 OUTs above, benched through r8).
+# Round 9 swap — IN: bm25_indexed_topk + events_distinct_sketch (new
+# registrations, never benched) and the full r7-stale debt
+# (order_priority_counts, small_qty_part_revenue,
+# high_balance_inactive, promo_revenue_share, doc_token_stats,
+# latest_event_per_user, supplier_nation_revenue — benched through
+# r7, due by r10). OUT (all benched r8, kin stays benched):
+# simhash_fingerprints (simhash_delta_pairs runs the full chain),
+# order_priority_melt (its inverse order_priority_counts returns),
+# multimodal_resize + multimodal_asset_stats (mapInArrow / metadata
+# shapes → multimodal_decode_features), corpus_train_split
+# (md5-threshold draw → leakage_safe_split + corpus_shuffle_order),
+# doc_length_histogram (→ doc_length_quantiles, exact-at-scale
+# successor), token_budget (→ token_pack_assignments + the returning
+# doc_token_stats), order_status_cube (→ revenue_rollup),
+# customer_running_revenue (→ customer_rolling_7d_revenue),
+# events_distinct_users (→ events_distinct_sketch, its mergeable-HLL
+# scale twin over the same grouping, entering this round; the line-
+# length budget note below is why the swap is 10-for-9).
+# Rotation debt for round 10: the r8-OUT set benched through r8
+# (bigram_top50, corpus_clean_stats, doc_token_chunks,
+# multimodal_frame_sample, local_supplier_volume, price_percentiles,
+# ann_lsh_topk, confusion_metrics, stratified_sample_by_lang,
+# lang_id_counts, doc_fingerprints, events_sliding_10m,
+# tfidf_smoothed_long, order_priority_pivot, simhash_near_pairs,
+# session_event_overlap, click_purchase_attribution, markup_strip_
+# stats, embedding_rp_project) is due by r11; the round-9 OUTs above
+# (benched r8) likewise.
 
 
 def run_one(name: str, sf_dir: str, runs: int) -> None:

@@ -492,3 +492,27 @@ def test_posting_index_append_heals_partial_postings(spark, tokenized_docs, tmp_
     finally:
         for t in ("postings", "docs", "stats"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_events_distinct_sketch_query_near_exact(spark, sf_dir):
+    """The registered rows-only query (no SQL oracle is possible —
+    DataSketches HLL != DuckDB's HLL) still gets a value gate here:
+    per-type estimates within the lgk=12 error budget of the exact
+    distinct count, and one row per event type."""
+    from nlp_with_pyspark_spark.queries import QUERIES
+    from nlp_with_pyspark_spark.sources.io import read_table
+
+    got = {
+        r.event_type: r.n_distinct_est
+        for r in QUERIES["events_distinct_sketch"](spark, sf_dir).collect()
+    }
+    events = read_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, n in exact.items():
+        assert abs(got[k] - n) <= max(0.05 * n, 2), (k, n, got[k])
