@@ -335,7 +335,13 @@ def _replicate_embeddings(spark, base_dir: str, out_dir: str, factor: int) -> No
     os.rename(dst + ".tmp", dst)
 
 
-def sink_probe_leg(corpus_dir: str, tag: str, batch_docs: int, runs: int) -> dict:
+def sink_probe_leg(
+    corpus_dir: str,
+    tag: str,
+    batch_docs: int,
+    runs: int,
+    compact_mid: bool = False,
+) -> dict:
     """One store leg of the ingest-sink probe: seed a BUCKETED near-dup
     store with the full corpus at ``corpus_dir``, then time ``runs``
     fixed-size delta-batch upserts against it (first upsert is a JIT
@@ -350,13 +356,26 @@ def sink_probe_leg(corpus_dir: str, tag: str, batch_docs: int, runs: int) -> dic
     a per-batch LETTER-ONLY token salt ('qz' + batch letter, disjoint
     from the replicas' 'x'+digit-letters salt), so batches are near-dup
     of neither the store nor each other and the timing measures the
-    typical bucket-lookup + verify + append path, not mass drops."""
+    typical bucket-lookup + verify + append path, not mass drops.
+
+    ``compact_mid=True`` arms threshold-triggered compaction mid-
+    sequence (threshold = post-seed docs file count + ~1.3 batches'
+    worth of append files, so it trips DURING the timed run, and the
+    timing of the tripping batch shows the compaction's real cost
+    inline) and runs a structural store-integrity check after the last
+    batch: no duplicate doc ids, no duplicate (band_id, doc_id) keys,
+    index/docs doc-id sets consistent, and catalog-table counts equal
+    to a raw re-read of the data dirs (a compaction that lost or
+    duplicated rows, or broke the table↔dir mapping, fails here)."""
     import shutil
 
     from pyspark.sql import functions as F
 
     from nlp_with_pyspark_spark.queries import _tokenized_documents
-    from nlp_with_pyspark_spark.streaming.sinks import neardup_upsert_batch
+    from nlp_with_pyspark_spark.streaming.sinks import (
+        _parquet_file_count,
+        neardup_upsert_batch,
+    )
 
     spark = get_spark(app_name=f"sink-probe-{tag}")
     spark.sparkContext.setLogLevel("ERROR")
@@ -374,6 +393,12 @@ def sink_probe_leg(corpus_dir: str, tag: str, batch_docs: int, runs: int) -> dic
     t_seed = time.perf_counter() - t0
     store_docs = spark.table(f"{prefix}_docs").count()
 
+    compact_threshold = None
+    if compact_mid:
+        # each batch appends ≤n_buckets files per table; trip on the
+        # second timed batch so at least one compaction lands mid-run
+        compact_threshold = _parquet_file_count(f"{store}/docs") + 42
+
     base = (
         _tokenized_documents(spark, corpus_dir)
         .select("doc_id", "text")
@@ -382,6 +407,7 @@ def sink_probe_leg(corpus_dir: str, tag: str, batch_docs: int, runs: int) -> dic
         .localCheckpoint()
     )
     samples = []
+    compacted_at = []
     for b in range(runs + 1):  # +1: first batch is the JIT warm
         # letter-only batch salt, digits spelled as letters so any
         # number of runs stays within the engine's [a-z] token alphabet
@@ -398,18 +424,67 @@ def sink_probe_leg(corpus_dir: str, tag: str, batch_docs: int, runs: int) -> dic
         batch = batch.select(
             "doc_id", tokens_pipeline(F.col("text")).alias("tokens")
         ).localCheckpoint()
+        files_before = _parquet_file_count(f"{store}/docs") if compact_mid else 0
         t0 = time.perf_counter()
         neardup_upsert_batch(
-            batch, store, threshold=0.2, table_prefix=prefix, n_buckets=32
+            batch, store, threshold=0.2, table_prefix=prefix, n_buckets=32,
+            compact_threshold_files=compact_threshold,
         )
+        dt = round(time.perf_counter() - t0, 2)
+        if compact_mid and _parquet_file_count(f"{store}/docs") < files_before:
+            compacted_at.append(b)
         if b > 0:
-            samples.append(round(time.perf_counter() - t0, 2))
-    return {
+            samples.append(dt)
+    out = {
         "store_docs": store_docs,
         "t_seed": round(t_seed, 1),
         "t_upsert_med": sorted(samples)[len(samples) // 2],
         "t_upsert_all": samples,
     }
+    if compact_mid:
+        out["compacted_at_batches"] = compacted_at
+        out["store_integrity"] = _check_minhash_store_integrity(
+            spark, store, prefix
+        )
+    return out
+
+
+def _check_minhash_store_integrity(spark, store: str, prefix: str) -> dict:
+    """Structural store invariants after an upsert sequence (cheap at
+    any store size — counts and hashed-key dup checks, no pair
+    regeneration): catalog tables must equal a raw re-read of their
+    data dirs row-for-row in count, docs must have unique ids, the keys
+    table unique (band_id, doc_id), and every indexed doc id must be a
+    stored doc id. Raises on violation (a probe that prints a timing
+    for a corrupted store would be worse than no probe)."""
+    from pyspark.sql import functions as F
+
+    checks = {}
+    for t, dupkeys in (
+        ("docs", ["doc_id"]),
+        ("buckets", ["band_id", "doc_id"]),
+        ("shingles", ["doc_id"]),
+    ):
+        tbl = spark.table(f"{prefix}_{t}")
+        n_tbl = tbl.count()
+        n_raw = spark.read.parquet(f"{store}/{t}").count()
+        n_dup = (
+            tbl.groupBy(*dupkeys).count().where(F.col("count") > 1).count()
+        )
+        checks[t] = {"rows": n_tbl, "raw_rows": n_raw, "dup_keys": n_dup}
+        if n_tbl != n_raw or n_dup:
+            raise AssertionError(f"store integrity violated for {t}: {checks[t]}")
+    orphans = (
+        spark.table(f"{prefix}_buckets")
+        .select("doc_id")
+        .distinct()
+        .join(spark.table(f"{prefix}_docs").select("doc_id"), "doc_id", "left_anti")
+        .count()
+    )
+    checks["orphan_indexed_ids"] = orphans
+    if orphans:
+        raise AssertionError(f"{orphans} indexed doc ids missing from docs")
+    return checks
 
 
 def sink_probe_leg_semantic(corpus_dir: str, tag: str, batch_docs: int, runs: int) -> dict:
@@ -546,15 +621,23 @@ def main() -> None:
         "--sink-leg", default=None, help="internal: run one sink-probe leg "
         "(value = leg tag; corpus dir taken from --base)"
     )
+    ap.add_argument(
+        "--compact-mid", action="store_true",
+        help="minhash sink probe: arm threshold-triggered compaction so it "
+        "trips mid-sequence, and run the store-integrity check afterwards",
+    )
     args = ap.parse_args()
 
     if args.sink_leg:
-        leg = (
-            sink_probe_leg_semantic
-            if args.sink_family == "semantic"
-            else sink_probe_leg
-        )
-        result = leg(args.base, args.sink_leg, args.batch_docs, args.runs)
+        if args.sink_family == "semantic":
+            result = sink_probe_leg_semantic(
+                args.base, args.sink_leg, args.batch_docs, args.runs
+            )
+        else:
+            result = sink_probe_leg(
+                args.base, args.sink_leg, args.batch_docs, args.runs,
+                compact_mid=args.compact_mid,
+            )
         print(json.dumps({args.sink_leg: result}))
         return
 
@@ -577,7 +660,8 @@ def main() -> None:
                     "--base", corpus_dir,
                     "--batch-docs", str(args.batch_docs),
                     "--runs", str(args.runs),
-                ],
+                ]
+                + (["--compact-mid"] if args.compact_mid else []),
                 capture_output=True, text=True, check=True,
             )
             results.update(json.loads(out.stdout.strip().splitlines()[-1]))
