@@ -38,6 +38,14 @@ never drift, and indexed results are BIT-IDENTICAL to the direct path
 (same integer tf/dl/df/N inputs, same float association order —
 equality pinned in tests/test_sketch_search.py).
 
+Index maintenance follows the LSM delete pattern: ``remove_from_
+posting_index`` tombstones ids (query-time excludes them via a
+broadcast anti-join on the candidate-sized frame, stats re-derive over
+the live ledger — bit-identical to a rebuild without those docs), and
+``vacuum_posting_index`` periodically folds the tombstones into a
+spec-preserving physical rewrite so the tombstone list stays
+broadcast-small and scan cost tracks live data.
+
 Reference: Robertson & Zaragoza, "The Probabilistic Relevance
 Framework: BM25 and Beyond" (FnTIR 2009).
 """
@@ -222,21 +230,27 @@ def bm25_batch_topk(
 
 @dataclass(frozen=True)
 class PostingIndex:
-    """An inverted index as three frames: ``postings`` (word, doc_id,
-    tf, dl — the length norm denormalized into every posting),
+    """An inverted index as up to four frames: ``postings`` (word,
+    doc_id, tf, dl — the length norm denormalized into every posting),
     ``stats`` (one row: n_docs, total_dl — exact BIGINTs, so
-    ``avgdl = total_dl / n_docs`` is reproduced exactly), and ``docs``
+    ``avgdl = total_dl / n_docs`` is reproduced exactly), ``docs``
     (doc_id, dl — one row per indexed document, INCLUDING token-less
-    docs that have no postings). ``docs`` is the append-time ledger:
-    the replay guard anti-joins against it and ``stats`` re-derives
-    from it, the same store layout the streaming ingest sink keeps
-    (streaming/sinks.search_index_upsert_batch). Query-time never
-    touches it (``None`` on indexes loaded from a legacy two-table
+    docs that have no postings), and ``tombstones`` (doc_id — docs
+    logically deleted by :func:`remove_from_posting_index` and not yet
+    :func:`vacuum_posting_index`-ed). ``docs`` is the append-time
+    ledger: the replay guard anti-joins against it and ``stats``
+    re-derives from it (minus tombstones), the same store layout the
+    streaming ingest sink keeps
+    (streaming/sinks.search_index_upsert_batch). Query-time touches
+    only ``postings``, ``stats`` and — when present and non-empty —
+    the broadcast ``tombstones`` anti-join; ``docs`` is never read at
+    query time (``None`` on indexes loaded from a legacy two-table
     store)."""
 
     postings: DataFrame
     stats: DataFrame
     docs: DataFrame | None = None
+    tombstones: DataFrame | None = None
 
 
 def build_posting_index(
@@ -299,10 +313,21 @@ def persist_posting_index(
 
 def load_posting_index(spark: SparkSession, table_prefix: str) -> PostingIndex:
     docs_tbl = f"{table_prefix}_docs"
+    tomb_tbl = f"{table_prefix}_tombstones"
+    tombs = None
+    if spark.catalog.tableExists(tomb_tbl):
+        spark.catalog.refreshTable(tomb_tbl)
+        tombs = spark.table(tomb_tbl)
+        if tombs.isEmpty():
+            # post-vacuum (or never-deleted-into) store: checked ONCE at
+            # load so every query plan stays anti-join-free, exactly the
+            # pre-delete plan shape (plan-asserted in tests)
+            tombs = None
     return PostingIndex(
         spark.table(f"{table_prefix}_postings"),
         spark.table(f"{table_prefix}_stats"),
         spark.table(docs_tbl) if spark.catalog.tableExists(docs_tbl) else None,
+        tombs,
     )
 
 
@@ -365,9 +390,32 @@ def append_to_posting_index(index_delta: PostingIndex, table_prefix: str) -> Non
     to_append = to_append.join(stale, ["word", "doc_id"], "left_anti")
     append_to_bucketed_table(to_append, postings_tbl)
     append_to_bucketed_table(fresh_docs, docs_tbl)  # commit point
+    _refresh_stats(spark, table_prefix)
+
+
+def _live_docs(spark: SparkSession, table_prefix: str) -> DataFrame:
+    """The committed docs ledger minus tombstoned ids — the document
+    set every derived quantity (stats, rebuild-equivalence) is defined
+    over."""
+    docs_tbl = f"{table_prefix}_docs"
+    tomb_tbl = f"{table_prefix}_tombstones"
     spark.catalog.refreshTable(docs_tbl)
+    live = spark.table(docs_tbl)
+    if spark.catalog.tableExists(tomb_tbl):
+        spark.catalog.refreshTable(tomb_tbl)
+        live = live.join(
+            F.broadcast(spark.table(tomb_tbl)), "doc_id", "left_anti"
+        )
+    return live
+
+
+def _refresh_stats(spark: SparkSession, table_prefix: str) -> None:
+    """Overwrite ``{prefix}_stats`` with (n_docs, total_dl) DERIVED
+    from the live ledger (committed docs minus tombstones) — exact
+    BIGINTs, idempotent under any replay, never a read-modify-write
+    fold."""
     row = (
-        spark.table(docs_tbl)
+        _live_docs(spark, table_prefix)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("dl").cast("long").alias("total_dl"),
@@ -375,8 +423,114 @@ def append_to_posting_index(index_delta: PostingIndex, table_prefix: str) -> Non
         .collect()[0]
     )
     spark.createDataFrame(
-        [(row["n_docs"], row["total_dl"])], "n_docs bigint, total_dl bigint"
+        [(row["n_docs"], row["total_dl"] or 0)], "n_docs bigint, total_dl bigint"
     ).write.mode("overwrite").format("parquet").saveAsTable(f"{table_prefix}_stats")
+
+
+def remove_from_posting_index(
+    spark: SparkSession, doc_ids, table_prefix: str
+) -> int:
+    """Logically DELETE documents from a persisted index (takedown /
+    recrawl-replacement maintenance): the ids land in a
+    ``{prefix}_tombstones`` table, stats re-derive over the live ledger
+    (committed minus tombstoned — so n_docs/avgdl immediately reflect
+    the deletion), and :func:`bm25_topk_indexed` excludes tombstoned
+    docs via a broadcast anti-join on the candidate-sized frame. The
+    result is BIT-IDENTICAL to an index rebuilt without those docs
+    (pinned in tests): tf rows drop before df is counted, and the
+    stats are the rebuild's exact integers.
+
+    Replay-safe and idempotent: ids already tombstoned are dropped by
+    an anti-join before the append (re-running a crashed delete adds
+    nothing), and ids absent from the docs ledger are ignored (deleting
+    a never-indexed doc is a no-op, not an error). Returns the number
+    of NEWLY tombstoned ids.
+
+    Scale shape: tombstones stay query-time-broadcastable because
+    :func:`vacuum_posting_index` periodically folds them into a
+    physical rewrite and clears the table — the LSM delete pattern.
+    A tombstoned id stays deleted until a vacuum; re-ingesting it
+    requires vacuuming first (the append guard treats ledger ids as
+    committed).
+
+    ``doc_ids``: a one-column DataFrame or any iterable of ids."""
+    if not isinstance(doc_ids, DataFrame):
+        doc_ids = spark.createDataFrame(
+            [(int(i),) for i in doc_ids], "doc_id bigint"
+        )
+    ids = doc_ids.select(F.col(doc_ids.columns[0]).cast("long").alias("doc_id"))
+    docs_tbl = f"{table_prefix}_docs"
+    tomb_tbl = f"{table_prefix}_tombstones"
+    if not spark.catalog.tableExists(docs_tbl):
+        raise ValueError(
+            f"{docs_tbl} not found: deletes need the docs ledger — rebuild "
+            "the store with persist_posting_index first"
+        )
+    spark.catalog.refreshTable(docs_tbl)
+    # only ids the ledger knows can die; already-dead ids are replays
+    fresh = ids.distinct().join(
+        spark.table(docs_tbl).select("doc_id"), "doc_id", "left_semi"
+    )
+    if spark.catalog.tableExists(tomb_tbl):
+        spark.catalog.refreshTable(tomb_tbl)
+        fresh = fresh.join(F.broadcast(spark.table(tomb_tbl)), "doc_id", "left_anti")
+    fresh = fresh.localCheckpoint()  # consumed by the count and the append
+    n_new = fresh.count()
+    if n_new:
+        if spark.catalog.tableExists(tomb_tbl):
+            fresh.write.mode("append").format("parquet").saveAsTable(tomb_tbl)
+        else:
+            # place the tombstones as a sibling of the postings data dir
+            # (`<postings>__tombstones`) so they share the store's
+            # lifecycle whether the store is external or warehouse-managed
+            from ..sources.io import table_bucket_spec
+
+            _, _, ppath = table_bucket_spec(spark, f"{table_prefix}_postings")
+            fresh.write.mode("overwrite").format("parquet").option(
+                "path", ppath.rstrip("/") + "__tombstones"
+            ).saveAsTable(tomb_tbl)
+        _refresh_stats(spark, table_prefix)
+    return n_new
+
+
+def vacuum_posting_index(spark: SparkSession, table_prefix: str) -> dict:
+    """Physically drop tombstoned docs' rows from the postings table
+    and the docs ledger — a spec-preserving staged rewrite + directory
+    swap per table (``compact_bucketed_table``'s crash-recoverable
+    protocol, riding its ``transform`` seam) — then clear the
+    tombstones table. Query results are identical before and after
+    (the anti-join was already excluding those rows — pinned in
+    tests); vacuum reclaims space, restores scan cost to live-data
+    size, compacts as a side effect, and resets the broadcast
+    tombstone list that query-time carries.
+
+    Crash ordering: each table swap is individually crash-recovered
+    (``recover_compact_swap``); a crash after the rewrites but before
+    the tombstone clear leaves tombstones whose rows are already gone —
+    the query-time anti-join and the stats derivation then subtract
+    nothing, and re-running the vacuum completes the clear. Returns
+    per-table rewrite reports plus the number of tombstones folded."""
+    from ..sources.io import compact_bucketed_table
+
+    tomb_tbl = f"{table_prefix}_tombstones"
+    if not spark.catalog.tableExists(tomb_tbl):
+        return {"tombstones_folded": 0}
+    spark.catalog.refreshTable(tomb_tbl)
+    dead = spark.table(tomb_tbl).localCheckpoint()
+    n_dead = dead.count()
+    report: dict = {"tombstones_folded": n_dead}
+    if n_dead:
+        drop_dead = lambda df: df.join(F.broadcast(dead), "doc_id", "left_anti")  # noqa: E731
+        for t in ("postings", "docs"):
+            report[t] = compact_bucketed_table(
+                spark, f"{table_prefix}_{t}", transform=drop_dead
+            )
+    # clear: overwrite with an empty frame (keeps table + location)
+    spark.createDataFrame([], "doc_id bigint").write.mode("overwrite").format(
+        "parquet"
+    ).saveAsTable(tomb_tbl)
+    _refresh_stats(spark, table_prefix)
+    return report
 
 
 def bm25_topk_indexed(
@@ -391,11 +545,18 @@ def bm25_topk_indexed(
     without touching the corpus: the term IN-filter is pushed into the
     bucketed postings scan (zero index-side shuffle Exchanges,
     plan-asserted), every aggregation is candidate-sized, and the df /
-    stats frames ride broadcasts."""
+    stats frames ride broadcasts. Tombstoned docs (see
+    :func:`remove_from_posting_index`) are excluded by a broadcast
+    anti-join on the candidate-sized tf frame BEFORE df is counted, so
+    the answer equals a rebuild without them."""
     terms = _clean_terms(query_terms)
     tf = index.postings.where(F.col("word").isin(terms)).select(
         "doc_id", "word", F.col("tf").alias("__tf"), F.col("dl").alias("__dl")
     )
+    if index.tombstones is not None:
+        tf = tf.join(
+            F.broadcast(index.tombstones.select("doc_id")), "doc_id", "left_anti"
+        )
     stats = index.stats.select(
         F.col("n_docs").alias("__n_docs"),
         (F.col("total_dl").cast("double") / F.col("n_docs").cast("double")).alias(

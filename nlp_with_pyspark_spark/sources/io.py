@@ -488,12 +488,20 @@ def append_to_bucketed_table(df: DataFrame, table: str) -> None:
     )
 
 
-def compact_bucketed_table(spark: SparkSession, table: str) -> dict[str, int]:
+def compact_bucketed_table(
+    spark: SparkSession, table: str, transform=None
+) -> dict[str, int]:
     """``compact_parquet`` for an EXTERNAL bucketed table: rewrite the
     data as ~one file per bucket while PRESERVING the bucket spec (the
     join-layout contract append-heavy tables accumulate files under —
     e.g. the near-dup ingest store, which adds a file set per
     micro-batch).
+
+    ``transform``: optional ``DataFrame -> DataFrame`` applied to the
+    staged scan before the rewrite — the seam a FILTERED rewrite rides
+    (``vacuum_posting_index`` drops tombstoned rows through it). It
+    must be row-subsetting only (no schema or bucket-column changes:
+    the swap re-uses the existing spec and sidecar verbatim).
 
     The catalog entry never changes: the rewrite goes to a staging
     table at ``<path>.__compact_tmp`` (then its staging catalog entry is
@@ -532,6 +540,8 @@ def compact_bucketed_table(spark: SparkSession, table: str) -> dict[str, int]:
     # repartition survives, and since it uses the same hash as the
     # bucketing, each task holds exactly one bucket → one file each.
     df = spark.read.parquet(path)
+    if transform is not None:
+        df = transform(df)
     rows = df.count()
     # plannedWrite (default on) would likewise replace the repartition
     # with an AQE rebalance sized by advisory bytes; pin it off so the
@@ -683,6 +693,8 @@ def compact_parquet(
     files = parquet_data_files(path)
     total_bytes = sum(os.path.getsize(f) for f in files)
     df = spark.read.parquet(path)
+    if transform is not None:
+        df = transform(df)
     rows = df.count()
     n_out = max(1, math.ceil(total_bytes / target_file_bytes))
     if sort_cols:

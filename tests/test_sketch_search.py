@@ -516,3 +516,110 @@ def test_events_distinct_sketch_query_near_exact(spark, sf_dir):
     assert set(got) == set(exact)
     for k, n in exact.items():
         assert abs(got[k] - n) <= max(0.05 * n, 2), (k, n, got[k])
+
+
+def test_posting_index_delete_equals_rebuild(spark, tokenized_docs, tmp_path):
+    """Tombstoning docs makes the index answer BIT-IDENTICALLY to (a)
+    the direct scorer over the corpus minus those docs and (b) an index
+    rebuilt without them — tf rows drop before df counts, stats
+    re-derive over the live ledger. Deletes are idempotent (replaying
+    the same delete adds nothing) and unknown ids are no-ops."""
+    from pyspark.sql import functions as F  # noqa: F811
+    from nlp_with_pyspark_spark.operators.search import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_posting_index,
+        load_posting_index,
+        persist_posting_index,
+        remove_from_posting_index,
+    )
+
+    prefix = "t_bm25_del"
+    persist_posting_index(
+        build_posting_index(tokenized_docs), prefix, n_buckets=8,
+        path=str(tmp_path / "pidx"),
+    )
+    try:
+        # delete every doc_id % 7 == 0 — including some top-15 members
+        dead = [r.doc_id for r in tokenized_docs.where(
+            F.col("doc_id") % 7 == 0).select("doc_id").collect()]
+        n1 = remove_from_posting_index(spark, dead, prefix)
+        assert n1 == len(dead)
+        # idempotent replay + unknown ids are no-ops
+        assert remove_from_posting_index(spark, dead, prefix) == 0
+        assert remove_from_posting_index(spark, [10**12, 10**12 + 1], prefix) == 0
+
+        live = tokenized_docs.where(F.col("doc_id") % 7 != 0)
+        idx = load_posting_index(spark, prefix)
+        got = _topk_rows(bm25_topk_indexed(idx, TERMS, k=15))
+        assert got == _topk_rows(bm25_topk(live, TERMS, k=15))
+        # stats equal a rebuild's exact integers
+        stats = idx.stats.collect()[0]
+        ref = build_posting_index(live).stats.collect()[0]
+        assert (stats["n_docs"], stats["total_dl"]) == (
+            ref["n_docs"], ref["total_dl"],
+        )
+    finally:
+        for t in ("postings", "docs", "stats", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_posting_index_vacuum_preserves_answers_and_layout(
+    spark, tokenized_docs, tmp_path
+):
+    """Vacuum physically folds tombstones: identical query answers
+    before/after, postings and ledger shrink by exactly the dead rows,
+    tombstones empty out, the bucketed Exchange-free layout survives
+    the rewrite, and a second vacuum is a no-op."""
+    from pyspark.sql import functions as F  # noqa: F811
+    from nlp_with_pyspark_spark.operators.search import (
+        bm25_topk_indexed,
+        build_posting_index,
+        load_posting_index,
+        persist_posting_index,
+        remove_from_posting_index,
+        vacuum_posting_index,
+    )
+    from nlp_with_pyspark_spark.plans.inspect import exchanges_covering
+
+    prefix = "t_bm25_vac"
+    persist_posting_index(
+        build_posting_index(tokenized_docs), prefix, n_buckets=8,
+        path=str(tmp_path / "pidx"),
+    )
+    try:
+        dead = [r.doc_id for r in tokenized_docs.where(
+            F.col("doc_id") % 5 == 0).select("doc_id").collect()]
+        remove_from_posting_index(spark, dead, prefix)
+        idx = load_posting_index(spark, prefix)
+        before = _topk_rows(bm25_topk_indexed(idx, TERMS, k=15))
+        stats_before = idx.stats.collect()[0]
+        n_postings_dead = idx.postings.where(
+            F.col("doc_id").isin(dead)).count()
+        n_postings_total = idx.postings.count()
+
+        report = vacuum_posting_index(spark, prefix)
+        assert report["tombstones_folded"] == len(dead)
+        idx2 = load_posting_index(spark, prefix)
+        # an emptied tombstones table loads as None so the plan reverts
+        # to the pre-delete shape
+        assert idx2.tombstones is None
+        assert idx2.postings.count() == n_postings_total - n_postings_dead
+        assert idx2.postings.where(F.col("doc_id").isin(dead)).count() == 0
+        assert idx2.docs.where(F.col("doc_id").isin(dead)).count() == 0
+        after = bm25_topk_indexed(idx2, TERMS, k=15)
+        # plan contract FIRST, on the un-executed query (AQE rewrites
+        # the printed tree after execution): the bucketed Exchange-free
+        # serving layout must survive the staged rewrite, and the
+        # emptied tombstones must add no anti-join back
+        assert exchanges_covering(after, f"{prefix}_postings") == 1
+        assert _topk_rows(after) == before
+        stats_after = idx2.stats.collect()[0]
+        assert (stats_after["n_docs"], stats_after["total_dl"]) == (
+            stats_before["n_docs"], stats_before["total_dl"],
+        )
+        # second vacuum: nothing to fold
+        assert vacuum_posting_index(spark, prefix)["tombstones_folded"] == 0
+    finally:
+        for t in ("postings", "docs", "stats", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
