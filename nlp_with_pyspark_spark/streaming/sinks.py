@@ -708,8 +708,16 @@ def search_index_upsert_batch(
         docs_rows.write.mode("append").parquet(docs_path)  # commit point
 
     # stats: DERIVED from the committed docs table (exact BIGINTs), so
-    # the overwrite is idempotent under any replay
+    # the overwrite is idempotent under any replay; docs tombstoned by
+    # operators/search.remove_from_posting_index stay subtracted (the
+    # recompute must not resurrect their counts)
     committed = _load(docs_path, docs_tbl)
+    tomb_tbl = f"{table_prefix}_tombstones" if bucketed else None
+    if tomb_tbl and spark.catalog.tableExists(tomb_tbl):
+        spark.catalog.refreshTable(tomb_tbl)
+        committed = committed.join(
+            F.broadcast(spark.table(tomb_tbl)), "doc_id", "left_anti"
+        )
     stats = committed.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").cast("long").alias("total_dl"),

@@ -1733,3 +1733,46 @@ def test_gap_filled_stream_resumes_after_idle_ttl(spark, tmp_path):
     gaps = [(bkt, v) for _, bkt, v, g in want if g]
     assert len(gaps) == 29
     assert {v for _, v in gaps} == {4.0}
+
+
+def test_search_index_sink_stats_respect_tombstones(spark, sf_dir, tmp_path):
+    """Ingest → delete (operators/search.remove_from_posting_index) →
+    ingest again: the sink's derived-stats overwrite must NOT
+    resurrect the tombstoned docs' counts, and queries against the
+    store equal the direct scorer over (all ingested) − (deleted)."""
+    from nlp_with_pyspark_spark.operators.search import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_posting_index,
+        load_posting_index,
+        remove_from_posting_index,
+    )
+    from nlp_with_pyspark_spark.streaming.sinks import search_index_upsert_batch
+
+    toks = _neardup_toks(spark, sf_dir).localCheckpoint()
+    cut = _id_cuts(toks)[0]
+    store = str(tmp_path / "store")
+    prefix = "t_sidx_tomb"
+    kw = dict(table_prefix=prefix, n_buckets=8)
+    try:
+        search_index_upsert_batch(toks.where(F.col("doc_id") < cut), store, **kw)
+        dead = [
+            r.doc_id
+            for r in toks.where(
+                (F.col("doc_id") < cut) & (F.col("doc_id") % 3 == 0)
+            ).select("doc_id").collect()
+        ]
+        assert remove_from_posting_index(spark, dead, prefix) == len(dead)
+        # the next batch's stats recompute runs AFTER the delete
+        search_index_upsert_batch(toks.where(F.col("doc_id") >= cut), store, **kw)
+        idx = load_posting_index(spark, prefix)
+        live = toks.where(~F.col("doc_id").isin(dead))
+        assert _bm25_rows(bm25_topk_indexed(idx, _BM25_TERMS, k=15)) == _bm25_rows(
+            bm25_topk(live, _BM25_TERMS, k=15)
+        )
+        got = idx.stats.collect()[0]
+        ref = build_posting_index(live).stats.collect()[0]
+        assert (got["n_docs"], got["total_dl"]) == (ref["n_docs"], ref["total_dl"])
+    finally:
+        for t in ("postings", "docs", "stats", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
