@@ -352,7 +352,10 @@ def sink_probe_leg(
     this measures whether they did.
 
     Delta batches are the corpus's first ``batch_docs`` docs with fresh
-    ids (offset 900M + 1M per batch — far above any replica offset) and
+    ids (offset 2e11 + 1M per batch — above every replica id for any
+    factor ≤ 10,000, since replica r spans r·10M + base ids; the
+    original 900M offset silently collided with replica 90's range at
+    factor ≥ 91, turning the warm batch into a full guard-drop) and
     a per-batch LETTER-ONLY token salt ('qz' + batch letter, disjoint
     from the replicas' 'x'+digit-letters salt), so batches are near-dup
     of neither the store nor each other and the timing measures the
@@ -413,7 +416,9 @@ def sink_probe_leg(
         # number of runs stays within the engine's [a-z] token alphabet
         salt = "qz" + "".join("abcdefghij"[int(c)] for c in str(b))
         batch = base.select(
-            (F.col("doc_id") + F.lit(900_000_000 + b * 1_000_000)).alias("doc_id"),
+            (F.col("doc_id") + F.lit(200_000_000_000 + b * 1_000_000)).alias(
+                "doc_id"
+            ),
             F.expr(
                 "array_join(transform(split(text, ' '), "
                 f"(t, i) -> IF(i % 2 = 0, concat(t, '{salt}'), t)), ' ')"
@@ -539,8 +544,13 @@ def sink_probe_leg_semantic(corpus_dir: str, tag: str, batch_docs: int, runs: in
             "transform(embedding, (x, j) -> float(x * IF(pmod(xxhash64("
             f"concat('probe-{b}-', cast(j AS string))), 2) = 0, 1.0D, -1.0D)))"
         )
+        # offset above every replica id for any factor ≤ 10,000 (replica
+        # r spans r·10M + base ids — the minhash leg's 900M offset
+        # collided with replica 90+ and this leg used the same scheme)
         batch = base.select(
-            (F.col("vec_id") + F.lit(900_000_000 + b * 1_000_000)).alias("vec_id"),
+            (F.col("vec_id") + F.lit(200_000_000_000 + b * 1_000_000)).alias(
+                "vec_id"
+            ),
             flipped.alias("embedding"),
         ).localCheckpoint()
         t0 = time.perf_counter()
