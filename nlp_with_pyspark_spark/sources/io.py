@@ -693,8 +693,6 @@ def compact_parquet(
     files = parquet_data_files(path)
     total_bytes = sum(os.path.getsize(f) for f in files)
     df = spark.read.parquet(path)
-    if transform is not None:
-        df = transform(df)
     rows = df.count()
     n_out = max(1, math.ceil(total_bytes / target_file_bytes))
     if sort_cols:

@@ -20,7 +20,7 @@ REQUIRED_IN_WINDOW = {
     # scan+agg family keeps six members in-window)
     "collocations_pmi_top50",
     "customer_nation_revenue", "top_orders_per_customer",
-    "revenue_rollup", "order_status_cube",
+    "revenue_rollup",
     # (fourth round-8 rotation: sql_top_unshipped_orders demoted for
     # corpus_shuffle_order; fifth rotation: customer_order_setops
     # demoted — set-op semantics covered by dormant_customers' anti
@@ -41,15 +41,12 @@ REQUIRED_IN_WINDOW = {
     # rounds for model_calibration_bins; JSON parse re-verifies locally)
     "model_calibration_bins",
     "click_purchase_funnel",
-    # text / NLP (round 8: doc_token_stats/lang_id_counts/
-    # doc_fingerprints demoted — token_budget + simhash_fingerprints
-    # return in their place)
-    "vocab_top100", "tfidf_long", "token_budget",
-    "quality_scores",
-    # (fifth round-8 rotation: confusion_metrics demoted after 7 green
-    # rounds — eval family covered by model_auc_eval, which cross-checks
-    # the same prediction frame)
-    "simhash_fingerprints", "repetition_features",
+    # text / NLP (round 9: token_budget / quality_scores /
+    # simhash_fingerprints demoted right after their fresh r8 green —
+    # kin in-window: token_pack_assignments, quality_lr_filter +
+    # repetition_features, simhash_delta_pairs)
+    "vocab_top100", "tfidf_long",
+    "repetition_features",
     # dedup / similarity (dedup_components demoted round 7: green r1-r6,
     # constituents covered by dedup_minhash_pairs + dedup_canonical_corpus;
     # round 8: ann_lsh_topk + embedding_centroid_topk demoted, ivf/ivfpq
@@ -59,7 +56,7 @@ REQUIRED_IN_WINDOW = {
     # decontam_fuzzy_overlap; simhash family covered in-window by
     # simhash_fingerprints + simhash_delta_pairs, whose driver-query
     # form rebuilds the full blocking+verify chain)
-    "simhash_fingerprints", "simhash_delta_pairs",
+    "simhash_delta_pairs",
     "ann_ivf_topk",
     # pipeline / corpus hygiene
     # (sixth round-8 rotation: stratified_sample_by_lang demoted after
@@ -83,8 +80,11 @@ REQUIRED_IN_WINDOW = {
     "dup_ngram_coverage", "domain_mixture_weights", "embedding_pq_codes",
     # (second round-8 rotation: markup_strip_stats demoted, regex-scrub
     # covered by pii_scrub_stats)
-    "corpus_stats_card", "model_auc_eval",
-    "line_dedup_stats", "ann_ivfpq_topk",
+    # (round 9: model_auc_eval demoted — eval family covered by
+    # model_calibration_bins over the same prediction frame;
+    # line_dedup_stats demoted — C4 hygiene covered by dup_ngram_coverage)
+    "corpus_stats_card",
+    "ann_ivfpq_topk",
     # new in round 7 (never driver-checked — must be in the window;
     # doc_token_chunks / click_purchase_attribution demoted to make
     # room, both green in r6)
@@ -94,8 +94,10 @@ REQUIRED_IN_WINDOW = {
     # (seventh round-8 rotation: salted_nation_revenue demoted after 7
     # green rounds for quality_lr_filter; the join/agg shape stays via
     # customer_nation_revenue, salted≡unsalted pinned in test_scale)
-    "zorder_file_envelopes", "quality_lr_filter", "tfidf_smoothed_long",
-    "customer_running_revenue",
+    # (round 9: tfidf_smoothed_long / customer_running_revenue /
+    # order_status_cube demoted after their fresh r8 green — kin
+    # in-window: tfidf_long, customer_rolling_7d_revenue, revenue_rollup)
+    "zorder_file_envelopes", "quality_lr_filter",
     # new in round 8, second rotation (never driver-checked — must be in
     # the window; session_event_overlap / embedding_rp_project /
     # markup_strip_stats demoted to make room, all green r6-r7)
@@ -110,6 +112,13 @@ REQUIRED_IN_WINDOW = {
     # the window; confusion_metrics / customer_order_setops /
     # decontamination_overlap demoted to make room, all green ≥5 rounds)
     "doc_length_quantiles", "vocab_heavy_hitters", "bm25_search_topk",
+    # new in round 9 (never driver-checked — must be in the window):
+    # the indexed-BM25 serving path and the rows-only HLL distinct
+    "bm25_indexed_topk", "events_distinct_sketch",
+    # round-9 freshness returns (last driver-checked r4)
+    "supplier_nation_revenue", "order_priority_pivot",
+    "local_supplier_volume", "small_qty_part_revenue",
+    "high_balance_inactive", "promo_revenue_share",
 }
 
 
@@ -125,4 +134,9 @@ def test_demoted_are_exactly_the_tail():
 
 
 def test_every_query_is_oracled():
-    assert sorted(QUERIES) == sorted(ORACLES)
+    """Every registered query carries a DuckDB oracle, except the one
+    documented rows-only registration: events_distinct_sketch, whose
+    DataSketches-HLL estimates no DuckDB function reproduces (its value
+    gate is test_events_distinct_sketch_query_near_exact)."""
+    rows_only = {"events_distinct_sketch"}
+    assert sorted(set(QUERIES) - rows_only) == sorted(ORACLES)
