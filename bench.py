@@ -73,7 +73,6 @@ HEADLINE = [
     "customer_order_setops",
     "embedding_centroid_topk",
     "repetition_features",
-    "ann_ivf_topk",
     "decontamination_overlap",
     "pii_scrub_stats",
     "embedding_quantization_stats",
@@ -119,6 +118,10 @@ HEADLINE = [
     "doc_token_stats",
     "latest_event_per_user",
     "supplier_nation_revenue",
+    # round 9 (second swap): the new batched-retrieval registration.
+    # OUT: ann_ivf_topk (benched r8-r9; ann_ivfpq_topk stays benched
+    # and composes the same IVF routing plus PQ refinement)
+    "bm25_batch_topk",
 ]
 # MEMBERSHIP POLICY (round 8). The printed JSON line must stay under
 # ~1850 chars (the driver captures only the last 2000 chars of stdout),

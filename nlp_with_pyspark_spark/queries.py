@@ -4143,6 +4143,75 @@ def bm25_indexed_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the batched-retrieval query set: one rare+discriminative query (the
+#: flagship's), one all-common, one mixed — the mix a retrieval eval
+#: actually runs
+_BM25_BATCH = {
+    "q_common": ("filter", "hash"),
+    "q_mixed": ("dup", "sort", "stream"),
+    "q_rare": ("dup", "join", "scan"),
+}
+_BM25_BATCH_K = 10
+
+
+def _bm25_batch_sql() -> str:
+    union_terms = tuple(sorted({t for ts in _BM25_BATCH.values() for t in ts}))
+    qmap_rows = ", ".join(
+        f"('{qid}', '{t}')" for qid in sorted(_BM25_BATCH) for t in _BM25_BATCH[qid]
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents),
+    d AS (SELECT doc_id, len(tokens) AS dl, tokens FROM toks),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+    hits AS (SELECT doc_id, dl, unnest(tokens) AS word FROM d),
+    tf AS (
+        SELECT doc_id, word, count(*) AS tf, max(dl) AS dl
+        FROM hits WHERE word IN {union_terms!r}
+        GROUP BY doc_id, word
+    ),
+    dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    qmap(query_id, word) AS (VALUES {qmap_rows}),
+    per AS (
+        SELECT qmap.query_id, tf.doc_id, CAST(count(*) AS INT) AS matched,
+               round(sum(
+                   ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5))
+                   * (tf * {_BM25_K1 + 1.0!r})
+                   / (tf + {_BM25_K1!r} * ({1.0 - _BM25_B!r} + {_BM25_B!r} * (dl / avgdl)))
+               ), 6) AS score
+        FROM tf JOIN qmap USING (word) JOIN dfreq USING (word), stats
+        GROUP BY qmap.query_id, tf.doc_id
+    )
+    SELECT query_id, rank, doc_id, matched, score FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+        ) AS INT) AS rank FROM per
+    ) WHERE rank <= {_BM25_BATCH_K}
+    ORDER BY query_id, rank
+    """
+
+
+@query("bm25_batch_topk", _bm25_batch_sql())
+def bm25_batch_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query retrieval (operators/search.bm25_batch_topk)
+    — the shape a retrieval EVALUATION runs: Q bag-of-words queries
+    scored in ONE corpus pass (tf/df are query-independent, computed
+    once over the union of all terms; the tiny (query_id, word) table
+    broadcast-joins on top), per-query top-k via a rank window over the
+    candidate-sized scored frame. Per-query slices are pinned
+    row-identical to solo ``bm25_topk`` runs in
+    tests/test_sketch_search.py; the oracle replays the same
+    one-pass + window formulation."""
+    from .operators.search import bm25_batch_topk
+
+    return bm25_batch_topk(
+        _tokenized_documents(spark, sf_dir),
+        {k: list(v) for k, v in _BM25_BATCH.items()},
+        k=_BM25_BATCH_K,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )
+
+
 @query("events_distinct_sketch", None)
 def events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type approximate distinct users via MERGEABLE HLL
@@ -4438,6 +4507,13 @@ _DEMOTED_PAST_CHECK_WINDOW = [
     "quality_scores",
     "line_dedup_stats",
     "model_auc_eval",
+    # round 9 (second rotation): demoted for the never-checked
+    # bm25_batch_topk:
+    #   ann_ivf_topk — green r8; the ANN family keeps ann_ivfpq_topk
+    #                  in-window, which composes the SAME IVF routing
+    #                  (nearest-centroid probe + cluster-local search)
+    #                  plus the PQ-ADC refinement on top
+    "ann_ivf_topk",
 ]
 
 

@@ -57,7 +57,9 @@ REQUIRED_IN_WINDOW = {
     # simhash_fingerprints + simhash_delta_pairs, whose driver-query
     # form rebuilds the full blocking+verify chain)
     "simhash_delta_pairs",
-    "ann_ivf_topk",
+    # (round 9, second rotation: ann_ivf_topk demoted for
+    # bm25_batch_topk — ann_ivfpq_topk composes the same IVF routing)
+    "ann_ivfpq_topk",
     # pipeline / corpus hygiene
     # (sixth round-8 rotation: stratified_sample_by_lang demoted after
     # 7 green rounds for leakage_safe_split, which exercises the same
@@ -84,7 +86,6 @@ REQUIRED_IN_WINDOW = {
     # model_calibration_bins over the same prediction frame;
     # line_dedup_stats demoted — C4 hygiene covered by dup_ngram_coverage)
     "corpus_stats_card",
-    "ann_ivfpq_topk",
     # new in round 7 (never driver-checked — must be in the window;
     # doc_token_chunks / click_purchase_attribution demoted to make
     # room, both green in r6)
@@ -114,7 +115,7 @@ REQUIRED_IN_WINDOW = {
     "doc_length_quantiles", "vocab_heavy_hitters", "bm25_search_topk",
     # new in round 9 (never driver-checked — must be in the window):
     # the indexed-BM25 serving path and the rows-only HLL distinct
-    "bm25_indexed_topk", "events_distinct_sketch",
+    "bm25_indexed_topk", "events_distinct_sketch", "bm25_batch_topk",
     # round-9 freshness returns (last driver-checked r4)
     "supplier_nation_revenue", "order_priority_pivot",
     "local_supplier_volume", "small_qty_part_revenue",
