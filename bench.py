@@ -75,7 +75,6 @@ HEADLINE = [
     "repetition_features",
     "decontamination_overlap",
     "pii_scrub_stats",
-    "embedding_quantization_stats",
     "dedup_canonical_corpus",
     "dup_ngram_coverage",
     "domain_mixture_weights",
@@ -122,6 +121,11 @@ HEADLINE = [
     # OUT: ann_ivf_topk (benched r8-r9; ann_ivfpq_topk stays benched
     # and composes the same IVF routing plus PQ refinement)
     "bm25_batch_topk",
+    # round 9 (third swap): the new DSIR data-selection registration.
+    # OUT: embedding_quantization_stats (benched r6-r9; embedding
+    # family keeps embedding_pq_codes benched — same demotion kinship
+    # as the check window's)
+    "dsir_selection_scores",
 ]
 # MEMBERSHIP POLICY (round 8). The printed JSON line must stay under
 # ~1850 chars (the driver captures only the last 2000 chars of stdout),

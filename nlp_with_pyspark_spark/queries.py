@@ -4212,6 +4212,70 @@ def bm25_batch_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dsir_sql(target_lang: str = "en", n_buckets: int = 4096) -> str:
+    """DuckDB twin of operators/selection.dsir_scores for the query
+    below: same unigram+bigram features, same md5-4-hex-char bucket
+    (`_hex4_to_int_sql` mirrors Spark's conv(substring(md5,1,4),16,10)),
+    same add-1 smoothed log-ratio, rounded 6 after the per-doc sum."""
+    b = _hex4_to_int_sql("md5(gram)")
+    return f"""
+    WITH toks AS (SELECT doc_id, lang, {TOKENS_SQL} AS tokens FROM documents),
+    g1 AS (SELECT doc_id, lang, unnest(tokens) AS gram FROM toks),
+    pos2 AS (
+        SELECT doc_id, lang, tokens, unnest(range(0, len(tokens) - 1)) AS s
+        FROM toks WHERE len(tokens) >= 2
+    ),
+    g2 AS (
+        SELECT doc_id, lang, array_to_string(tokens[s + 1:s + 2], ' ') AS gram
+        FROM pos2
+    ),
+    grams AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+    bkt AS (
+        SELECT doc_id, lang, CAST(({b}) % {n_buckets} AS INT) AS bucket
+        FROM grams
+    ),
+    tgt AS (
+        SELECT bucket, count(*) AS tc FROM bkt
+        WHERE lang = '{target_lang}' GROUP BY bucket
+    ),
+    src AS (SELECT bucket, count(*) AS sc FROM bkt GROUP BY bucket),
+    tt AS (SELECT COALESCE(sum(tc), 0) AS t FROM tgt),
+    st AS (SELECT COALESCE(sum(sc), 0) AS s FROM src),
+    wts AS (
+        SELECT COALESCE(tgt.bucket, src.bucket) AS bucket,
+               ln((COALESCE(tc, 0) + 1.0) / (tt.t + {float(n_buckets)!r}))
+             - ln((COALESCE(sc, 0) + 1.0) / (st.s + {float(n_buckets)!r})) AS w
+        FROM tgt FULL OUTER JOIN src ON tgt.bucket = src.bucket, tt, st
+    ),
+    per AS (
+        SELECT bkt.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+               round(sum(w), 6) AS dsir_score
+        FROM bkt JOIN wts USING (bucket) GROUP BY bkt.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(p.n_features, 0) AS BIGINT) AS n_features,
+           COALESCE(p.dsir_score, 0.0) AS dsir_score
+    FROM toks t LEFT JOIN per p USING (doc_id)
+    """
+
+
+@query("dsir_selection_scores", _dsir_sql())
+def dsir_selection_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-weighted data selection
+    (operators/selection.dsir_scores — Xie et al. 2023): every doc
+    scored by its log importance ratio under add-1-smoothed
+    bag-of-hashed-n-gram models (unigrams+bigrams, 4096 md5 buckets)
+    of the TARGET domain (lang='en' plays the target set) vs the raw
+    corpus. The ≤4096-row weight table broadcasts over the feature
+    scan; the per-doc sum's partials collapse map-side, so the scoring
+    shuffle carries one row per doc. The oracle replays the exact
+    bucket/smoothing/rounding chain."""
+    from .operators.selection import dsir_scores
+
+    docs = _tokenized_documents(spark, sf_dir)
+    return dsir_scores(docs, docs.where(F.col("lang") == "en"))
+
+
 @query("events_distinct_sketch", None)
 def events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type approximate distinct users via MERGEABLE HLL
@@ -4514,6 +4578,13 @@ _DEMOTED_PAST_CHECK_WINDOW = [
     #                  (nearest-centroid probe + cluster-local search)
     #                  plus the PQ-ADC refinement on top
     "ann_ivf_topk",
+    # round 9 (third rotation): demoted for the never-checked
+    # dsir_selection_scores:
+    #   embedding_quantization_stats — green r8; the embedding family
+    #                  keeps embedding_pq_codes in-window (the heavier
+    #                  quantization rep — codebook assignment vs range
+    #                  stats), same rationale as r8's rp_project demotion
+    "embedding_quantization_stats",
 ]
 
 

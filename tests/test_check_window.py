@@ -70,7 +70,10 @@ REQUIRED_IN_WINDOW = {
     # green rounds — decontam family covered by decontam_fuzzy_overlap
     # + corpus_pipeline_funnel, which composes the exact pass)
     "pii_scrub_stats",
-    "embedding_quantization_stats",
+    # (round 9, third rotation: embedding_quantization_stats demoted
+    # for dsir_selection_scores — embedding_pq_codes stays, the heavier
+    # quantization rep)
+    "embedding_pq_codes",
     # round-5 flagship compositions, promoted in round 6 — these six had
     # never received a driver correctness row before the rotation
     # (second round-8 rotation: embedding_rp_project demoted, embedding
@@ -79,7 +82,7 @@ REQUIRED_IN_WINDOW = {
     # new in round 6 (never driver-checked — must be in the window;
     # local_supplier_volume / events_distinct_users / latest_event_per_user
     # / top_parts_by_revenue demoted to make room, all green in r5)
-    "dup_ngram_coverage", "domain_mixture_weights", "embedding_pq_codes",
+    "dup_ngram_coverage", "domain_mixture_weights",
     # (second round-8 rotation: markup_strip_stats demoted, regex-scrub
     # covered by pii_scrub_stats)
     # (round 9: model_auc_eval demoted — eval family covered by
@@ -116,6 +119,7 @@ REQUIRED_IN_WINDOW = {
     # new in round 9 (never driver-checked — must be in the window):
     # the indexed-BM25 serving path and the rows-only HLL distinct
     "bm25_indexed_topk", "events_distinct_sketch", "bm25_batch_topk",
+    "dsir_selection_scores",
     # round-9 freshness returns (last driver-checked r4)
     "supplier_nation_revenue", "order_priority_pivot",
     "local_supplier_volume", "small_qty_part_revenue",

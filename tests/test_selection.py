@@ -1,0 +1,100 @@
+"""DSIR importance-weighted data selection (operators/selection.py).
+Oracle parity of the registered dsir_selection_scores is covered by
+test_oracle_parity; here: the model's analytic properties on
+hand-built corpora, selection determinism, and the broadcast plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nlp_with_pyspark_spark.operators.selection import (
+    dsir_scores,
+    dsir_top_k,
+    dsir_weights,
+)
+from nlp_with_pyspark_spark.plans.inspect import plan_string
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, toks) for i, toks in rows], "doc_id long, tokens array<string>"
+    )
+
+
+def test_target_equals_corpus_scores_exactly_zero(spark):
+    """target ≡ corpus ⇒ both smoothed models identical ⇒ every bucket
+    weight is EXACTLY 0 (the log terms cancel symbolically, not
+    approximately) ⇒ every score 0.0."""
+    docs = _docs(
+        spark,
+        [(1, ["spark", "join", "scan"]), (2, ["sort", "hash"]), (3, [])],
+    )
+    got = {r.doc_id: (r.n_features, r.dsir_score) for r in dsir_scores(docs, docs).collect()}
+    assert got == {1: (5, 0.0), 2: (3, 0.0), 3: (0, 0.0)}
+
+
+def test_target_vocab_docs_outscore_disjoint_docs(spark):
+    """Docs sharing the target's vocabulary must outscore docs whose
+    vocabulary the target never saw — the selection signal itself."""
+    in_domain = [(i, ["alpha", "beta", "gamma", "delta"]) for i in range(10)]
+    out_domain = [(i + 100, ["omega", "sigma", "kappa", "zeta"]) for i in range(10)]
+    corpus = _docs(spark, in_domain + out_domain)
+    target = _docs(spark, [(1000, ["alpha", "beta", "gamma"])])
+    scores = {r.doc_id: r.dsir_score for r in dsir_scores(corpus, target).collect()}
+    worst_in = min(scores[i] for i, _ in in_domain)
+    best_out = max(scores[i] for i, _ in out_domain)
+    assert worst_in > best_out
+
+
+def test_n_features_is_unigrams_plus_bigrams(spark):
+    docs = _docs(spark, [(1, ["a", "b", "c"]), (2, ["x"]), (3, [])])
+    got = {r.doc_id: r.n_features for r in dsir_scores(docs, docs).collect()}
+    # len + max(len-1, 0)
+    assert got == {1: 5, 2: 1, 3: 0}
+
+
+def test_top_k_is_deterministic_and_ordered(spark):
+    in_domain = [(i, ["alpha", "beta"]) for i in range(5)]
+    out_domain = [(i + 100, ["omega", "zeta"]) for i in range(5)]
+    corpus = _docs(spark, in_domain + out_domain)
+    target = _docs(spark, [(1000, ["alpha", "beta"])])
+    for _ in range(2):
+        top = dsir_top_k(corpus, target, k=5).collect()
+        assert [r.doc_id for r in top] == [0, 1, 2, 3, 4]  # ties break by id
+        assert all(
+            top[i].dsir_score >= top[i + 1].dsir_score for i in range(len(top) - 1)
+        )
+
+
+def test_scoring_plan_is_join_and_shuffle_free(spark):
+    """Scoring is a pure row-local projection: the weight table folds
+    into a map literal, so the plan crosses ZERO joins and ZERO
+    Exchanges — the corpus never moves to be scored."""
+    docs = _docs(spark, [(i, ["alpha", "beta", "omega"]) for i in range(20)])
+    target = docs.where(F.col("doc_id") < 5)
+    w = dsir_weights(docs, target).localCheckpoint()
+    plan = plan_string(dsir_scores(docs, target, weights=w))
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_weights_reuse_seam_matches_inline(spark):
+    docs = _docs(spark, [(i, ["alpha", "beta", "omega"]) for i in range(8)])
+    target = docs.where(F.col("doc_id") % 2 == 0)
+    inline = sorted(
+        (r.doc_id, r.n_features, r.dsir_score)
+        for r in dsir_scores(docs, target).collect()
+    )
+    w = dsir_weights(docs, target).localCheckpoint()
+    reused = sorted(
+        (r.doc_id, r.n_features, r.dsir_score)
+        for r in dsir_scores(docs, target, weights=w).collect()
+    )
+    assert inline == reused
+
+
+def test_bad_n_buckets_raises(spark):
+    docs = _docs(spark, [(1, ["a"])])
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_scores(docs, docs, n_buckets=70000).collect()
