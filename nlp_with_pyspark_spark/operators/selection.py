@@ -244,3 +244,56 @@ def dsir_top_k(
         .orderBy(F.desc("dsir_score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def dsir_resample_top_k(
+    corpus: DataFrame,
+    target: DataFrame,
+    k: int,
+    seed: str = "dsir-0",
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    ns: Sequence[int] = (1, 2),
+    n_buckets: int = 4096,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """The paper's actual SELECT step — importance RESAMPLING, made
+    deterministic under a ``seed``: Gumbel-top-k over the document
+    scores, i.e. a without-replacement sample of size ``k`` with
+    inclusion probability ∝ exp(dsir_score) (Gumbel-max is exactly
+    softmax sampling; taking the k largest perturbed keys is its
+    without-replacement extension). :func:`dsir_top_k` is the argmax
+    variant; resampling trades a little weight-faithfulness for the
+    diversity the paper found matters at low selection ratios.
+
+    The noise is the engine's seeded-hash idiom, not an RNG: the
+    uniform is the first 8 md5 hex chars of ``seed~doc_id`` mapped into
+    (0, 1) — (v + 1) / (2³² + 1), endpoint-free so the double log is
+    always finite — and ``gumbel_key = dsir_score − ln(−ln(u))``. A new
+    seed is a fresh, independent resample; the same seed reproduces the
+    selection bit-for-bit on any cluster (the hash_sample/
+    deterministic_shuffle determinism contract). Row-local like the
+    scoring itself: the only plan addition is one projection and the
+    same TakeOrdered cut as :func:`dsir_top_k`.
+    """
+    scored = dsir_scores(
+        corpus, target, tokens_col, id_col, ns, n_buckets, smoothing
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}~"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(2**32 + 1))
+    key = F.col("dsir_score") - F.log(-F.log(u))
+    return (
+        scored.withColumn("gumbel_key", F.round(key, 6))
+        .orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -98,3 +98,40 @@ def test_bad_n_buckets_raises(spark):
     docs = _docs(spark, [(1, ["a"])])
     with pytest.raises(ValueError, match="n_buckets"):
         dsir_scores(docs, docs, n_buckets=70000).collect()
+
+
+def test_resample_top_k_matches_hand_computed_gumbel(spark):
+    """The seeded Gumbel perturbation is a pure md5 function of
+    (seed, doc_id) — recompute every key in Python (hashlib + math)
+    and the operator's selection must equal the hand-derived top-k,
+    bit-for-bit and under repetition; a different seed must be able to
+    change the selection."""
+    import hashlib
+    import math
+
+    from nlp_with_pyspark_spark.operators.selection import (
+        dsir_resample_top_k,
+        dsir_scores,
+    )
+
+    in_d = [(i, ["alpha", "beta"]) for i in range(8)]
+    out_d = [(i + 100, ["omega", "zeta"]) for i in range(8)]
+    corpus = _docs(spark, in_d + out_d)
+    target = _docs(spark, [(1000, ["alpha", "beta"])])
+
+    scores = {r.doc_id: r.dsir_score for r in dsir_scores(corpus, target).collect()}
+
+    def key(seed, i):
+        u = (
+            int(hashlib.md5(f"{seed}~{i}".encode()).hexdigest()[:8], 16) + 1.0
+        ) / (2**32 + 1)
+        return round(scores[i] - math.log(-math.log(u)), 6)
+
+    for seed in ("dsir-0", "dsir-1"):
+        want = sorted(scores, key=lambda i: (-key(seed, i), i))[:6]
+        for _ in range(2):
+            got = [
+                r.doc_id
+                for r in dsir_resample_top_k(corpus, target, k=6, seed=seed).collect()
+            ]
+            assert got == want, (seed, got, want)
