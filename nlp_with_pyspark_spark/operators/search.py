@@ -311,11 +311,66 @@ def persist_posting_index(
     writer.saveAsTable(f"{table_prefix}_stats")
 
 
+def _table_path_if_external(spark: SparkSession, table: str) -> str | None:
+    """Data path of ``table`` when it is EXTERNAL, else None. The
+    maintenance overwrites below must carry this path through
+    ``option('path', ...)``: a bare ``mode('overwrite').saveAsTable``
+    DROPS an external table and recreates it MANAGED at the warehouse
+    (verified on pyspark 4.1.2), orphaning the on-disk store dir —
+    a path-addressed store would silently stop reflecting committed
+    state."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    info = {r.col_name: r.data_type for r in rows}
+    if info.get("Type", "").strip().upper() != "EXTERNAL":
+        return None
+    loc = info["Location"]
+    return loc[len("file:"):] if loc.startswith("file:") else loc
+
+
+def _tombstones_sidecar_path(spark: SparkSession, table_prefix: str) -> str:
+    """Canonical on-disk home of the tombstone list: a sibling of the
+    postings data dir (``<postings>__tombstones``), so it shares the
+    store's lifecycle whether the store is external or
+    warehouse-managed."""
+    from ..sources.io import table_bucket_spec
+
+    _, _, ppath = table_bucket_spec(spark, f"{table_prefix}_postings")
+    return ppath.rstrip("/") + "__tombstones"
+
+
+def _heal_tombstones(spark: SparkSession, table_prefix: str) -> bool:
+    """Restart self-heal for the tombstone table — the same story
+    ``register_bucketed_table`` gives postings/docs: the catalog entry
+    is per-session, the ``<postings>__tombstones`` data dir is not.
+    Without this, a fresh session would serve tombstoned (taken-down)
+    docs again and the sink's stats recompute would resurrect their
+    counts. Re-registers an EXTERNAL table over surviving sidecar data
+    (schema declared, not inferred — a post-vacuum empty dir has no
+    footer to read); no-ops when the table is live or the store was
+    never deleted into. Returns True if the table exists after the
+    call."""
+    import os
+
+    tomb_tbl = f"{table_prefix}_tombstones"
+    if spark.catalog.tableExists(tomb_tbl):
+        return True
+    if not spark.catalog.tableExists(f"{table_prefix}_postings"):
+        return False
+    tpath = _tombstones_sidecar_path(spark, table_prefix)
+    if not os.path.isdir(tpath):
+        return False
+    spark.sql(
+        f"CREATE TABLE {tomb_tbl} (`doc_id` bigint) USING parquet "
+        f"LOCATION '{tpath}'"
+    )
+    return True
+
+
 def load_posting_index(spark: SparkSession, table_prefix: str) -> PostingIndex:
     docs_tbl = f"{table_prefix}_docs"
     tomb_tbl = f"{table_prefix}_tombstones"
     tombs = None
-    if spark.catalog.tableExists(tomb_tbl):
+    if _heal_tombstones(spark, table_prefix):
         spark.catalog.refreshTable(tomb_tbl)
         tombs = spark.table(tomb_tbl)
         if tombs.isEmpty():
@@ -401,7 +456,7 @@ def _live_docs(spark: SparkSession, table_prefix: str) -> DataFrame:
     tomb_tbl = f"{table_prefix}_tombstones"
     spark.catalog.refreshTable(docs_tbl)
     live = spark.table(docs_tbl)
-    if spark.catalog.tableExists(tomb_tbl):
+    if _heal_tombstones(spark, table_prefix):
         spark.catalog.refreshTable(tomb_tbl)
         live = live.join(
             F.broadcast(spark.table(tomb_tbl)), "doc_id", "left_anti"
@@ -413,7 +468,11 @@ def _refresh_stats(spark: SparkSession, table_prefix: str) -> None:
     """Overwrite ``{prefix}_stats`` with (n_docs, total_dl) DERIVED
     from the live ledger (committed docs minus tombstones) — exact
     BIGINTs, idempotent under any replay, never a read-modify-write
-    fold."""
+    fold. An EXTERNAL stats table keeps its location through the
+    overwrite (``_table_path_if_external``): dropping it to a managed
+    warehouse table would leave the store's on-disk ``stats/`` dir
+    stale — a path-addressed reader would see pre-delete counts."""
+    stats_tbl = f"{table_prefix}_stats"
     row = (
         _live_docs(spark, table_prefix)
         .agg(
@@ -422,9 +481,17 @@ def _refresh_stats(spark: SparkSession, table_prefix: str) -> None:
         )
         .collect()[0]
     )
-    spark.createDataFrame(
+    writer = spark.createDataFrame(
         [(row["n_docs"], row["total_dl"] or 0)], "n_docs bigint, total_dl bigint"
-    ).write.mode("overwrite").format("parquet").saveAsTable(f"{table_prefix}_stats")
+    ).write.mode("overwrite").format("parquet")
+    spath = (
+        _table_path_if_external(spark, stats_tbl)
+        if spark.catalog.tableExists(stats_tbl)
+        else None
+    )
+    if spath is not None:
+        writer = writer.option("path", spath)
+    writer.saveAsTable(stats_tbl)
 
 
 def remove_from_posting_index(
@@ -471,23 +538,21 @@ def remove_from_posting_index(
     fresh = ids.distinct().join(
         spark.table(docs_tbl).select("doc_id"), "doc_id", "left_semi"
     )
-    if spark.catalog.tableExists(tomb_tbl):
+    has_tombs = _heal_tombstones(spark, table_prefix)
+    if has_tombs:
         spark.catalog.refreshTable(tomb_tbl)
         fresh = fresh.join(F.broadcast(spark.table(tomb_tbl)), "doc_id", "left_anti")
     fresh = fresh.localCheckpoint()  # consumed by the count and the append
     n_new = fresh.count()
     if n_new:
-        if spark.catalog.tableExists(tomb_tbl):
+        if has_tombs:
             fresh.write.mode("append").format("parquet").saveAsTable(tomb_tbl)
         else:
             # place the tombstones as a sibling of the postings data dir
             # (`<postings>__tombstones`) so they share the store's
             # lifecycle whether the store is external or warehouse-managed
-            from ..sources.io import table_bucket_spec
-
-            _, _, ppath = table_bucket_spec(spark, f"{table_prefix}_postings")
             fresh.write.mode("overwrite").format("parquet").option(
-                "path", ppath.rstrip("/") + "__tombstones"
+                "path", _tombstones_sidecar_path(spark, table_prefix)
             ).saveAsTable(tomb_tbl)
         _refresh_stats(spark, table_prefix)
     return n_new
@@ -513,7 +578,7 @@ def vacuum_posting_index(spark: SparkSession, table_prefix: str) -> dict:
     from ..sources.io import compact_bucketed_table
 
     tomb_tbl = f"{table_prefix}_tombstones"
-    if not spark.catalog.tableExists(tomb_tbl):
+    if not _heal_tombstones(spark, table_prefix):
         return {"tombstones_folded": 0}
     spark.catalog.refreshTable(tomb_tbl)
     dead = spark.table(tomb_tbl).localCheckpoint()
@@ -525,10 +590,21 @@ def vacuum_posting_index(spark: SparkSession, table_prefix: str) -> dict:
             report[t] = compact_bucketed_table(
                 spark, f"{table_prefix}_{t}", transform=drop_dead
             )
-    # clear: overwrite with an empty frame (keeps table + location)
-    spark.createDataFrame([], "doc_id bigint").write.mode("overwrite").format(
-        "parquet"
-    ).saveAsTable(tomb_tbl)
+    # clear: overwrite with an empty frame. An EXTERNAL tombstone table
+    # (the normal case — created at <postings>__tombstones) must keep
+    # its location through the overwrite: a bare saveAsTable would drop
+    # it and recreate MANAGED at the warehouse, leaving the pre-vacuum
+    # ids orphaned on disk for the next session's self-heal to
+    # resurrect as live tombstones.
+    writer = (
+        spark.createDataFrame([], "doc_id bigint")
+        .write.mode("overwrite")
+        .format("parquet")
+    )
+    tpath = _table_path_if_external(spark, tomb_tbl)
+    if tpath is not None:
+        writer = writer.option("path", tpath)
+    writer.saveAsTable(tomb_tbl)
     _refresh_stats(spark, table_prefix)
     return report
 

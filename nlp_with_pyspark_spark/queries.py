@@ -4084,9 +4084,22 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: scratch dirs the serving query has written this process (newest
-#: last); each call removes the previous call's store
+#: scratch dirs the serving queries have written this process (newest
+#: last); each call removes the previous call's store, and an atexit
+#: hook sweeps the final one so no mkdtemp dir outlives the process
 _BM25_SERVING_DIRS: list[str] = []
+
+
+def _drain_serving_dirs() -> None:
+    import shutil
+
+    while _BM25_SERVING_DIRS:
+        shutil.rmtree(_BM25_SERVING_DIRS.pop(), ignore_errors=True)
+
+
+import atexit as _atexit  # noqa: E402
+
+_atexit.register(_drain_serving_dirs)
 
 
 @query("bm25_indexed_topk", _BM25_ORACLE_SQL)
@@ -4111,7 +4124,6 @@ def bm25_indexed_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the build is a once-per-corpus cost the ingest sink
     amortizes per-batch, and query time is independent of corpus
     size."""
-    import shutil
     import tempfile
 
     from .operators.search import (
@@ -4122,10 +4134,12 @@ def bm25_indexed_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     prefix = "q_bm25_serving"
-    for t in ("postings", "docs", "stats"):
+    # tombstones included: a leftover tombstone registration from an
+    # earlier store at this prefix would silently delete docs from the
+    # fresh index's answers
+    for t in ("postings", "docs", "stats", "tombstones"):
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
-    while _BM25_SERVING_DIRS:
-        shutil.rmtree(_BM25_SERVING_DIRS.pop(), ignore_errors=True)
+    _drain_serving_dirs()
     path = tempfile.mkdtemp(prefix="bm25_serving_idx_")
     _BM25_SERVING_DIRS.append(path)
     persist_posting_index(

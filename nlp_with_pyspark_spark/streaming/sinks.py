@@ -710,10 +710,15 @@ def search_index_upsert_batch(
     # stats: DERIVED from the committed docs table (exact BIGINTs), so
     # the overwrite is idempotent under any replay; docs tombstoned by
     # operators/search.remove_from_posting_index stay subtracted (the
-    # recompute must not resurrect their counts)
+    # recompute must not resurrect their counts). _heal_tombstones
+    # gives the tombstone list the SAME restart story this function
+    # gives postings/docs above — a fresh session's first batch must
+    # not resurrect takedowns committed by the previous session.
+    from ..operators.search import _heal_tombstones
+
     committed = _load(docs_path, docs_tbl)
     tomb_tbl = f"{table_prefix}_tombstones" if bucketed else None
-    if tomb_tbl and spark.catalog.tableExists(tomb_tbl):
+    if tomb_tbl and _heal_tombstones(spark, table_prefix):
         spark.catalog.refreshTable(tomb_tbl)
         committed = committed.join(
             F.broadcast(spark.table(tomb_tbl)), "doc_id", "left_anti"

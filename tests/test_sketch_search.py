@@ -623,3 +623,128 @@ def test_posting_index_vacuum_preserves_answers_and_layout(
     finally:
         for t in ("postings", "docs", "stats", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_posting_index_tombstones_survive_restart(spark, tokenized_docs, tmp_path):
+    """A session restart must not resurrect takedowns: the catalog is
+    per-session but the ``<postings>__tombstones`` data dir is not, and
+    ``load_posting_index`` self-heals the tombstone registration the
+    same way ``register_bucketed_table`` heals postings/docs. Restart
+    is simulated the way the postings/docs restart tests do — DROP the
+    catalog entries, keep the files, re-register."""
+    from pyspark.sql import functions as F  # noqa: F811
+    from nlp_with_pyspark_spark.operators.search import (
+        _table_path_if_external,
+        bm25_topk,
+        bm25_topk_indexed,
+        build_posting_index,
+        load_posting_index,
+        persist_posting_index,
+        remove_from_posting_index,
+    )
+    from nlp_with_pyspark_spark.sources.io import register_bucketed_table
+
+    prefix = "t_bm25_restart_tomb"
+    path = str(tmp_path / "pidx")
+    persist_posting_index(
+        build_posting_index(tokenized_docs), prefix, n_buckets=8, path=path
+    )
+    try:
+        dead = [
+            r.doc_id
+            for r in tokenized_docs.where(F.col("doc_id") % 7 == 0)
+            .select("doc_id")
+            .collect()
+        ]
+        remove_from_posting_index(spark, dead, prefix)
+        # the tombstone table must live INSIDE the store dir, external
+        tpath = _table_path_if_external(spark, f"{prefix}_tombstones")
+        assert tpath is not None and tpath.startswith(path)
+
+        # --- "restart": catalog entries vanish, files survive
+        for t in ("postings", "docs", "stats", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        register_bucketed_table(spark, f"{prefix}_postings", "word", 8, f"{path}/postings")
+        register_bucketed_table(spark, f"{prefix}_docs", "doc_id", 8, f"{path}/docs")
+        spark.sql(
+            f"CREATE TABLE {prefix}_stats (n_docs bigint, total_dl bigint) "
+            f"USING parquet LOCATION '{path}/stats'"
+        )
+
+        idx = load_posting_index(spark, prefix)
+        assert idx.tombstones is not None
+        assert idx.tombstones.count() == len(dead)
+        live = tokenized_docs.where(F.col("doc_id") % 7 != 0)
+        assert _topk_rows(bm25_topk_indexed(idx, TERMS, k=15)) == _topk_rows(
+            bm25_topk(live, TERMS, k=15)
+        )
+        # a post-restart delete keeps appending to the healed table
+        # (idempotent on the already-dead set)
+        assert remove_from_posting_index(spark, dead, prefix) == 0
+    finally:
+        for t in ("postings", "docs", "stats", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_vacuum_keeps_external_locations_and_disk_state(
+    spark, tokenized_docs, tmp_path
+):
+    """The vacuum's tombstone clear and every stats refresh must keep
+    EXTERNAL tables at their store-dir locations (a bare overwrite
+    would recreate them MANAGED at the warehouse): after vacuum, the
+    on-disk ``<postings>__tombstones`` dir holds zero ids — so a later
+    session's self-heal resurrects nothing — and ``{path}/stats`` on
+    disk carries the live counts a path-addressed reader expects."""
+    from pyspark.sql import functions as F  # noqa: F811
+    from nlp_with_pyspark_spark.operators.search import (
+        _table_path_if_external,
+        build_posting_index,
+        load_posting_index,
+        persist_posting_index,
+        remove_from_posting_index,
+        vacuum_posting_index,
+    )
+
+    prefix = "t_bm25_vac_ext"
+    path = str(tmp_path / "pidx")
+    persist_posting_index(
+        build_posting_index(tokenized_docs), prefix, n_buckets=8, path=path
+    )
+    try:
+        dead = [
+            r.doc_id
+            for r in tokenized_docs.where(F.col("doc_id") % 5 == 0)
+            .select("doc_id")
+            .collect()
+        ]
+        remove_from_posting_index(spark, dead, prefix)
+        # stats refresh after a delete keeps the external location
+        assert _table_path_if_external(spark, f"{prefix}_stats") == f"{path}/stats"
+
+        vacuum_posting_index(spark, prefix)
+        tpath = f"{path}/postings__tombstones"
+        # still external at the sidecar location, and EMPTY on disk
+        assert _table_path_if_external(spark, f"{prefix}_tombstones") == tpath
+        assert spark.read.parquet(tpath).count() == 0
+        # the on-disk stats dir reflects the live (post-delete) corpus
+        live = tokenized_docs.where(F.col("doc_id") % 5 != 0)
+        want = build_posting_index(live).stats.collect()[0]
+        got = spark.read.parquet(f"{path}/stats").collect()[0]
+        assert (got["n_docs"], got["total_dl"]) == (want["n_docs"], want["total_dl"])
+
+        # restart after vacuum: self-heal finds an EMPTY sidecar →
+        # tombstones load as None, nothing resurrected
+        for t in ("postings", "docs", "stats", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        from nlp_with_pyspark_spark.sources.io import register_bucketed_table
+
+        register_bucketed_table(spark, f"{prefix}_postings", "word", 8, f"{path}/postings")
+        register_bucketed_table(spark, f"{prefix}_docs", "doc_id", 8, f"{path}/docs")
+        spark.sql(
+            f"CREATE TABLE {prefix}_stats (n_docs bigint, total_dl bigint) "
+            f"USING parquet LOCATION '{path}/stats'"
+        )
+        assert load_posting_index(spark, prefix).tombstones is None
+    finally:
+        for t in ("postings", "docs", "stats", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
