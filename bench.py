@@ -55,7 +55,6 @@ HEADLINE = [
     "events_tumbling_5m",
     "events_gap_filled_hourly",
     "events_session_stats",
-    "events_json_stats",
     "dedup_exact_groups",
     "leakage_safe_split",
     "dedup_minhash_pairs",
@@ -64,13 +63,10 @@ HEADLINE = [
     "quality_lr_filter",
     "quality_scores",
     "token_pack_assignments",
-    "model_calibration_bins",
     "multimodal_decode_features",
     "events_asof_click_purchase",
     "customer_rolling_7d_revenue",
     "dormant_customers",
-    "sql_top_unshipped_orders",
-    "customer_order_setops",
     "embedding_centroid_topk",
     "repetition_features",
     "decontamination_overlap",
@@ -85,54 +81,39 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "click_purchase_funnel",
     "corpus_pipeline_funnel",
-    "doc_lm_scores",
     "dedup_delta_pairs",
     "bpe_merge_stats",
     "simhash_delta_pairs",
-    # round 8 rotation — see MEMBERSHIP POLICY below
     "collocations_pmi_top50",
     "zorder_file_envelopes",
-    # round 8 (second swap): the new semantic-dedup family, never benched
     "semantic_dedup_pairs",
-    "semantic_dedup_stats",
-    "semantic_delta_pairs",
-    # round 8 (third swap): fuzzy decontamination, new registration
     "decontam_fuzzy_overlap",
-    # round 8 (fourth swap): deterministic training order, new registration
     "corpus_shuffle_order",
-    # round 8 (sixth swap): sketch/search family, new registrations
     "doc_length_quantiles",
     "vocab_heavy_hitters",
-    "bm25_search_topk",
-    # round 9 rotation — IN: the two new registrations (never benched)
-    # plus the seven r8-OUT queries benched through r7, re-entering
-    # under the every-3-rounds rule. OUT (all benched r8, kin stays —
-    # see the round-9 note in MEMBERSHIP POLICY below)
     "bm25_indexed_topk",
     "events_distinct_sketch",
-    "order_priority_counts",
     "small_qty_part_revenue",
-    "high_balance_inactive",
-    "promo_revenue_share",
     "doc_token_stats",
     "latest_event_per_user",
-    "supplier_nation_revenue",
-    # round 9 (second swap): the new batched-retrieval registration.
-    # OUT: ann_ivf_topk (benched r8-r9; ann_ivfpq_topk stays benched
-    # and composes the same IVF routing plus PQ refinement)
     "bm25_batch_topk",
-    # round 9 (third swap): the new DSIR data-selection registration.
-    # OUT: embedding_quantization_stats (benched r6-r9; embedding
-    # family keeps embedding_pq_codes benched — same demotion kinship
-    # as the check window's)
     "dsir_selection_scores",
+    "bm25_maintained_topk",
+    "dsir_selected_topk",
+    "curation_funnel",
+    "bigram_top50",
+    "corpus_clean_stats",
+    "doc_token_chunks",
+    "multimodal_frame_sample",
+    "local_supplier_volume",
+    "price_percentiles",
+    "events_sliding_10m",
+    "order_priority_pivot",
+    "tfidf_smoothed_long",
 ]
-# MEMBERSHIP POLICY (round 8). The printed JSON line must stay under
-# ~1850 chars (the driver captures only the last 2000 chars of stdout),
-# which caps the suite at ~68 entries — fewer than the registry. The
-# check window got an explicit rotation discipline in round 6; bench
-# membership follows the same rule from round 8:
-#
+# MEMBERSHIP POLICY. The printed JSON line must stay under ~1850 chars
+# (the driver captures only the last 2000 chars of stdout), capping the
+# suite at ~68 entries — fewer than the registry. Rules (since r8):
 #   1. PERMANENTLY excluded — quadratic-by-definition all-pairs
 #      VERIFIERS for the LSH/minhash scale paths, never meaningful as
 #      throughput numbers: dedup_ngram_jaccard, embedding_near_dups.
@@ -141,98 +122,35 @@ HEADLINE = [
 #      benched queries IN and rotates OUT long-benched queries whose
 #      perf shape a still-benched kin covers (swap, never grow).
 #
-# Round 8 swap — IN (never benched before): tfidf_smoothed_long,
-# simhash_fingerprints, order_priority_melt, multimodal_resize,
-# corpus_train_split, doc_length_histogram, and the new
-# zorder_file_envelopes. OUT (benched r1-r7, kin in parentheses stays
-# benched): order_priority_counts (order_priority_pivot composes it),
-# small_qty_part_revenue + high_balance_inactive + promo_revenue_share
-# (filter-join-agg family → pricing_summary / customer_nation_revenue /
-# dormant_customers), doc_token_stats (grouped token agg →
-# corpus_clean_stats … vocab_top100), latest_event_per_user (window
-# top-1 → top_orders_per_customer), supplier_nation_revenue (3-way dim
-# join → customer_nation_revenue / local_supplier_volume).
-# Round 8 second swap — IN (new registrations, never benched):
-# semantic_dedup_pairs, semantic_dedup_stats. OUT (benched r6-r7, kin
-# stays): embedding_rp_project (projection-shaped embedding transform →
-# embedding_quantization_stats / embedding_pq_codes), markup_strip_stats
-# (regex-scrub projection → pii_scrub_stats), session_event_overlap
-# (interval-join family → events_asof_click_purchase +
-# click_purchase_funnel), click_purchase_attribution (same kin, line-
-# budget headroom for the three longer semantic_* names).
-# Round 8 third swap — IN (new registration, never benched):
-# decontam_fuzzy_overlap. OUT (benched r5-r7, kin stays):
-# simhash_near_pairs (its full blocking+verify chain runs inside the
-# benched simhash_delta_pairs driver form; simhash_fingerprints also
-# benched this round).
-# Round 8 fourth swap — IN (new registration, never benched):
-# corpus_shuffle_order. OUT (benched r1-r7, kin stays):
-# order_priority_pivot (pivot shape → order_priority_melt, its inverse,
-# benched this round; the grouping itself → revenue_rollup).
-# Round 8 fifth swap — the round-9 debt cleared early, so EVERY
-# registered query outside the two permanent exclusions has now been
-# benched at least once. IN (never benched): token_budget,
-# order_status_cube, customer_running_revenue, events_distinct_users,
-# multimodal_asset_stats. OUT (benched r1-r8, kin stays):
-# bigram_top50 (top-k token counts → vocab_top100),
-# corpus_clean_stats (textstats projection → quality_scores +
-# repetition_features), doc_token_chunks (chunking →
-# token_pack_assignments), multimodal_frame_sample (mapInArrow →
-# multimodal_decode_features + multimodal_resize),
-# local_supplier_volume (multi-dim join/agg → customer_nation_revenue
-# + dormant_customers).
-# Round 8 sixth swap — IN (new registrations, never benched):
-# doc_length_quantiles, vocab_heavy_hitters, bm25_search_topk. OUT
-# (benched r1-r8, kin stays): price_percentiles (quantile agg →
-# doc_length_quantiles, the exact-at-scale successor of the same
-# family), ann_lsh_topk (ANN family → ann_ivf_topk + ann_ivfpq_topk,
-# both benched), confusion_metrics (eval family → model_auc_eval).
-# Round 8 seventh swap — IN: leakage_safe_split (new registration).
-# OUT: stratified_sample_by_lang (benched r1-r8; sampling family keeps
-# leakage_safe_split — same md5-threshold draw via hash_split plus the
-# group window — and token_pack_assignments, corpus_shuffle_order).
-# Round 8 eighth swap — IN: quality_lr_filter (new registration). OUT:
-# lang_id_counts (benched r1-r8; projection-over-text + tiny-agg shape
-# stays via quality_scores and the new quality_lr_filter itself).
-# Round 8 ninth swap — IN: model_calibration_bins (new registration).
-# OUT: doc_fingerprints (benched r1-r8; hashing-projection shape stays
-# via simhash_fingerprints and doc_lm_scores, both benched).
-# Round 8 tenth swap — IN: events_gap_filled_hourly (new registration).
-# OUT: events_sliding_10m (benched r1-r8; the covering-bucket
-# sequence+explode shape stays via events_tumbling_5m — benched — and
-# the gap-fill query itself, whose run-length expansion is the same
-# explode machinery).
-# Round 8 eleventh swap — IN: collocations_pmi_top50 (new
-# registration). OUT: tfidf_smoothed_long (benched r8; its unsmoothed
-# twin tfidf_long stays benched, and the PMI query exercises the same
-# unigram/bigram count + broadcast-join machinery).
-# Round 9 swap — IN: bm25_indexed_topk + events_distinct_sketch (new
-# registrations, never benched) and the full r7-stale debt
-# (order_priority_counts, small_qty_part_revenue,
-# high_balance_inactive, promo_revenue_share, doc_token_stats,
-# latest_event_per_user, supplier_nation_revenue — benched through
-# r7, due by r10). OUT (all benched r8, kin stays benched):
-# simhash_fingerprints (simhash_delta_pairs runs the full chain),
-# order_priority_melt (its inverse order_priority_counts returns),
-# multimodal_resize + multimodal_asset_stats (mapInArrow / metadata
-# shapes → multimodal_decode_features), corpus_train_split
-# (md5-threshold draw → leakage_safe_split + corpus_shuffle_order),
-# doc_length_histogram (→ doc_length_quantiles, exact-at-scale
-# successor), token_budget (→ token_pack_assignments + the returning
-# doc_token_stats), order_status_cube (→ revenue_rollup),
-# customer_running_revenue (→ customer_rolling_7d_revenue),
-# events_distinct_users (→ events_distinct_sketch, its mergeable-HLL
-# scale twin over the same grouping, entering this round; the line-
-# length budget note below is why the swap is 10-for-9).
-# Rotation debt for round 10: the r8-OUT set benched through r8
-# (bigram_top50, corpus_clean_stats, doc_token_chunks,
-# multimodal_frame_sample, local_supplier_volume, price_percentiles,
-# ann_lsh_topk, confusion_metrics, stratified_sample_by_lang,
-# lang_id_counts, doc_fingerprints, events_sliding_10m,
-# tfidf_smoothed_long, order_priority_pivot, simhash_near_pairs,
-# session_event_overlap, click_purchase_attribution, markup_strip_
-# stats, embedding_rp_project) is due by r11; the round-9 OUTs above
-# (benched r8) likewise.
+# Swap history, rounds 8-9 (compressed round 10; per-swap kin
+# rationales in git history): r8 ran eleven swaps — every new r8
+# registration entered, and by the fifth swap every registered query
+# outside the two permanent exclusions had been benched at least once.
+# r9 swapped in bm25_indexed_topk / events_distinct_sketch /
+# bm25_batch_topk / dsir_selection_scores plus the full r7-stale debt
+# (7 queries); 12 r8-benched queries with benched kin rotated out.
+#
+# Round 10 swap — IN: the three new registrations (bm25_maintained_
+# topk, dsir_selected_topk, curation_funnel — never benched) plus nine
+# of the r8-benched debt due by r11 (bigram_top50, corpus_clean_stats,
+# doc_token_chunks, multimodal_frame_sample, local_supplier_volume,
+# price_percentiles, events_sliding_10m, order_priority_pivot,
+# tfidf_smoothed_long). OUT (all benched r9, kin stays benched):
+# bm25_search_topk (indexed/maintained/batch run the same scoring
+# core), semantic_dedup_stats + semantic_delta_pairs
+# (semantic_dedup_pairs + dedup_delta_pairs), doc_lm_scores
+# (dsir_selection_scores + curation_funnel), model_calibration_bins
+# (quality_lr_filter, same prediction frame), events_json_stats
+# (events_session_stats), customer_order_setops + high_balance_inactive
+# (dormant_customers), sql_top_unshipped_orders + supplier_nation_
+# revenue (customer_nation_revenue / top_orders_per_customer),
+# order_priority_counts (the returning order_priority_pivot composes
+# it), promo_revenue_share (revenue_rollup).
+# Rotation debt for round 11: ann_lsh_topk, confusion_metrics,
+# stratified_sample_by_lang, lang_id_counts, doc_fingerprints,
+# simhash_near_pairs, session_event_overlap, click_purchase_
+# attribution, markup_strip_stats, embedding_rp_project (benched
+# through r8), plus the r9-OUT and r10-OUT sets (benched r9).
 
 
 def run_one(name: str, sf_dir: str, runs: int) -> None:

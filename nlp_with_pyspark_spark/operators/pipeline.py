@@ -121,3 +121,82 @@ def corpus_funnel(
         )
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+#: (index, name) of the curation stages, in order
+CURATION_STAGES = (
+    (0, "raw"),
+    (1, "quality"),
+    (2, "dsir_selected"),
+)
+
+
+def curation_funnel(
+    corpus: DataFrame,
+    target: DataFrame,
+    quality_min: float = 0.5,
+    keep_frac: float = 0.5,
+    tokens_col: str = "tokens",
+    ns=(1, 2),
+    n_buckets: int = 4096,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """(stage_idx, stage, n_docs): the SELECTION half of a training-data
+    pipeline — raw corpus → cheap quality gate → DSIR importance
+    selection (Xie et al. 2023), the published stage that follows the
+    hygiene funnel (:func:`corpus_funnel` covers quality → repetition →
+    dedup → decontamination; this composes the data-selection cut on
+    top of the same quality gate).
+
+    The DSIR source model is fit on the QUALITY SURVIVORS (the set the
+    selection actually draws from — scoring a distribution the cut never
+    sees would bias the importance ratio); ``target`` supplies the
+    target-domain model. The keep threshold is the exact
+    ``(1 - keep_frac)`` quantile of the rounded per-doc scores
+    (operators/sketch.exact_quantiles — one bounded histogram pass, the
+    cut selection.py's docstring prescribes for corpus-fraction-sized
+    selections where a global top-k sort would be the bottleneck), and
+    a document is kept when ``dsir_score >= cutoff``.
+
+    Scale shape: the scored frame ((doc_id, n_features, dsir_score) —
+    three thin columns per survivor) is localCheckpoint-ed once and
+    feeds the quantile probe, the survivor count and the keep count, so
+    the two DSIR corpus passes are paid exactly once; the quantile adds
+    one bounded-histogram aggregation; the three stage counts are
+    map-side 1-row aggs. Nothing corpus-sized is ever collected — the
+    driver sees one cutoff value and ≤``n_buckets`` histogram rows.
+    """
+    from .selection import dsir_scores
+    from .sketch import exact_quantiles
+
+    flagged = corpus.select(
+        "doc_id",
+        F.col(tokens_col),
+        quality_score_expr(F.col("text")).alias("__qs"),
+    )
+    survivors = flagged.where(F.col("__qs") >= quality_min)
+    scored = dsir_scores(
+        survivors,
+        target,
+        tokens_col=tokens_col,
+        ns=ns,
+        n_buckets=n_buckets,
+        smoothing=smoothing,
+    ).localCheckpoint()
+    q = 1.0 - keep_frac
+    cutoff = float(
+        exact_quantiles(scored, "dsir_score", [q]).collect()[0]["value"]
+    )
+
+    def stage(idx: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"), "n_docs"
+        )
+
+    return (
+        stage(0, "raw", corpus)
+        .unionByName(stage(1, "quality", scored))
+        .unionByName(
+            stage(2, "dsir_selected", scored.where(F.col("dsir_score") >= cutoff))
+        )
+    )

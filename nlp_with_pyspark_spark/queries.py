@@ -2428,13 +2428,21 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hex4_to_int_sql(key: str) -> str:
-    """ANSI-SQL value of the first 4 hex chars of ``key`` — the oracle
-    mirror of Spark's ``conv(substring(k,1,4),16,10)``. ``strpos`` over
-    the hex alphabet is the engine-portable digit decode."""
+def _hexn_to_int_sql(key: str, n: int) -> str:
+    """ANSI-SQL value of the first ``n`` hex chars of ``key`` — the
+    oracle mirror of Spark's ``conv(substring(k,1,n),16,10)``.
+    ``strpos`` over the hex alphabet is the engine-portable digit
+    decode; the leading CAST keeps the Horner fold in BIGINT (n=8
+    reaches 2³²−1, past INT32)."""
     digit = "(strpos('0123456789abcdef', substr({k}, {i}, 1)) - 1)"
-    d = [digit.format(k=key, i=i) for i in (1, 2, 3, 4)]
-    return f"((({d[0]} * 16 + {d[1]}) * 16 + {d[2]}) * 16 + {d[3]})"
+    acc = f"CAST({digit.format(k=key, i=1)} AS BIGINT)"
+    for i in range(2, n + 1):
+        acc = f"({acc} * 16 + {digit.format(k=key, i=i)})"
+    return acc
+
+
+def _hex4_to_int_sql(key: str) -> str:
+    return _hexn_to_int_sql(key, 4)
 
 
 @query(
@@ -3725,6 +3733,118 @@ def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_funnel(corpus, bench, quality_min=0.72)
 
 
+def _curation_sql(
+    quality_min: float = 0.72, keep_frac: float = 0.5, n_buckets: int = 4096
+) -> str:
+    """DuckDB twin of operators/pipeline.curation_funnel: the quality
+    CTE is corpus_stats_card's verbatim, the DSIR CTEs are _dsir_sql's
+    with the SOURCE model fit over the quality survivors (the set the
+    cut draws from), the threshold is quantile_disc — pinned identical
+    to operators/sketch.exact_quantiles."""
+    b = _hex4_to_int_sql("md5(gram)")
+    ab = float(n_buckets)  # add-1 smoothing: alpha * B
+    q = 1.0 - keep_frac
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, lang, text, {TOKENS_SQL} AS tokens FROM documents
+    ),
+    qbase AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len({_WS_TOKS_SQL}) AS BIGINT) AS n_tokens,
+               CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+               CASE WHEN len({_WS_TOKS_SQL}) > 0
+                    THEN CAST(list_sum(list_transform({_WS_TOKS_SQL}, t -> length(t))) AS DOUBLE)
+                         / len({_WS_TOKS_SQL})
+                    ELSE 0.0 END AS mwl,
+               {_EN_RATIO_SQL} AS swr
+        FROM toks
+    ),
+    quality AS (
+        SELECT doc_id,
+               round(least((CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END) / 0.7, 1.0) * 0.4
+                     + least(swr / 0.3, 1.0) * 0.3
+                     + (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.0 END) * 0.2
+                     + (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END) * 0.1,
+                 6) AS qs
+        FROM qbase
+    ),
+    surv AS (
+        SELECT t.doc_id, t.tokens FROM toks t JOIN quality USING (doc_id)
+        WHERE qs >= {quality_min!r}
+    ),
+    tdocs AS (SELECT doc_id, tokens FROM toks WHERE lang = 'en'),
+    tg1 AS (SELECT unnest(tokens) AS gram FROM tdocs),
+    tp2 AS (
+        SELECT tokens, unnest(range(0, len(tokens) - 1)) AS s
+        FROM tdocs WHERE len(tokens) >= 2
+    ),
+    tg2 AS (SELECT array_to_string(tokens[s + 1:s + 2], ' ') AS gram FROM tp2),
+    tgrams AS (SELECT * FROM tg1 UNION ALL SELECT * FROM tg2),
+    sg1 AS (SELECT doc_id, unnest(tokens) AS gram FROM surv),
+    sp2 AS (
+        SELECT doc_id, tokens, unnest(range(0, len(tokens) - 1)) AS s
+        FROM surv WHERE len(tokens) >= 2
+    ),
+    sg2 AS (
+        SELECT doc_id, array_to_string(tokens[s + 1:s + 2], ' ') AS gram FROM sp2
+    ),
+    sgrams AS (SELECT * FROM sg1 UNION ALL SELECT * FROM sg2),
+    sbkt AS (
+        SELECT doc_id, CAST(({b}) % {n_buckets} AS INT) AS bucket FROM sgrams
+    ),
+    tgt AS (
+        SELECT CAST(({b}) % {n_buckets} AS INT) AS bucket, count(*) AS tc
+        FROM tgrams GROUP BY 1
+    ),
+    src AS (SELECT bucket, count(*) AS sc FROM sbkt GROUP BY bucket),
+    tt AS (SELECT COALESCE(sum(tc), 0) AS t FROM tgt),
+    st AS (SELECT COALESCE(sum(sc), 0) AS s FROM src),
+    wts AS (
+        SELECT COALESCE(tgt.bucket, src.bucket) AS bucket,
+               ln((COALESCE(tc, 0) + 1.0) / (tt.t + {ab!r}))
+             - ln((COALESCE(sc, 0) + 1.0) / (st.s + {ab!r})) AS w
+        FROM tgt FULL OUTER JOIN src ON tgt.bucket = src.bucket, tt, st
+    ),
+    per AS (
+        SELECT sbkt.doc_id, round(sum(w), 6) AS dsir_score
+        FROM sbkt JOIN wts USING (bucket) GROUP BY sbkt.doc_id
+    ),
+    scored AS (
+        SELECT s.doc_id, COALESCE(p.dsir_score, 0.0) AS dsir_score
+        FROM surv s LEFT JOIN per p USING (doc_id)
+    ),
+    cut AS (SELECT quantile_disc(dsir_score, {q!r}) AS c FROM scored)
+    SELECT 0 AS stage_idx, 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM toks
+    UNION ALL
+    SELECT 1, 'quality', CAST(count(*) AS BIGINT) FROM scored
+    UNION ALL
+    SELECT 2, 'dsir_selected', CAST(count(*) AS BIGINT) FROM scored, cut
+    WHERE dsir_score >= c
+    """
+
+
+@query("curation_funnel", _curation_sql())
+def curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SELECTION half of the training-data pipeline
+    (operators/pipeline.curation_funnel): raw corpus → cheap quality
+    gate (the funnel's 0.72 threshold) → DSIR importance selection —
+    score the survivors against a lang='en' target model (source model
+    fit on the survivors themselves, the set the cut draws from), cut
+    at the exact median score via operators/sketch.exact_quantiles
+    (the corpus-fraction-sized selection path: one bounded histogram
+    pass, no global sort), keep ``dsir_score >= cutoff``. Composes
+    three independently-checked operators (quality_score_expr /
+    dsir_scores / exact_quantiles) into the published curation chain;
+    corpus_pipeline_funnel covers the HYGIENE half."""
+    from .operators.pipeline import curation_funnel
+
+    docs = _tokenized_documents(spark, sf_dir)
+    return curation_funnel(
+        docs, docs.where(F.col("lang") == "en"), quality_min=0.72, keep_frac=0.5
+    )
+
+
 @query(
     "doc_lm_scores",
     f"""
@@ -4039,8 +4159,15 @@ _BM25_TERMS = ("dup", "join", "scan")
 #: ONE oracle text for both BM25 driver queries: the direct path and the
 #: persisted-index serving path are pinned bit-identical (shared scoring
 #: core, tests/test_sketch_search.py), so they share the oracle verbatim
-_BM25_ORACLE_SQL = f"""
-    WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents),
+def _bm25_oracle_sql(where: str = "") -> str:
+    """Direct-path BM25 top-15 SQL over ``documents`` — shared verbatim
+    by the direct, indexed and index-maintenance queries (their Spark
+    paths are pinned bit-identical through the shared scoring core).
+    ``where`` restricts the corpus: the maintenance query's oracle is
+    this SQL over the corpus minus the tombstoned ids, exact because
+    delete ≡ rebuild-without is pinned in tests."""
+    return f"""
+    WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents {where}),
     d AS (SELECT doc_id, len(tokens) AS dl, tokens FROM toks),
     stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
     hits AS (SELECT doc_id, dl, unnest(tokens) AS word FROM d),
@@ -4061,6 +4188,9 @@ _BM25_ORACLE_SQL = f"""
     ORDER BY score DESC, doc_id ASC
     LIMIT 15
     """
+
+
+_BM25_ORACLE_SQL = _bm25_oracle_sql()
 
 
 @query("bm25_search_topk", _BM25_ORACLE_SQL)
@@ -4157,6 +4287,72 @@ def bm25_indexed_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the two takedown waves the maintenance query applies — deterministic
+#: id predicates so the oracle is the direct SQL over the survivors
+_BM25_DEAD_A = "doc_id % 7 = 0"
+_BM25_DEAD_B = "doc_id % 11 = 0"
+
+
+@query(
+    "bm25_maintained_topk",
+    _bm25_oracle_sql(f"WHERE NOT ({_BM25_DEAD_A}) AND NOT ({_BM25_DEAD_B})"),
+)
+def bm25_maintained_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index MAINTENANCE lifecycle under the external gate — the
+    LSM delete pattern end-to-end (operators/search.remove_from_
+    posting_index / vacuum_posting_index), following bm25_indexed_topk's
+    build-then-serve precedent: build + persist the index, tombstone a
+    first takedown wave (doc_id % 7), VACUUM (physically folds the
+    tombstones through compact's spec-preserving staged rewrite and
+    clears the list), tombstone a second wave (doc_id % 11), then
+    answer the flagship query from the store — so the result reflects
+    a logical delete layered over a physical one. The oracle is the
+    direct-path SQL over the corpus minus both waves, exact because
+    delete ≡ rebuild-without is pinned bit-identical in
+    tests/test_sketch_search.py.
+
+    Scale shape: each tombstone write moves only the id list; the
+    query-time exclusion is a broadcast anti-join on the
+    candidate-sized tf frame; the vacuum rewrite is once-per-epoch
+    maintenance whose cost tracks live data, after which query plans
+    revert to the anti-join-free pre-delete shape."""
+    import tempfile
+
+    from .operators.search import (
+        bm25_topk_indexed,
+        build_posting_index,
+        load_posting_index,
+        persist_posting_index,
+        remove_from_posting_index,
+        vacuum_posting_index,
+    )
+
+    prefix = "q_bm25_maint"
+    for t in ("postings", "docs", "stats", "tombstones"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+    _drain_serving_dirs()
+    path = tempfile.mkdtemp(prefix="bm25_maint_idx_")
+    _BM25_SERVING_DIRS.append(path)
+    docs = _tokenized_documents(spark, sf_dir)
+    persist_posting_index(
+        build_posting_index(docs), prefix, n_buckets=8, path=path
+    )
+    remove_from_posting_index(
+        spark, docs.where(F.expr(_BM25_DEAD_A)).select("doc_id"), prefix
+    )
+    vacuum_posting_index(spark, prefix)
+    remove_from_posting_index(
+        spark, docs.where(F.expr(_BM25_DEAD_B)).select("doc_id"), prefix
+    )
+    return bm25_topk_indexed(
+        load_posting_index(spark, prefix),
+        list(_BM25_TERMS),
+        k=15,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )
+
+
 #: the batched-retrieval query set: one rare+discriminative query (the
 #: flagship's), one all-common, one mixed — the mix a retrieval eval
 #: actually runs
@@ -4226,12 +4422,37 @@ def bm25_batch_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dsir_sql(target_lang: str = "en", n_buckets: int = 4096) -> str:
-    """DuckDB twin of operators/selection.dsir_scores for the query
+def _dsir_sql(
+    target_lang: str = "en",
+    n_buckets: int = 4096,
+    select_k: int | None = None,
+    seed: str = "dsir-0",
+) -> str:
+    """DuckDB twin of operators/selection.dsir_scores for the queries
     below: same unigram+bigram features, same md5-4-hex-char bucket
     (`_hex4_to_int_sql` mirrors Spark's conv(substring(md5,1,4),16,10)),
-    same add-1 smoothed log-ratio, rounded 6 after the per-doc sum."""
+    same add-1 smoothed log-ratio, rounded 6 after the per-doc sum.
+    With ``select_k``, replays dsir_resample_top_k's seeded Gumbel
+    top-k on top: the uniform is the first 8 md5 hex chars of
+    ``seed~doc_id`` mapped into (0,1) by (v+1)/(2³²+1), the key is
+    ``round(dsir_score − ln(−ln(u)), 6)``, the cut is the k largest
+    keys under the (key desc, doc_id asc) total order."""
     b = _hex4_to_int_sql("md5(gram)")
+    if select_k is None:
+        tail = "SELECT * FROM final"
+    else:
+        u8 = _hexn_to_int_sql(
+            f"md5('{seed}~' || CAST(doc_id AS VARCHAR))", 8
+        )
+        tail = f"""
+    SELECT doc_id, n_features, dsir_score,
+           round(dsir_score - ln(-ln(
+               (CAST({u8} AS DOUBLE) + 1.0) / {float(2**32 + 1)!r}
+           )), 6) AS gumbel_key
+    FROM final
+    ORDER BY gumbel_key DESC, doc_id ASC
+    LIMIT {select_k}
+    """
     return f"""
     WITH toks AS (SELECT doc_id, lang, {TOKENS_SQL} AS tokens FROM documents),
     g1 AS (SELECT doc_id, lang, unnest(tokens) AS gram FROM toks),
@@ -4265,11 +4486,14 @@ def _dsir_sql(target_lang: str = "en", n_buckets: int = 4096) -> str:
         SELECT bkt.doc_id, CAST(count(*) AS BIGINT) AS n_features,
                round(sum(w), 6) AS dsir_score
         FROM bkt JOIN wts USING (bucket) GROUP BY bkt.doc_id
+    ),
+    final AS (
+        SELECT t.doc_id,
+               CAST(COALESCE(p.n_features, 0) AS BIGINT) AS n_features,
+               COALESCE(p.dsir_score, 0.0) AS dsir_score
+        FROM toks t LEFT JOIN per p USING (doc_id)
     )
-    SELECT t.doc_id,
-           CAST(COALESCE(p.n_features, 0) AS BIGINT) AS n_features,
-           COALESCE(p.dsir_score, 0.0) AS dsir_score
-    FROM toks t LEFT JOIN per p USING (doc_id)
+    {tail}
     """
 
 
@@ -4288,6 +4512,28 @@ def dsir_selection_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _tokenized_documents(spark, sf_dir)
     return dsir_scores(docs, docs.where(F.col("lang") == "en"))
+
+
+@query("dsir_selected_topk", _dsir_sql(select_k=100, seed="dsir-r10"))
+def dsir_selected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR SELECT step itself — the paper's importance RESAMPLING
+    (operators/selection.dsir_resample_top_k): a without-replacement
+    sample of 100 docs with inclusion probability ∝ exp(dsir_score),
+    drawn as seeded Gumbel-top-k. The noise is the engine's md5 idiom,
+    not an RNG — u = (conv(substring(md5(seed~doc_id),1,8),16,10)+1)
+    / (2³²+1), key = score − ln(−ln(u)) — so the same seed reproduces
+    the selection bit-for-bit on any cluster AND in the DuckDB oracle,
+    which replays the full score + gumbel-key + rank-cut chain. The
+    kept SUBSET (not just the scores) is thereby under the external
+    gate. Scale shape: one extra row-local projection over the scoring
+    pass, then TakeOrdered (per-partition top-k + k-row merge — no
+    global sort)."""
+    from .operators.selection import dsir_resample_top_k
+
+    docs = _tokenized_documents(spark, sf_dir)
+    return dsir_resample_top_k(
+        docs, docs.where(F.col("lang") == "en"), k=100, seed="dsir-r10"
+    )
 
 
 @query("events_distinct_sketch", None)
@@ -4329,130 +4575,76 @@ def events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: checks or compositions whose constituents are each checked — every
 #: one still covered by a local DuckDB parity test
 #: (tests/test_oracle_parity.py and friends) and, where headline-
-#: relevant, by bench.py. (Rationales below are for queries CURRENTLY
-#: demoted; round-8 returns had their lines removed.)
+#: relevant, by bench.py.
 #:
-#: Round-6 rotation: the six queries that had NEVER received a driver
-#: correctness row in any round (corpus_pipeline_funnel,
-#: dedup_canonical_corpus, doc_lm_scores, embedding_rp_project,
-#: click_purchase_funnel, dormant_customers) are promoted into the
-#: window; six formula/parameter variants that already carry green
-#: r4/r5 driver rows take their place here.
+#: Rotation history, rounds ≤9 (compressed per VERDICT r9 ask #8; the
+#: per-name kin rationales live in this file's git history and in
+#: tests/test_check_window.py's REQUIRED_IN_WINDOW families):
+#:   r6: promoted the six never-checked flagship compositions; demoted
+#:       six r4/r5-green parameter variants (melt/near_dups/ngram_
+#:       jaccard/resize/frame_sample/train_split + histogram et al).
+#:   r7: promoted dedup_delta_pairs + bpe_merge_stats; demoted
+#:       doc_token_chunks, click_purchase_attribution, dedup_components
+#:       (constituents stayed in-window).
+#:   r8: six rotations — promoted 7 r4-stale returns + 12 never-checked
+#:       registrations; demoted 19 multi-round-green queries, each with
+#:       a named in-window kin.
+#:   r9: promoted 6 r4-stale returns + bm25_indexed_topk +
+#:       events_distinct_sketch + bm25_batch_topk + dsir_selection_
+#:       scores; demoted 11 queries freshly green in the r8 window.
+#: Every name in the list is driver-green in at least one round and
+#: re-verifies against DuckDB locally on every pytest run.
 #:
-#:   order_priority_melt      — inverse of order_priority_pivot
-#:   embedding_near_dups      — exact all-pairs VERIFIER for the LSH paths
-#:   dedup_ngram_jaccard      — exact inverted-index VERIFIER for minhash
-#:   multimodal_resize        — same mapInPandas plumbing as decode_features
-#:   multimodal_frame_sample  — same, explode-fanout variant
-#:   corpus_train_split       — hash-threshold split; same operator as
-#:                              stratified_sample_by_lang
-#:   doc_length_histogram     — binning groupBy, covered by doc_token_stats
-#:   supplier_nation_revenue  — 3-way dim join, covered by
-#:                              customer_nation_revenue + local_supplier_volume
-#:   events_sliding_10m       — sliding variant of events_tumbling_5m
-#:                              (green r4/r5)
-#:   order_priority_pivot     — CASE-sum twin of order_priority_counts
-#:                              (green r4/r5)
-#:   small_qty_part_revenue   — TPC-H Q17 shape, join+agg covered by
-#:                              top_parts_by_revenue (green r5)
-#:   high_balance_inactive    — anti-join, covered by the promoted
-#:                              dormant_customers (green r5)
-#:   promo_revenue_share      — conditional-agg variant of
-#:                              pricing_summary (green r5)
-#:   price_percentiles        — percentile_approx agg, binning covered by
-#:                              doc_token_stats (green r4/r5)
-#:   local_supplier_volume    — TPC-H Q5 shape, dim-join chain covered by
-#:                              customer_nation_revenue (green r5)
-#:   events_distinct_users    — per-type countDistinct, events aggs covered
-#:                              by events_tumbling_5m etc. (green r5)
-#:   latest_event_per_user    — groupBy-max + join-back, covered by
-#:                              top_orders_per_customer's rank window
-#:                              (green r5)
-#:   top_parts_by_revenue     — pre-agg-then-broadcast-join, covered by
-#:                              customer_nation_revenue (green r1-r5)
-#:   bigram_top50             — n-gram explode+count twin of vocab_top100
-#:                              (green r5)
-#:   corpus_clean_stats       — tokens_pipeline stage audit; the same
-#:                              pipeline is exercised end-to-end by
-#:                              vocab_top100 / tfidf_long (green r5)
-#:   multimodal_asset_stats   — metadata-only agg; decode_features is the
-#:                              deeper multimodal rep and the payload
-#:                              pruning is plan-pinned (green r5)
-#:   ann_brute_force_topk     — the exact verifier shape, green in all
-#:                              five rounds; the ANN family stays repped
-#:                              by ann_lsh / ann_ivf / ann_ivfpq
-#: Round-8 rotation (freshness pass, VERDICT r7 ask #5): six of the
-#: demoted queries last driver-checked in r4 rotate BACK into the
-#: window (salted_nation_revenue, tfidf_smoothed_long,
-#: simhash_fingerprints, order_status_cube, token_budget,
-#: customer_running_revenue), plus the new zorder_file_envelopes
-#: (never checked). Seven multi-round-green queries take their place
-#: below, each with its in-window kin named.
-#: Round-9 rotation (freshness pass, VERDICT r8 ask #4): six queries
-#: last driver-checked in r4 return to the window
-#: (supplier_nation_revenue, order_priority_pivot, local_supplier_
-#: volume, small_qty_part_revenue, high_balance_inactive,
-#: promo_revenue_share), plus the never-checked bm25_indexed_topk and
-#: events_distinct_sketch. Eight queries freshly green in the r8
-#: window take their place below, each with its in-window kin named.
+#: Round-10 rotation (freshness pass, VERDICT r9 ask #1 — oldest
+#: first): the FULL r4-stale set returns (order_priority_melt,
+#: embedding_near_dups, dedup_ngram_jaccard, multimodal_resize,
+#: multimodal_frame_sample, corpus_train_split, doc_length_histogram,
+#: salted_nation_revenue) plus the four oldest r5-stale
+#: (events_sliding_10m, price_percentiles, events_distinct_users,
+#: latest_event_per_user), plus the three never-checked round-10
+#: registrations (bm25_maintained_topk, dsir_selected_topk,
+#: curation_funnel). Fifteen queries freshly green in the r9 window
+#: take their place, each with its in-window kin:
+#:   supplier_nation_revenue — 3-way dim join; kin customer_nation_
+#:                             revenue + salted_nation_revenue (return)
+#:   order_priority_pivot    — CASE-sum pivot; kin order_priority_melt
+#:                             (its inverse, returning) + revenue_rollup
+#:   local_supplier_volume   — TPC-H Q5 dim-join chain; kin
+#:                             customer_nation_revenue
+#:   high_balance_inactive   — anti-join; kin dormant_customers
+#:   promo_revenue_share     — conditional agg; kin revenue_rollup
+#:   multimodal_decode_features — mapInPandas decode plumbing; kin
+#:                             multimodal_resize + _frame_sample (return)
+#:   semantic_delta_pairs    — delta path; kin semantic_dedup_pairs +
+#:                             dedup_delta_pairs (same delta pattern)
+#:   semantic_dedup_stats    — stats fold; kin semantic_dedup_pairs
+#:   leakage_safe_split      — hash_split draw; kin corpus_train_split
+#:                             (returning, the same operator)
+#:   corpus_shuffle_order    — seeded md5 determinism; kin corpus_
+#:                             train_split (return) + token_pack_assignments
+#:   doc_lm_scores           — hashed-LM scoring; kin dsir_selection_
+#:                             scores + curation_funnel (new)
+#:   click_purchase_funnel   — composition; kin events_asof_click_
+#:                             purchase (its constituent)
+#:   bm25_search_topk        — direct path; kin bm25_indexed_topk +
+#:                             bm25_maintained_topk (new), both pinned
+#:                             bit-identical through the shared core
+#:   model_calibration_bins  — eval bins; kin quality_lr_filter (the
+#:                             same prediction frame)
+#:   doc_length_quantiles    — exact quantiles; kin price_percentiles
+#:                             (return) + doc_length_histogram (return)
 _DEMOTED_PAST_CHECK_WINDOW = [
-    "order_priority_melt",
-    "embedding_near_dups",
-    "dedup_ngram_jaccard",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "corpus_train_split",
-    "doc_length_histogram",
-    "events_sliding_10m",
-    "price_percentiles",
-    # round 6: demoted (all carry green r5 driver rows; shapes covered by
-    # in-window kin) to open slots for the new substring-dedup,
-    # mixture-weight, and PQ queries, which have never been driver-checked
-    "events_distinct_users",
-    "latest_event_per_user",
+    # r5-stale, still demoted (rotate back in round 11, oldest-first)
     "top_parts_by_revenue",
     "bigram_top50",
     "corpus_clean_stats",
     "multimodal_asset_stats",
     "ann_brute_force_topk",
-    # round 7: demoted (green r6 driver rows) to open slots for
-    # dedup_delta_pairs and bpe_merge_stats, never driver-checked
-    #   doc_token_chunks          — token-count arithmetic + explode,
-    #                               covered by token_pack_assignments
-    #                               (same chunking/packing family) and
-    #                               local chunking oracle tests
-    #   click_purchase_attribution — interval join, covered by
-    #                               events_asof_click_purchase (asof
-    #                               twin) + click_purchase_funnel (its
-    #                               composition), both in-window
+    # r6-green
     "doc_token_chunks",
     "click_purchase_attribution",
-    #   dedup_components         — green r1-r6; its constituents stay
-    #                              in-window twice over: dedup_minhash_pairs
-    #                              (the pair input) and dedup_canonical_corpus
-    #                              (which composes the same connected-
-    #                              components clustering end-to-end);
-    #                              demoted for simhash_delta_pairs
     "dedup_components",
-    # round 8: demoted (all green r7 AND in multiple earlier rounds) for
-    # the freshness returns + zorder_file_envelopes:
-    #   order_priority_counts    — green r1-r7; order_status_cube (cube
-    #                              superset of the same grouping) returns
-    #                              to the window, revenue_rollup stays
-    #   doc_token_stats          — green r1-r7; token_budget (token-count
-    #                              kin) returns, quality_scores stays
-    #   lang_id_counts           — green r3-r7; textstats family keeps
-    #                              quality_scores + repetition_features
-    #                              in-window
-    #   ann_lsh_topk             — green r3-r7; ANN family keeps
-    #                              ann_ivf_topk + ann_ivfpq_topk
-    #   events_tumbling_5m       — green r1-r7; events family keeps
-    #                              session_stats / json_stats / asof /
-    #                              rolling-7d in-window
-    #   doc_fingerprints         — green r4-r7; simhash_fingerprints
-    #                              (the heavier fingerprint rep) returns
-    #   embedding_centroid_topk  — green r4-r7; embedding family keeps
-    #                              quantization/rp/pq in-window
+    # r7-green
     "order_priority_counts",
     "doc_token_stats",
     "lang_id_counts",
@@ -4460,123 +4652,19 @@ _DEMOTED_PAST_CHECK_WINDOW = [
     "events_tumbling_5m",
     "doc_fingerprints",
     "embedding_centroid_topk",
-    # round 8 (second rotation): demoted for the never-checked
-    # semantic_dedup_pairs + semantic_dedup_stats:
-    #   embedding_rp_project — green r6-r7; embedding family keeps
-    #                          embedding_quantization_stats +
-    #                          embedding_pq_codes in-window
-    #   markup_strip_stats   — green r6-r7; regex-scrub family keeps
-    #                          pii_scrub_stats in-window, textstats
-    #                          keeps quality_scores + repetition_features
     "embedding_rp_project",
     "markup_strip_stats",
-    #   session_event_overlap — green r5-r7; events family keeps
-    #                          events_session_stats + events_asof +
-    #                          customer_rolling_7d_revenue +
-    #                          click_purchase_funnel in-window; demoted
-    #                          for the never-checked semantic_delta_pairs
     "session_event_overlap",
-    # round 8 (third rotation): demoted for the never-checked
-    # decontam_fuzzy_overlap:
-    #   simhash_near_pairs — green r5-r7; the simhash family keeps
-    #                        simhash_fingerprints (the fingerprint fold)
-    #                        and simhash_delta_pairs (whose driver-query
-    #                        form rebuilds the full blocking+verify
-    #                        chain inside the plan) in-window, so every
-    #                        constituent stays externally checked
     "simhash_near_pairs",
-    # round 8 (fourth rotation): demoted for the never-checked
-    # corpus_shuffle_order:
-    #   sql_top_unshipped_orders — green r2-r7; the spark.sql/relational
-    #                              family keeps pricing_summary,
-    #                              customer_nation_revenue, revenue_rollup,
-    #                              order_status_cube, top_orders_per_customer,
-    #                              customer_running_revenue and
-    #                              dormant_customers in-window
     "sql_top_unshipped_orders",
-    # round 8 (fifth rotation): demoted for the never-checked
-    # doc_length_quantiles + vocab_heavy_hitters + bm25_search_topk:
-    #   confusion_metrics       — green r1-r7; the eval family keeps
-    #                             model_auc_eval in-window (whose exact
-    #                             rank path cross-checks the same
-    #                             prediction frame)
-    #   customer_order_setops   — green r2-r7; set-op semantics stay
-    #                             covered by dormant_customers (anti /
-    #                             NOT EXISTS) in-window
-    #   decontamination_overlap — green r3-r7; the decontam family
-    #                             keeps decontam_fuzzy_overlap (new,
-    #                             in-window) and corpus_pipeline_funnel
-    #                             (which composes the exact pass)
     "confusion_metrics",
     "customer_order_setops",
-    # round 8 (tenth rotation): demoted for the never-checked
-    # collocations_pmi_top50:
-    #   pricing_summary — green r1-r7 (TPC-H Q1); the relational
-    #                     scan+agg family keeps customer_nation_revenue,
-    #                     revenue_rollup, order_status_cube,
-    #                     top_orders_per_customer, customer_running_
-    #                     revenue and dormant_customers in-window, and
-    #                     the Q1 shape stays benched
     "pricing_summary",
-    # round 8 (ninth rotation): demoted for the never-checked
-    # events_gap_filled_hourly:
-    #   events_session_stats — green r1-r7; the new query exercises the
-    #                          same event-time bucketing + per-user
-    #                          windows; sessionization itself stays
-    #                          in-window via session_event_overlap's
-    #                          constituents (events_asof, rolling-7d,
-    #                          click_purchase_funnel) and re-verifies
-    #                          against DuckDB locally every pytest run
     "events_session_stats",
-    # round 8 (eighth rotation): demoted for the never-checked
-    # model_calibration_bins:
-    #   events_json_stats — green r1-r7; the events family keeps
-    #                       events_session_stats, events_asof_click_
-    #                       purchase, customer_rolling_7d_revenue and
-    #                       click_purchase_funnel in-window (the JSON
-    #                       parse itself re-verifies against DuckDB
-    #                       locally on every pytest run)
     "events_json_stats",
-    # round 8 (seventh rotation): demoted for the never-checked
-    # quality_lr_filter:
-    #   salted_nation_revenue — green r1-r7; the join/agg shape stays
-    #                           in-window unsalted (customer_nation_
-    #                           revenue), and the salted≡unsalted
-    #                           equivalence is pinned locally in
-    #                           test_scale on every pytest run
-    "salted_nation_revenue",
-    # round 8 (sixth rotation): demoted for the never-checked
-    # leakage_safe_split:
-    #   stratified_sample_by_lang — green r1-r7; the deterministic-
-    #                               sampling family keeps
-    #                               leakage_safe_split (same md5
-    #                               threshold draw, via hash_split),
-    #                               corpus_shuffle_order and
-    #                               token_pack_assignments in-window
     "stratified_sample_by_lang",
     "decontamination_overlap",
-    # round 9: demoted (all checked green in the r8 window — the
-    # freshest rows in the registry) for the six r4-stale returns plus
-    # bm25_indexed_topk + events_distinct_sketch, never driver-checked:
-    #   tfidf_smoothed_long      — smoothed-formula variant; tfidf_long
-    #                              (the flagship) stays in-window
-    #   simhash_fingerprints     — the fingerprint fold; simhash_delta_
-    #                              pairs (which rebuilds the full
-    #                              blocking+verify chain) stays
-    #   order_status_cube        — cube grouping; revenue_rollup
-    #                              (rollup twin) stays
-    #   customer_running_revenue — running window; customer_rolling_7d_
-    #                              revenue (range-frame window) stays
-    #   token_budget             — token-count arithmetic; token_pack_
-    #                              assignments (same family, heavier)
-    #                              stays
-    #   quality_scores           — heuristic scorer; quality_lr_filter +
-    #                              repetition_features stay
-    #   line_dedup_stats         — C4-style line dedup; dup_ngram_
-    #                              coverage (the heavier hygiene rep)
-    #                              stays
-    #   model_auc_eval           — rank-based AUC; model_calibration_
-    #                              bins (same prediction frame) stays
+    # r8-green
     "tfidf_smoothed_long",
     "simhash_fingerprints",
     "order_status_cube",
@@ -4585,20 +4673,24 @@ _DEMOTED_PAST_CHECK_WINDOW = [
     "quality_scores",
     "line_dedup_stats",
     "model_auc_eval",
-    # round 9 (second rotation): demoted for the never-checked
-    # bm25_batch_topk:
-    #   ann_ivf_topk — green r8; the ANN family keeps ann_ivfpq_topk
-    #                  in-window, which composes the SAME IVF routing
-    #                  (nearest-centroid probe + cluster-local search)
-    #                  plus the PQ-ADC refinement on top
     "ann_ivf_topk",
-    # round 9 (third rotation): demoted for the never-checked
-    # dsir_selection_scores:
-    #   embedding_quantization_stats — green r8; the embedding family
-    #                  keeps embedding_pq_codes in-window (the heavier
-    #                  quantization rep — codebook assignment vs range
-    #                  stats), same rationale as r8's rp_project demotion
     "embedding_quantization_stats",
+    # r9-green (the round-10 rotation, kin above)
+    "supplier_nation_revenue",
+    "order_priority_pivot",
+    "local_supplier_volume",
+    "high_balance_inactive",
+    "promo_revenue_share",
+    "multimodal_decode_features",
+    "semantic_delta_pairs",
+    "semantic_dedup_stats",
+    "leakage_safe_split",
+    "corpus_shuffle_order",
+    "doc_lm_scores",
+    "click_purchase_funnel",
+    "bm25_search_topk",
+    "model_calibration_bins",
+    "doc_length_quantiles",
 ]
 
 

@@ -11,119 +11,46 @@ from nlp_with_pyspark_spark.queries import (
 )
 
 #: one representative per operator family that MUST sit inside the
-#: driver's 50-query window
+#: driver's 50-query window. Per-rotation rationale history (rounds
+#: ≤9) is compressed into queries.py's _DEMOTED_PAST_CHECK_WINDOW
+#: header + git history; this set pins the CURRENT family coverage.
 REQUIRED_IN_WINDOW = {
-    # relational / TPC-H-ish (round 8: order_priority_counts demoted,
-    # the returning order_status_cube covers the grouping family)
-    # (tenth round-8 rotation: pricing_summary demoted after 7 green
-    # rounds for collocations_pmi_top50; Q1 shape stays benched, the
-    # scan+agg family keeps six members in-window)
+    # relational / TPC-H-ish
+    "customer_nation_revenue", "salted_nation_revenue",
+    "top_orders_per_customer", "revenue_rollup",
+    "customer_rolling_7d_revenue", "dormant_customers",
+    "order_priority_melt", "small_qty_part_revenue",
+    # event-time
+    "events_gap_filled_hourly", "events_asof_click_purchase",
+    "events_sliding_10m", "events_distinct_users",
+    "latest_event_per_user",
+    # text / NLP
+    "vocab_top100", "tfidf_long", "repetition_features",
     "collocations_pmi_top50",
-    "customer_nation_revenue", "top_orders_per_customer",
-    "revenue_rollup",
-    # (fourth round-8 rotation: sql_top_unshipped_orders demoted for
-    # corpus_shuffle_order; fifth rotation: customer_order_setops
-    # demoted — set-op semantics covered by dormant_customers' anti
-    # join; the relational family keeps six members in-window)
-    "customer_rolling_7d_revenue",
-    "dormant_customers",
-    # event-time (round 8: events_tumbling_5m demoted after 7 green
-    # rounds; session/json/asof/rolling keep the family repped)
-    # (second round-8 rotation: session_event_overlap demoted, interval
-    # joins covered by events_asof + click_purchase_funnel)
-    # (ninth round-8 rotation: events_session_stats demoted after 7
-    # green rounds for events_gap_filled_hourly — same event-time
-    # bucketing + per-user window machinery, sessionization re-verifies
-    # locally)
-    "events_gap_filled_hourly",
-    "events_asof_click_purchase",
-    # (eighth round-8 rotation: events_json_stats demoted after 7 green
-    # rounds for model_calibration_bins; JSON parse re-verifies locally)
-    "model_calibration_bins",
-    "click_purchase_funnel",
-    # text / NLP (round 9: token_budget / quality_scores /
-    # simhash_fingerprints demoted right after their fresh r8 green —
-    # kin in-window: token_pack_assignments, quality_lr_filter +
-    # repetition_features, simhash_delta_pairs)
-    "vocab_top100", "tfidf_long",
-    "repetition_features",
-    # dedup / similarity (dedup_components demoted round 7: green r1-r6,
-    # constituents covered by dedup_minhash_pairs + dedup_canonical_corpus;
-    # round 8: ann_lsh_topk + embedding_centroid_topk demoted, ivf/ivfpq
-    # + quantization/rp/pq keep both families repped)
-    "dedup_exact_groups", "dedup_minhash_pairs",
-    # (third round-8 rotation: simhash_near_pairs demoted for
-    # decontam_fuzzy_overlap; simhash family covered in-window by
-    # simhash_fingerprints + simhash_delta_pairs, whose driver-query
-    # form rebuilds the full blocking+verify chain)
-    "simhash_delta_pairs",
-    # (round 9, second rotation: ann_ivf_topk demoted for
-    # bm25_batch_topk — ann_ivfpq_topk composes the same IVF routing)
-    "ann_ivfpq_topk",
-    # pipeline / corpus hygiene
-    # (sixth round-8 rotation: stratified_sample_by_lang demoted after
-    # 7 green rounds for leakage_safe_split, which exercises the same
-    # md5-threshold draw via hash_split plus the group-safe window)
-    "leakage_safe_split", "token_pack_assignments",
-    "multimodal_decode_features",
-    # (fifth round-8 rotation: decontamination_overlap demoted after 5
-    # green rounds — decontam family covered by decontam_fuzzy_overlap
-    # + corpus_pipeline_funnel, which composes the exact pass)
-    "pii_scrub_stats",
-    # (round 9, third rotation: embedding_quantization_stats demoted
-    # for dsir_selection_scores — embedding_pq_codes stays, the heavier
-    # quantization rep)
-    "embedding_pq_codes",
-    # round-5 flagship compositions, promoted in round 6 — these six had
-    # never received a driver correctness row before the rotation
-    # (second round-8 rotation: embedding_rp_project demoted, embedding
-    # family covered by quantization_stats + pq_codes)
-    "corpus_pipeline_funnel", "dedup_canonical_corpus", "doc_lm_scores",
-    # new in round 6 (never driver-checked — must be in the window;
-    # local_supplier_volume / events_distinct_users / latest_event_per_user
-    # / top_parts_by_revenue demoted to make room, all green in r5)
-    "dup_ngram_coverage", "domain_mixture_weights",
-    # (second round-8 rotation: markup_strip_stats demoted, regex-scrub
-    # covered by pii_scrub_stats)
-    # (round 9: model_auc_eval demoted — eval family covered by
-    # model_calibration_bins over the same prediction frame;
-    # line_dedup_stats demoted — C4 hygiene covered by dup_ngram_coverage)
-    "corpus_stats_card",
-    # new in round 7 (never driver-checked — must be in the window;
-    # doc_token_chunks / click_purchase_attribution demoted to make
-    # room, both green in r6)
-    "dedup_delta_pairs", "bpe_merge_stats", "simhash_delta_pairs",
-    # round-8 freshness returns (last driver-checked r4) + the new
-    # layout read-back query (never checked)
-    # (seventh round-8 rotation: salted_nation_revenue demoted after 7
-    # green rounds for quality_lr_filter; the join/agg shape stays via
-    # customer_nation_revenue, salted≡unsalted pinned in test_scale)
-    # (round 9: tfidf_smoothed_long / customer_running_revenue /
-    # order_status_cube demoted after their fresh r8 green — kin
-    # in-window: tfidf_long, customer_rolling_7d_revenue, revenue_rollup)
-    "zorder_file_envelopes", "quality_lr_filter",
-    # new in round 8, second rotation (never driver-checked — must be in
-    # the window; session_event_overlap / embedding_rp_project /
-    # markup_strip_stats demoted to make room, all green r6-r7)
-    "semantic_dedup_pairs", "semantic_dedup_stats", "semantic_delta_pairs",
-    # new in round 8, third rotation (never driver-checked — must be in
-    # the window; simhash_near_pairs demoted to make room, green r5-r7)
-    "decontam_fuzzy_overlap",
-    # new in round 8, fourth rotation (never driver-checked — must be in
-    # the window; sql_top_unshipped_orders demoted, green r2-r7)
-    "corpus_shuffle_order",
-    # new in round 8, fifth rotation (never driver-checked — must be in
-    # the window; confusion_metrics / customer_order_setops /
-    # decontamination_overlap demoted to make room, all green ≥5 rounds)
-    "doc_length_quantiles", "vocab_heavy_hitters", "bm25_search_topk",
-    # new in round 9 (never driver-checked — must be in the window):
-    # the indexed-BM25 serving path and the rows-only HLL distinct
-    "bm25_indexed_topk", "events_distinct_sketch", "bm25_batch_topk",
-    "dsir_selection_scores",
-    # round-9 freshness returns (last driver-checked r4)
-    "supplier_nation_revenue", "order_priority_pivot",
-    "local_supplier_volume", "small_qty_part_revenue",
-    "high_balance_inactive", "promo_revenue_share",
+    # dedup / similarity
+    "dedup_exact_groups", "dedup_minhash_pairs", "dedup_ngram_jaccard",
+    "simhash_delta_pairs", "dedup_delta_pairs", "semantic_dedup_pairs",
+    "embedding_near_dups", "ann_ivfpq_topk", "embedding_pq_codes",
+    # corpus hygiene / curation pipeline
+    "quality_lr_filter", "pii_scrub_stats", "dup_ngram_coverage",
+    "domain_mixture_weights", "corpus_stats_card",
+    "decontam_fuzzy_overlap", "dedup_canonical_corpus",
+    "corpus_pipeline_funnel", "curation_funnel",
+    # deterministic sampling / packing / layout
+    "corpus_train_split", "token_pack_assignments",
+    "zorder_file_envelopes",
+    # multimodal plumbing
+    "multimodal_resize", "multimodal_frame_sample",
+    # sketches / quantiles
+    "price_percentiles", "doc_length_histogram",
+    "vocab_heavy_hitters", "events_distinct_sketch",
+    # retrieval (direct path bm25_search_topk demoted round 10 — the
+    # indexed and maintenance paths are pinned bit-identical to it)
+    "bm25_indexed_topk", "bm25_maintained_topk", "bm25_batch_topk",
+    # data selection (DSIR)
+    "dsir_selection_scores", "dsir_selected_topk",
+    # tokenizer
+    "bpe_merge_stats",
 }
 
 

@@ -135,3 +135,44 @@ def test_resample_top_k_matches_hand_computed_gumbel(spark):
                 for r in dsir_resample_top_k(corpus, target, k=6, seed=seed).collect()
             ]
             assert got == want, (seed, got, want)
+
+
+def test_curation_funnel_stage_counts_pinned(spark):
+    """The composed curation funnel (pipeline.curation_funnel) on a
+    hand-built corpus where every stage's effect is computable by hand:
+    quality gates on text, DSIR selects the target-looking half of the
+    survivors, counts are monotone non-increasing and exactly match an
+    independent recomputation from the constituent operators."""
+    from nlp_with_pyspark_spark.operators.pipeline import curation_funnel
+    from nlp_with_pyspark_spark.operators.sketch import exact_quantiles
+    from nlp_with_pyspark_spark.operators.textstats import quality_score_expr
+
+    good = "the quick brown fox jumps over the lazy dog and runs far away today"
+    bad = "@@@@ #### %%%% &&&& !!!! ???? ++++ ==== ~~~~ ;;;;"
+    rows = []
+    for i in range(12):
+        rows.append((i, good + f" extra{i}"))          # passes quality
+    for i in range(12, 18):
+        rows.append((i, bad))                           # fails quality
+    docs = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "tokens", F.split(F.lower(F.col("text")), r"\s+")
+    )
+    # target: the even good docs' vocabulary
+    target = docs.where((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 12))
+    got = {
+        r.stage: r.n_docs
+        for r in curation_funnel(docs, target, quality_min=0.5, keep_frac=0.5).collect()
+    }
+    # independent recomputation from the checked constituents
+    surv = docs.where(quality_score_expr(F.col("text")) >= 0.5)
+    n_surv = surv.count()
+    assert got["raw"] == 18
+    assert got["quality"] == n_surv
+    assert 0 < n_surv < 18
+    from nlp_with_pyspark_spark.operators.selection import dsir_scores
+
+    scored = dsir_scores(surv, target)
+    cut = exact_quantiles(scored, "dsir_score", [0.5]).collect()[0]["value"]
+    want_kept = scored.where(F.col("dsir_score") >= cut).count()
+    assert got["dsir_selected"] == want_kept
+    assert 0 < got["dsir_selected"] <= got["quality"] <= got["raw"]
