@@ -781,3 +781,82 @@ def search_index_sink(
     )
     q.awaitTermination()
     return q
+
+
+def search_index_delete_batch(
+    batch_df: DataFrame,
+    table_prefix: str,
+    id_col: str = "doc_id",
+    vacuum_threshold_tombstones: int | None = None,
+) -> int:
+    """One streaming takedown step: tombstone this micro-batch's ids in
+    the persisted posting index (operators/search.remove_from_posting_
+    index — the delete half of :func:`search_index_upsert_batch`'s
+    append). Idempotence comes from the delete itself: already-dead and
+    never-indexed ids are dropped by anti-joins before the tombstone
+    append, so a foreachBatch replay after a crash adds nothing and the
+    stats re-derivation is a no-op — no sink-side ledger needed.
+
+    ``vacuum_threshold_tombstones``: when set, the LSM maintenance
+    cadence — after the delete commits, if the live tombstone list has
+    grown past the threshold, :func:`~..operators.search.vacuum_
+    posting_index` folds it into a physical rewrite, keeping the
+    query-time anti-join list broadcast-small no matter how long the
+    takedown stream runs (the compact_threshold_files pattern of the
+    append sinks, applied to deletes). A crash between the delete and
+    the vacuum is safe: the vacuum is itself crash-recoverable and the
+    next batch re-triggers it.
+
+    Returns the number of newly tombstoned ids."""
+    from ..operators.search import (
+        _heal_tombstones,
+        remove_from_posting_index,
+        vacuum_posting_index,
+    )
+
+    spark = batch_df.sparkSession
+    n_new = remove_from_posting_index(
+        spark, batch_df.select(id_col), table_prefix
+    )
+    if vacuum_threshold_tombstones is not None and _heal_tombstones(
+        spark, table_prefix
+    ):
+        tomb_tbl = f"{table_prefix}_tombstones"
+        spark.catalog.refreshTable(tomb_tbl)
+        if spark.table(tomb_tbl).count() >= vacuum_threshold_tombstones:
+            vacuum_posting_index(spark, table_prefix)
+    return n_new
+
+
+def search_index_delete_sink(
+    stream_ids: DataFrame,
+    table_prefix: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    vacuum_threshold_tombstones: int | None = None,
+):
+    """Streaming takedowns against a persisted posting index: each
+    micro-batch of doc ids is tombstoned via
+    :func:`search_index_delete_batch`, so a BM25 query stops serving a
+    document as soon as its takedown batch commits — the delete twin of
+    :func:`search_index_sink` (takedowns arrive as streams exactly like
+    ingest does). Replaying a batch from the checkpoint is a no-op (the
+    tombstone anti-join), and the optional vacuum threshold keeps the
+    store physically bounded under an unbounded delete stream."""
+
+    def delete(batch_df: DataFrame, batch_id: int) -> None:
+        search_index_delete_batch(
+            batch_df,
+            table_prefix,
+            id_col=id_col,
+            vacuum_threshold_tombstones=vacuum_threshold_tombstones,
+        )
+
+    q = (
+        stream_ids.writeStream.foreachBatch(delete)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1776,3 +1776,117 @@ def test_search_index_sink_stats_respect_tombstones(spark, sf_dir, tmp_path):
     finally:
         for t in ("postings", "docs", "stats", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_search_index_delete_sink_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Takedowns as a stream: two micro-batches of doc ids tombstoned
+    via the delete sink leave the index answering EXACTLY like (a) a
+    single batch delete of the union and (b) the direct scorer over the
+    corpus minus those ids; re-running from the same checkpoint (no new
+    input) and replaying a batch's ids change nothing."""
+    from nlp_with_pyspark_spark.operators.search import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_posting_index,
+        load_posting_index,
+        persist_posting_index,
+    )
+    from nlp_with_pyspark_spark.streaming.sinks import search_index_delete_sink
+
+    toks = _neardup_toks(spark, sf_dir).localCheckpoint()
+    prefix = "t_sidx_delsink"
+    persist_posting_index(
+        build_posting_index(toks), prefix, n_buckets=8,
+        path=str(tmp_path / "pidx"),
+    )
+    try:
+        dead = toks.where(F.col("doc_id") % 6 == 0).select("doc_id")
+        src = tmp_path / "del_src"
+        src.mkdir()
+        dead.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+            str(src / "b0")
+        )
+        dead.where(F.col("doc_id") % 2 != 0).coalesce(1).write.parquet(
+            str(src / "b1")
+        )
+        ckpt = str(tmp_path / "del_ckpt")
+
+        def run():
+            stream = (
+                spark.readStream.schema("doc_id long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src / "b*"))
+            )
+            search_index_delete_sink(stream, prefix, ckpt)
+
+        run()
+        live = toks.where(F.col("doc_id") % 6 != 0)
+        idx = load_posting_index(spark, prefix)
+        got = _bm25_rows(bm25_topk_indexed(idx, _BM25_TERMS, k=15))
+        assert got == _bm25_rows(bm25_topk(live, _BM25_TERMS, k=15))
+        stats1 = idx.stats.collect()[0]
+        want = build_posting_index(live).stats.collect()[0]
+        assert (stats1["n_docs"], stats1["total_dl"]) == (
+            want["n_docs"], want["total_dl"],
+        )
+        # re-run from the same checkpoint: no new input, nothing changes
+        run()
+        # at-least-once replay of a committed batch: the anti-join
+        # drops every already-dead id
+        from nlp_with_pyspark_spark.streaming.sinks import (
+            search_index_delete_batch,
+        )
+
+        assert search_index_delete_batch(dead, prefix) == 0
+        idx2 = load_posting_index(spark, prefix)
+        assert _bm25_rows(bm25_topk_indexed(idx2, _BM25_TERMS, k=15)) == got
+    finally:
+        for t in ("postings", "docs", "stats", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS t_sidx_delsink_{t}")
+
+
+def test_search_index_delete_sink_vacuum_threshold(spark, sf_dir, tmp_path):
+    """The sink's LSM cadence: a delete batch that pushes the live
+    tombstone count past the threshold triggers a vacuum — tombstones
+    fold into a physical rewrite and empty out — while answers keep
+    equaling the direct scorer over the survivors throughout."""
+    from nlp_with_pyspark_spark.operators.search import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_posting_index,
+        load_posting_index,
+        persist_posting_index,
+    )
+    from nlp_with_pyspark_spark.streaming.sinks import search_index_delete_batch
+
+    toks = _neardup_toks(spark, sf_dir).localCheckpoint()
+    prefix = "t_sidx_delvac"
+    persist_posting_index(
+        build_posting_index(toks), prefix, n_buckets=8,
+        path=str(tmp_path / "pidx"),
+    )
+    try:
+        wave_a = toks.where(F.col("doc_id") % 10 == 0).select("doc_id")
+        n_a = wave_a.count()
+        # threshold above wave A: no vacuum yet
+        search_index_delete_batch(
+            wave_a, prefix, vacuum_threshold_tombstones=n_a + 1
+        )
+        assert spark.table(f"{prefix}_tombstones").count() == n_a
+        # wave B crosses the threshold: vacuum fires, list empties
+        wave_b = toks.where(F.col("doc_id") % 10 == 5).select("doc_id")
+        search_index_delete_batch(
+            wave_b, prefix, vacuum_threshold_tombstones=n_a + 1
+        )
+        assert spark.table(f"{prefix}_tombstones").count() == 0
+        live = toks.where(~F.col("doc_id").isin(
+            [r.doc_id for r in wave_a.union(wave_b).collect()]
+        ))
+        idx = load_posting_index(spark, prefix)
+        assert idx.tombstones is None  # post-vacuum plan shape
+        assert _bm25_rows(bm25_topk_indexed(idx, _BM25_TERMS, k=15)) == _bm25_rows(
+            bm25_topk(live, _BM25_TERMS, k=15)
+        )
+    finally:
+        for t in ("postings", "docs", "stats", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS t_sidx_delvac_{t}")
