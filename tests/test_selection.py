@@ -176,3 +176,17 @@ def test_curation_funnel_stage_counts_pinned(spark):
     want_kept = scored.where(F.col("dsir_score") >= cut).count()
     assert got["dsir_selected"] == want_kept
     assert 0 < got["dsir_selected"] <= got["quality"] <= got["raw"]
+
+
+def test_resample_plan_is_takeordered_and_joinfree(spark):
+    """The Gumbel perturbation adds ONE row-local projection on top of
+    the scoring plan — still zero joins — and the k-cut plans as
+    TakeOrdered (per-partition top-k + k-row merge), never a global
+    Sort."""
+    from nlp_with_pyspark_spark.operators.selection import dsir_resample_top_k
+
+    docs = _docs(spark, [(i, ["alpha", "beta", "omega"]) for i in range(20)])
+    target = docs.where(F.col("doc_id") < 5)
+    plan = plan_string(dsir_resample_top_k(docs, target, k=5))
+    assert "Join" not in plan, plan
+    assert "TakeOrdered" in plan, plan
