@@ -569,6 +569,64 @@ def sink_probe_leg_semantic(corpus_dir: str, tag: str, batch_docs: int, runs: in
     }
 
 
+def bm25_maint_probe(corpus_dir: str, tag: str) -> dict:
+    """Posting-index MAINTENANCE cost vs corpus size — the structural
+    claims behind the bm25_maintained_topk driver query: a DELETE's
+    cost is the id-list write + broadcast anti-joins on candidate-sized
+    frames + one keys-only ledger rescan for the stats (NOT a store
+    rewrite), so it should grow far slower than the corpus; a VACUUM is
+    by design a physical rewrite whose cost TRACKS LIVE DATA (that is
+    the point — it restores scan cost); and post-delete serving pays
+    only a broadcast anti-join over the candidate frame. One fresh
+    session per leg (run via subprocess like the sink probes)."""
+    from nlp_with_pyspark_spark.operators.search import (
+        bm25_topk_indexed,
+        build_posting_index,
+        load_posting_index,
+        persist_posting_index,
+        remove_from_posting_index,
+        vacuum_posting_index,
+    )
+    from nlp_with_pyspark_spark.queries import _tokenized_documents
+    import tempfile
+
+    spark = get_spark(app_name=f"bm25-maint-{tag}")
+    spark.sparkContext.setLogLevel("ERROR")
+    prefix = f"probe_maint_{tag}"
+    toks = _tokenized_documents(spark, corpus_dir)
+    t0 = time.perf_counter()
+    persist_posting_index(
+        build_posting_index(toks), prefix, n_buckets=32,
+        path=tempfile.mkdtemp(prefix=f"bm25maint_{tag}_"),
+    )
+    t_build = time.perf_counter() - t0
+    # fixed-size takedown wave: 500 ids regardless of corpus size —
+    # the cost claim is about the STORE side, so the batch is pinned
+    dead = [r.doc_id for r in toks.select("doc_id").limit(500).collect()]
+    t0 = time.perf_counter()
+    n = remove_from_posting_index(spark, dead, prefix)
+    t_delete = time.perf_counter() - t0
+    idx = load_posting_index(spark, prefix)
+    t0 = time.perf_counter()
+    materialize(bm25_topk_indexed(idx, ["dup", "join", "scan"], k=15))
+    t_serve_tombstoned = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    vacuum_posting_index(spark, prefix)
+    t_vacuum = time.perf_counter() - t0
+    idx2 = load_posting_index(spark, prefix)
+    t0 = time.perf_counter()
+    materialize(bm25_topk_indexed(idx2, ["dup", "join", "scan"], k=15))
+    t_serve_vacuumed = time.perf_counter() - t0
+    return {
+        "deleted": n,
+        "t_build": round(t_build, 2),
+        "t_delete_500ids": round(t_delete, 2),
+        "t_serve_tombstoned": round(t_serve_tombstoned, 2),
+        "t_vacuum": round(t_vacuum, 2),
+        "t_serve_vacuumed": round(t_serve_vacuumed, 2),
+    }
+
+
 def materialize(df) -> None:
     """Force FULL evaluation of every output column.
 
@@ -632,11 +690,48 @@ def main() -> None:
         "(value = leg tag; corpus dir taken from --base)"
     )
     ap.add_argument(
+        "--bm25-maint-probe", action="store_true",
+        help="posting-index maintenance probe: fixed-size delete wave, "
+        "vacuum, and serving cost at 1x and --factor x (one fresh "
+        "session per leg)",
+    )
+    ap.add_argument(
+        "--bm25-maint-leg", default=None,
+        help="internal: run one maintenance-probe leg (value = tag; "
+        "corpus dir from --base)",
+    )
+    ap.add_argument(
         "--compact-mid", action="store_true",
         help="minhash sink probe: arm threshold-triggered compaction so it "
         "trips mid-sequence, and run the store-integrity check afterwards",
     )
     args = ap.parse_args()
+
+    if args.bm25_maint_leg:
+        print(json.dumps({args.bm25_maint_leg: bm25_maint_probe(args.base, args.bm25_maint_leg)}))
+        return
+
+    if args.bm25_maint_probe:
+        import subprocess
+
+        out_dir = args.out or f"/tmp/scale{args.factor}x_documents"
+        spark = get_spark(app_name=f"bm25-maint-build-{args.factor}x")
+        spark.sparkContext.setLogLevel("ERROR")
+        build_replicated_dir(spark, args.base, out_dir, args.factor, ("documents",))
+        spark.stop()
+        results = {}
+        for tag, corpus_dir in (("1x", args.base), (f"{args.factor}x", out_dir)):
+            out = subprocess.run(
+                [
+                    sys.executable, os.path.abspath(__file__),
+                    "--bm25-maint-leg", tag, "--base", corpus_dir,
+                ],
+                capture_output=True, text=True, check=True,
+            )
+            results.update(json.loads(out.stdout.strip().splitlines()[-1]))
+            print(json.dumps({tag: results[tag]}), flush=True)
+        print(json.dumps({"factor": args.factor, "results": results}))
+        return
 
     if args.sink_leg:
         if args.sink_family == "semantic":
