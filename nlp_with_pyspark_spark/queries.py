@@ -3836,7 +3836,12 @@ def curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass, no global sort), keep ``dsir_score >= cutoff``. Composes
     three independently-checked operators (quality_score_expr /
     dsir_scores / exact_quantiles) into the published curation chain;
-    corpus_pipeline_funnel covers the HYGIENE half."""
+    corpus_pipeline_funnel covers the HYGIENE half. Bench floor at
+    sf0.1 is ~7-9 s: two tokenize passes (survivor checkpoint build +
+    target model — the regex pipeline dominates per-pass cost) plus
+    the quantile's driver action; both passes scale with the scan
+    (100× probe: ~9×, SCALING.md) and the tokenize would be a
+    stored column, not a recompute, in a real pipeline."""
     from .operators.pipeline import curation_funnel
 
     docs = _tokenized_documents(spark, sf_dir)
@@ -4315,7 +4320,12 @@ def bm25_maintained_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     query-time exclusion is a broadcast anti-join on the
     candidate-sized tf frame; the vacuum rewrite is once-per-epoch
     maintenance whose cost tracks live data, after which query plans
-    revert to the anti-join-free pre-delete shape."""
+    revert to the anti-join-free pre-delete shape. The bench leg prices
+    the ENTIRE lifecycle per call — build + persist + two delete waves
+    + a physical vacuum rewrite + serve, ~15 jobs of fixed scheduling
+    overhead at sf0.1 (~9 s; the serving query alone is sub-second and
+    corpus-size-independent, SCALING.md) — at 100 TB each stage is a
+    separate amortized maintenance event."""
     import tempfile
 
     from .operators.search import (
