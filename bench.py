@@ -78,7 +78,7 @@ HEADLINE = [
     "corpus_stats_card",
     "model_auc_eval",
     "line_dedup_stats",
-    "ann_ivfpq_topk",
+    "ann_recall_at_k",
     "click_purchase_funnel",
     "corpus_pipeline_funnel",
     "dedup_delta_pairs",
@@ -146,6 +146,10 @@ HEADLINE = [
 # revenue (customer_nation_revenue / top_orders_per_customer),
 # order_priority_counts (the returning order_priority_pivot composes
 # it), promo_revenue_share (revenue_rollup).
+# Round 10 (second swap) — IN: ann_recall_at_k (new registration;
+# its approx side runs the identical ivfpq configuration, so the leg
+# prices ivfpq + exact-L2 ground truth + the recall join). OUT:
+# ann_ivfpq_topk (benched r8-r10; composed verbatim by the new leg).
 # Rotation debt for round 11: ann_lsh_topk, confusion_metrics,
 # stratified_sample_by_lang, lang_id_counts, doc_fingerprints,
 # simhash_near_pairs, session_event_overlap, click_purchase_

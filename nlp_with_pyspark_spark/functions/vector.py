@@ -36,6 +36,23 @@ def l2_norm(a: Column | str) -> Column:
     return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
 
 
+def squared_l2(a: Column | str, b: Column | str) -> Column:
+    """Squared euclidean distance of two array columns (double).
+
+    ``aggregate(zip_with(a, b, diff²), 0.0, +)`` — the same sequential
+    left fold as :func:`dot`, matching DuckDB's
+    ``list_sum(list_transform(list_zip(a, b), …))`` association order
+    so pre-rounding float drift stays at the 1-ulp level.
+    """
+    diffs = F.zip_with(
+        _c(a),
+        _c(b),
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity; 0.0 for zero-norm inputs (guarded).
 

@@ -721,3 +721,92 @@ def centroid_topk(
         F.round(cosine_similarity(F.col(vec_col), F.col("centroid")), 6).alias("cos_centroid"),
     )
     return scored.orderBy(F.desc("cos_centroid"), F.asc("vec_id")).limit(k)
+
+
+def exact_l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact squared-L2 top-k: (query_id, neighbor_id, d2, rank) —
+    the ground truth the L2-metric ANN paths (IVF, IVF-PQ) are recalled
+    against (:func:`brute_force_topk` is its cosine twin and the ground
+    truth for the cosine paths). Self-matches excluded; d2 rounded to
+    6dp before ranking with neighbor_id tie-break, so the rank set is
+    total and engine-stable. Scale shape: the query set broadcasts,
+    the corpus is scanned once, the window state per query is k rows."""
+    from ..functions.vector import squared_l2
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(squared_l2(F.col("qv"), F.col("cv")), 6).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ann_recall_at_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of the IVF-PQ search against exact L2 ground truth —
+    the metric every ANN deployment is tuned by (recall/latency is THE
+    trade-off curve; Jégou et al. 2011 report exactly this number):
+    ``(query_id, n_hits, recall)`` with recall = |approx top-k ∩ exact
+    top-k| / k, one row per query INCLUDING zero-hit queries.
+
+    Composes the two checked constituents verbatim —
+    :func:`ivfpq_topk` (same centroids/codebooks/params as the
+    registered ann_ivfpq_topk) and :func:`exact_l2_topk` — and joins
+    their id sets. Scale shape: both sides end k rows per query, so
+    the intersection join and the per-query count move Q×k rows at
+    most; the exact side is one corpus scan (the eval is run on a
+    query SAMPLE at 100 TB — ground truth is the expensive half by
+    construction, which is the point of measuring recall on a sample
+    rather than serving exact answers).
+
+    Absolute recall depends entirely on how well-trained the quantizer
+    is: the registered query's configuration is the DETERMINISTIC
+    untrained one (first-8-vector centroids, fixed md5 codebooks,
+    ksub=4 — chosen for oracle-ability, not quality), so its recall on
+    random synthetic 64-dim embeddings is honestly low (~0.1); train
+    centroids/codebooks on a sample (``pq_train``) to tune a real
+    deployment, and this operator is the tuning loop's measurement."""
+    approx = ivfpq_topk(
+        corpus, queries, centroids, codebooks,
+        k=k, n_probe=n_probe, vec_col=vec_col, id_col=id_col,
+    )
+    exact = exact_l2_topk(corpus, queries, k=k, vec_col=vec_col, id_col=id_col)
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_hits"))
+    )
+    return (
+        queries.select(F.col(id_col).alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(float(k)), 6).alias(
+                "recall"
+            ),
+        )
+        .orderBy("query_id")
+    )

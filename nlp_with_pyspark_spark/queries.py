@@ -1927,6 +1927,76 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_recall_sql(k: int = 10) -> str:
+    """Recall@k oracle: the approx side is _ann_ivfpq_sql VERBATIM as a
+    nested CTE (same centroids/codebooks/params as the hash-green
+    ann_ivfpq_topk rows), the exact side is the brute-force shape with
+    squared-L2 ascending, the recall is the per-query intersection
+    size over k — zero-hit queries included via the LEFT join."""
+    d2 = (
+        "list_sum(list_transform(list_zip(qv, cv),"
+        " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+        " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    )
+    return f"""
+    WITH approx AS (
+        {_ann_ivfpq_sql(k=k)}
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round({d2}, 6) ASC, c.neighbor_id ASC
+                   ) AS rank
+            FROM (SELECT vec_id AS query_id, embedding AS qv
+                  FROM embeddings WHERE vec_id < 5) q
+            CROSS JOIN (SELECT vec_id AS neighbor_id, embedding AS cv
+                        FROM embeddings) c
+            WHERE query_id <> neighbor_id
+        ) WHERE rank <= {k}
+    ),
+    hits AS (
+        SELECT query_id, CAST(count(*) AS INT) AS n_hits
+        FROM (SELECT query_id, neighbor_id FROM approx) a
+        JOIN exact USING (query_id, neighbor_id)
+        GROUP BY query_id
+    )
+    SELECT q.query_id, COALESCE(n_hits, 0) AS n_hits,
+           round(COALESCE(n_hits, 0) / {float(k)!r}, 6) AS recall
+    FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5) q
+    LEFT JOIN hits USING (query_id)
+    ORDER BY query_id
+    """
+
+
+@query("ann_recall_at_k", _ann_recall_sql())
+def ann_recall_at_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN retrieval QUALITY under the external gate — recall@10 of the
+    IVF-PQ search against exact squared-L2 ground truth
+    (operators/similarity.ann_recall_at_k; the number every ANN
+    deployment tunes by, Jégou et al. 2011). Composes the registered
+    ann_ivfpq_topk configuration verbatim (pinned sampled centroids,
+    fixed md5 codebooks, n_probe=3) with the new exact_l2_topk
+    verifier, so BOTH the approximate path and its quality metric are
+    oracle-checked. Scale shape: both sides end k rows per query —
+    the intersection moves Q×k rows; at 100 TB the eval runs on a
+    query sample, which is recall's whole point."""
+    from .operators.similarity import ann_recall_at_k, pq_fixed_codebooks
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent_rows = emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    centroids = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in cent_rows]
+    return ann_recall_at_k(
+        emb,
+        emb.where(F.col("vec_id") < 5),
+        centroids,
+        pq_fixed_codebooks(),
+        k=10,
+        n_probe=3,
+    )
+
+
 # ---------------------------------------------------------------------------
 # As-of join, supplier rollup, exact percentiles (coverage widening)
 # ---------------------------------------------------------------------------
@@ -4701,6 +4771,7 @@ _DEMOTED_PAST_CHECK_WINDOW = [
     "bm25_search_topk",
     "model_calibration_bins",
     "doc_length_quantiles",
+    "ann_ivfpq_topk",
 ]
 
 

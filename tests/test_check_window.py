@@ -30,7 +30,7 @@ REQUIRED_IN_WINDOW = {
     # dedup / similarity
     "dedup_exact_groups", "dedup_minhash_pairs", "dedup_ngram_jaccard",
     "simhash_delta_pairs", "dedup_delta_pairs", "semantic_dedup_pairs",
-    "embedding_near_dups", "ann_ivfpq_topk", "embedding_pq_codes",
+    "embedding_near_dups", "ann_recall_at_k", "embedding_pq_codes",
     # corpus hygiene / curation pipeline
     "quality_lr_filter", "pii_scrub_stats", "dup_ngram_coverage",
     "domain_mixture_weights", "corpus_stats_card",

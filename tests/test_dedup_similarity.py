@@ -755,3 +755,39 @@ def test_semantic_pairs_with_trained_quantizer(emb):
     }
     want = {(a, b) for a, b in brute if cluster[a] == cluster[b]}
     assert got == want and got
+
+
+def test_ann_recall_matches_driverside_recount(emb):
+    """The recall composition (intersection join + per-query count +
+    zero-hit LEFT join) equals an independent driver-side recount over
+    its two constituents' collected id sets, at pruned AND full probe.
+    (Recall is NOT asserted monotone in n_probe: the candidate SET
+    grows monotonically — pinned by test_ivfpq_pruned_probe_is_subset —
+    but the post-cut top-k can lose a true hit to a false near
+    neighbor from a newly probed list; ADC is an approximation.)"""
+    from nlp_with_pyspark_spark.operators.similarity import (
+        ann_recall_at_k,
+        exact_l2_topk,
+        ivfpq_topk,
+        pq_fixed_codebooks,
+    )
+
+    cent_rows = emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    cents = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in cent_rows]
+    cbs = pq_fixed_codebooks()
+    queries = emb.where(F.col("vec_id") < 5)
+    exact_ids = {}
+    for r in exact_l2_topk(emb, queries, k=10).collect():
+        exact_ids.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for n_probe in (1, 3, 8):
+        approx_ids = {}
+        for r in ivfpq_topk(emb, queries, cents, cbs, k=10, n_probe=n_probe).collect():
+            approx_ids.setdefault(r.query_id, set()).add(r.neighbor_id)
+        rows = ann_recall_at_k(
+            emb, queries, cents, cbs, k=10, n_probe=n_probe
+        ).collect()
+        assert [r.query_id for r in rows] == [0, 1, 2, 3, 4]
+        for r in rows:
+            want = len(approx_ids.get(r.query_id, set()) & exact_ids[r.query_id])
+            assert r.n_hits == want, (n_probe, r.query_id, r.n_hits, want)
+            assert r.recall == round(want / 10.0, 6)
