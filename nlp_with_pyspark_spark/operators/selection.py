@@ -80,7 +80,10 @@ def _gram_rows(
         ]
         return F.concat(*per_n) if len(per_n) > 1 else per_n[0]
 
-    docs = ensure_parallelism(docs)
+    if not docs.isStreaming:
+        # .rdd (the parallelism probe) is illegal on a streaming frame;
+        # a stream's parallelism is the source's concern anyway
+        docs = ensure_parallelism(docs)
     out = docs.select(
         F.col(id_col).alias("doc_id"), flet(t, build).alias("__grams")
     )
@@ -193,6 +196,20 @@ def dsir_scores(
             corpus, target, tokens_col, id_col, ns, n_buckets, smoothing
         )
     wrows = weights.collect()  # bounded: ≤ n_buckets rows
+    return _fold_scores(corpus, wrows, tokens_col, id_col, ns, n_buckets)
+
+
+def _fold_scores(
+    docs: DataFrame,
+    wrows,
+    tokens_col: str,
+    id_col: str,
+    ns: Sequence[int],
+    n_buckets: int,
+) -> DataFrame:
+    """The scoring projection itself, weights already collected —
+    shared by the batch scorer and the streaming twin (stateless, so
+    it applies to a streaming frame unchanged)."""
     # DENSE array literal indexed by bucket (0.0 for never-observed
     # buckets): element_at by position is O(1), where a map literal's
     # element_at is a linear key scan — measured ~3× the whole scoring
@@ -201,7 +218,7 @@ def dsir_scores(
     for r in wrows:
         dense[int(r["bucket"])] = float(r["w"])
     warr = F.lit(dense)
-    grams = _gram_rows(corpus, tokens_col, id_col, ns, explode=False)
+    grams = _gram_rows(docs, tokens_col, id_col, ns, explode=False)
     score = F.aggregate(
         F.col("__grams"),
         F.lit(0.0),
@@ -212,6 +229,48 @@ def dsir_scores(
         F.size("__grams").cast("long").alias("n_features"),
         F.round(score, 6).alias("dsir_score"),
     )
+
+
+def dsir_score_stream(
+    stream_docs: DataFrame,
+    weights: DataFrame,
+    keep_min: float | None = None,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    ns: Sequence[int] = (1, 2),
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Curation-on-ingest: score a document STREAM with a FROZEN DSIR
+    model — the production serving shape of the selection stage (fit
+    the models offline on yesterday's corpus + target, then score and
+    gate documents as they arrive; the published pipelines all apply
+    selection as a filter at ingest once the model exists).
+
+    ``weights``: a BATCH :func:`dsir_weights` frame, collected once at
+    stream setup (bounded, ≤ ``n_buckets`` rows) and folded into the
+    same dense array literal as the batch scorer — the scoring is a
+    STATELESS row-local projection, so it lifts onto a streaming frame
+    unchanged: no state store, no watermark, no shuffle, every
+    micro-batch is scored at scan speed. Scores are therefore
+    IDENTICAL to :func:`dsir_scores` with the same weights over the
+    drained stream (pinned in tests). ``keep_min`` applies the
+    selection gate in-stream (``dsir_score >= keep_min`` — the
+    threshold the batch pipeline derives via exact_quantiles, see
+    pipeline.curation_funnel).
+
+    Returns the scored (and optionally filtered) streaming frame —
+    attach any sink; composes with the ingest sinks
+    (streaming/sinks.py) for score-then-index pipelines."""
+    if not stream_docs.isStreaming:
+        raise ValueError(
+            "dsir_score_stream expects a streaming frame; use dsir_scores "
+            "(optionally with its weights= seam) for batch"
+        )
+    wrows = weights.collect()  # bounded: ≤ n_buckets rows, setup-time
+    scored = _fold_scores(stream_docs, wrows, tokens_col, id_col, ns, n_buckets)
+    if keep_min is not None:
+        scored = scored.where(F.col("dsir_score") >= float(keep_min))
+    return scored
 
 
 def dsir_top_k(

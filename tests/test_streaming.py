@@ -1890,3 +1890,61 @@ def test_search_index_delete_sink_vacuum_threshold(spark, sf_dir, tmp_path):
     finally:
         for t in ("postings", "docs", "stats", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS t_sidx_delvac_{t}")
+
+
+def test_dsir_score_stream_equals_batch(spark, tmp_path):
+    """Curation-on-ingest: scoring a drained document stream with a
+    frozen DSIR weights frame is row-identical to the batch scorer with
+    the same weights (stateless projection — no state, no watermark),
+    and the in-stream keep_min gate equals the batch threshold filter."""
+    from nlp_with_pyspark_spark.functions.text import tokens_pipeline
+    from nlp_with_pyspark_spark.operators.selection import (
+        dsir_score_stream,
+        dsir_scores,
+        dsir_weights,
+    )
+    from nlp_with_pyspark_spark.streaming.windows import run_to_memory
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    toks = docs.withColumn("tokens", tokens_pipeline(F.col("text"))).localCheckpoint()
+    w = dsir_weights(toks, toks.where(F.col("lang") == "en")).localCheckpoint()
+    batch = {
+        r.doc_id: (r.n_features, r.dsir_score)
+        for r in dsir_scores(toks, None, weights=w).collect()
+    }
+
+    src = tmp_path / "dsir_src"
+    src.mkdir()
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(str(src / "b0"))
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(str(src / "b1"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+        .withColumn("tokens", tokens_pipeline(F.col("text")))
+    )
+    run_to_memory(dsir_score_stream(stream, w), "t_dsir_stream", "append")
+    got = {
+        r.doc_id: (r.n_features, r.dsir_score)
+        for r in spark.table("t_dsir_stream").collect()
+    }
+    assert got == batch
+
+    # in-stream gate ≡ batch threshold filter at the batch median
+    import statistics
+
+    cut = statistics.median(sorted(v[1] for v in batch.values()))
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+        .withColumn("tokens", tokens_pipeline(F.col("text")))
+    )
+    run_to_memory(
+        dsir_score_stream(stream2, w, keep_min=cut), "t_dsir_gate", "append"
+    )
+    kept = {r.doc_id for r in spark.table("t_dsir_gate").collect()}
+    assert kept == {d for d, v in batch.items() if v[1] >= cut}
+    assert 0 < len(kept) < len(batch)
