@@ -192,19 +192,23 @@ def curation_funnel(
         smoothing=smoothing,
     ).localCheckpoint()
     q = 1.0 - keep_frac
-    cutoff = float(
-        exact_quantiles(scored, "dsir_score", [q]).collect()[0]["value"]
-    )
+    qrows = exact_quantiles(scored, "dsir_score", [q]).collect()
+    if qrows:
+        kept = scored.where(F.col("dsir_score") >= float(qrows[0]["value"]))
+    else:
+        # the quality gate left NO survivors: no quantile exists, the
+        # keep set is empty by definition — report (raw=N, 0, 0), the
+        # same rows the SQL oracle's NULL-cut comparison yields
+        kept = scored
 
     def stage(idx: int, name: str, df: DataFrame) -> DataFrame:
         return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
             F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"), "n_docs"
         )
 
-    return (
-        stage(0, "raw", corpus)
-        .unionByName(stage(1, "quality", scored))
-        .unionByName(
-            stage(2, "dsir_selected", scored.where(F.col("dsir_score") >= cutoff))
-        )
-    )
+    frames = {"raw": corpus, "quality": scored, "dsir_selected": kept}
+    out = None
+    for i, name in CURATION_STAGES:
+        s = stage(i, name, frames[name])
+        out = s if out is None else out.unionByName(s)
+    return out

@@ -190,3 +190,19 @@ def test_resample_plan_is_takeordered_and_joinfree(spark):
     plan = plan_string(dsir_resample_top_k(docs, target, k=5))
     assert "Join" not in plan, plan
     assert "TakeOrdered" in plan, plan
+
+
+def test_curation_funnel_zero_survivors(spark):
+    """An impossible quality bar must yield (raw=N, quality=0,
+    dsir_selected=0) — not an IndexError from the missing quantile."""
+    from nlp_with_pyspark_spark.operators.pipeline import curation_funnel
+
+    rows = [(i, "@@@@ #### %%%% !!!!") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "tokens", F.split(F.lower(F.col("text")), r"\s+")
+    )
+    got = {
+        r.stage: r.n_docs
+        for r in curation_funnel(docs, docs, quality_min=0.99).collect()
+    }
+    assert got == {"raw": 6, "quality": 0, "dsir_selected": 0}
