@@ -4714,12 +4714,6 @@ def events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 #:   doc_length_quantiles    — exact quantiles; kin price_percentiles
 #:                             (return) + doc_length_histogram (return)
 _DEMOTED_PAST_CHECK_WINDOW = [
-    # r5-stale, still demoted (rotate back in round 11, oldest-first)
-    "top_parts_by_revenue",
-    "bigram_top50",
-    "corpus_clean_stats",
-    "multimodal_asset_stats",
-    "ann_brute_force_topk",
     # r6-green
     "doc_token_chunks",
     "click_purchase_attribution",
@@ -4772,6 +4766,30 @@ _DEMOTED_PAST_CHECK_WINDOW = [
     "model_calibration_bins",
     "doc_length_quantiles",
     "ann_ivfpq_topk",
+    # round 10 (second rotation): the LAST five r5-stale queries return
+    # (top_parts_by_revenue, bigram_top50, corpus_clean_stats,
+    # multimodal_asset_stats, ann_brute_force_topk) — after this no
+    # query's latest driver green predates r6. Five more r9-green
+    # demotions, kin:
+    #   dedup_canonical_corpus  — kin dedup_minhash_pairs (the pair
+    #                             input) + corpus_pipeline_funnel
+    #                             (composes the same canonical drop)
+    #   corpus_stats_card       — kin corpus_clean_stats (returning,
+    #                             same textstats composition family)
+    #   small_qty_part_revenue  — kin top_parts_by_revenue (returning —
+    #                             the classic pre-agg-join pair, the r8
+    #                             rationale in reverse)
+    #   top_orders_per_customer — kin latest_event_per_user (returning,
+    #                             top-1-per-key) + customer_rolling_7d_
+    #                             revenue (the window-family rep)
+    #   collocations_pmi_top50  — kin bigram_top50 (returning — the
+    #                             same bigram explode+count machinery)
+    #                             + vocab_top100 (unigram side)
+    "dedup_canonical_corpus",
+    "corpus_stats_card",
+    "small_qty_part_revenue",
+    "top_orders_per_customer",
+    "collocations_pmi_top50",
 ]
 
 

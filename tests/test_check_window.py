@@ -17,30 +17,32 @@ from nlp_with_pyspark_spark.queries import (
 REQUIRED_IN_WINDOW = {
     # relational / TPC-H-ish
     "customer_nation_revenue", "salted_nation_revenue",
-    "top_orders_per_customer", "revenue_rollup",
+    "revenue_rollup", "top_parts_by_revenue",
     "customer_rolling_7d_revenue", "dormant_customers",
-    "order_priority_melt", "small_qty_part_revenue",
+    "order_priority_melt",
     # event-time
     "events_gap_filled_hourly", "events_asof_click_purchase",
     "events_sliding_10m", "events_distinct_users",
     "latest_event_per_user",
     # text / NLP
     "vocab_top100", "tfidf_long", "repetition_features",
-    "collocations_pmi_top50",
+    "bigram_top50", "corpus_clean_stats",
     # dedup / similarity
     "dedup_exact_groups", "dedup_minhash_pairs", "dedup_ngram_jaccard",
     "simhash_delta_pairs", "dedup_delta_pairs", "semantic_dedup_pairs",
     "embedding_near_dups", "ann_recall_at_k", "embedding_pq_codes",
+    "ann_brute_force_topk",
     # corpus hygiene / curation pipeline
     "quality_lr_filter", "pii_scrub_stats", "dup_ngram_coverage",
-    "domain_mixture_weights", "corpus_stats_card",
-    "decontam_fuzzy_overlap", "dedup_canonical_corpus",
+    "domain_mixture_weights",
+    "decontam_fuzzy_overlap",
     "corpus_pipeline_funnel", "curation_funnel",
     # deterministic sampling / packing / layout
     "corpus_train_split", "token_pack_assignments",
     "zorder_file_envelopes",
     # multimodal plumbing
     "multimodal_resize", "multimodal_frame_sample",
+    "multimodal_asset_stats",
     # sketches / quantiles
     "price_percentiles", "doc_length_histogram",
     "vocab_heavy_hitters", "events_distinct_sketch",
