@@ -3911,10 +3911,16 @@ def curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     target model — the regex pipeline dominates per-pass cost) plus
     the quantile's driver action; both passes scale with the scan
     (100× probe: ~9×, SCALING.md) and the tokenize would be a
-    stored column, not a recompute, in a real pipeline."""
+    stored column, not a recompute, in a real pipeline — here the
+    query checkpoints (doc_id, lang, text, tokens) once and every
+    stage consumes the materialization."""
     from .operators.pipeline import curation_funnel
 
-    docs = _tokenized_documents(spark, sf_dir)
+    docs = (
+        _tokenized_documents(spark, sf_dir)
+        .select("doc_id", "lang", "text", "tokens")
+        .localCheckpoint()
+    )
     return curation_funnel(
         docs, docs.where(F.col("lang") == "en"), quality_min=0.72, keep_frac=0.5
     )
@@ -4587,10 +4593,17 @@ def dsir_selection_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus. The ≤4096-row weight table broadcasts over the feature
     scan; the per-doc sum's partials collapse map-side, so the scoring
     shuffle carries one row per doc. The oracle replays the exact
-    bucket/smoothing/rounding chain."""
+    bucket/smoothing/rounding chain. The tokenization is checkpointed
+    once (the _tokenized_documents_shared pattern — tfidf's 3× seam):
+    the target-model, source-model and scoring passes each consume it,
+    so the regex pipeline runs once, not three times."""
     from .operators.selection import dsir_scores
 
-    docs = _tokenized_documents(spark, sf_dir)
+    docs = (
+        _tokenized_documents(spark, sf_dir)
+        .select("doc_id", "lang", "tokens")
+        .localCheckpoint()
+    )
     return dsir_scores(docs, docs.where(F.col("lang") == "en"))
 
 
@@ -4607,10 +4620,15 @@ def dsir_selected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept SUBSET (not just the scores) is thereby under the external
     gate. Scale shape: one extra row-local projection over the scoring
     pass, then TakeOrdered (per-partition top-k + k-row merge — no
-    global sort)."""
+    global sort); tokenization checkpointed once across the three
+    passes (the tfidf shared seam)."""
     from .operators.selection import dsir_resample_top_k
 
-    docs = _tokenized_documents(spark, sf_dir)
+    docs = (
+        _tokenized_documents(spark, sf_dir)
+        .select("doc_id", "lang", "tokens")
+        .localCheckpoint()
+    )
     return dsir_resample_top_k(
         docs, docs.where(F.col("lang") == "en"), k=100, seed="dsir-r10"
     )
