@@ -44,23 +44,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _gram_rows(
-    docs: DataFrame,
-    tokens_col: str,
-    id_col: str,
-    ns: Sequence[int],
-    explode: bool = True,
-) -> DataFrame:
-    """n-gram OCCURRENCES (bag semantics, not set: DSIR's models are
-    multinomial over feature counts) as space-joined token slices, one
-    array per n, concatenated row-locally. ``explode=True`` →
-    (doc_id, gram) rows for model fitting; ``explode=False`` →
-    (doc_id, __grams) with the array kept ROW-LOCAL for the zero-join
-    scoring projection."""
-    from ..sources.io import ensure_parallelism
+def _grams_expr(tokens_col: str, ns: Sequence[int]) -> Column:
+    """The n-gram-array expression itself (flet-bound so the tokens
+    column evaluates once per row) — shared by the model-fitting /
+    scoring projections and the payload-preserving streaming scorer."""
     from ..functions.expr import flet
-
-    t = F.col(tokens_col)
 
     def build(tt: Column) -> Column:
         def grams_of(n: int) -> Column:
@@ -80,12 +68,31 @@ def _gram_rows(
         ]
         return F.concat(*per_n) if len(per_n) > 1 else per_n[0]
 
+    return flet(F.col(tokens_col), build)
+
+
+def _gram_rows(
+    docs: DataFrame,
+    tokens_col: str,
+    id_col: str,
+    ns: Sequence[int],
+    explode: bool = True,
+) -> DataFrame:
+    """n-gram OCCURRENCES (bag semantics, not set: DSIR's models are
+    multinomial over feature counts) as space-joined token slices, one
+    array per n, concatenated row-locally. ``explode=True`` →
+    (doc_id, gram) rows for model fitting; ``explode=False`` →
+    (doc_id, __grams) with the array kept ROW-LOCAL for the zero-join
+    scoring projection."""
+    from ..sources.io import ensure_parallelism
+
     if not docs.isStreaming:
         # .rdd (the parallelism probe) is illegal on a streaming frame;
         # a stream's parallelism is the source's concern anyway
         docs = ensure_parallelism(docs)
     out = docs.select(
-        F.col(id_col).alias("doc_id"), flet(t, build).alias("__grams")
+        F.col(id_col).alias("doc_id"),
+        _grams_expr(tokens_col, ns).alias("__grams"),
     )
     if not explode:
         return out
@@ -258,16 +265,39 @@ def dsir_score_stream(
     threshold the batch pipeline derives via exact_quantiles, see
     pipeline.curation_funnel).
 
-    Returns the scored (and optionally filtered) streaming frame —
-    attach any sink; composes with the ingest sinks
-    (streaming/sinks.py) for score-then-index pipelines."""
+    Returns the stream with ``n_features`` and ``dsir_score`` APPENDED
+    to the original columns (not the batch scorer's thin projection):
+    the payload survives the gate, so kept documents flow straight
+    into the downstream stage — e.g. the search-index ingest sink for
+    a score-then-index pipeline (composition pinned end-to-end in
+    tests/test_streaming.py)."""
     if not stream_docs.isStreaming:
         raise ValueError(
             "dsir_score_stream expects a streaming frame; use dsir_scores "
             "(optionally with its weights= seam) for batch"
         )
     wrows = weights.collect()  # bounded: ≤ n_buckets rows, setup-time
-    scored = _fold_scores(stream_docs, wrows, tokens_col, id_col, ns, n_buckets)
+    dense = [0.0] * n_buckets
+    for r in wrows:
+        dense[int(r["bucket"])] = float(r["w"])
+    warr = F.lit(dense)
+    scored = (
+        stream_docs.withColumn("__grams", _grams_expr(tokens_col, ns))
+        .select(
+            "*",
+            F.size("__grams").cast("long").alias("n_features"),
+            F.round(
+                F.aggregate(
+                    F.col("__grams"),
+                    F.lit(0.0),
+                    lambda acc, g: acc
+                    + F.element_at(warr, _bucket(g, n_buckets) + 1),
+                ),
+                6,
+            ).alias("dsir_score"),
+        )
+        .drop("__grams")
+    )
     if keep_min is not None:
         scored = scored.where(F.col("dsir_score") >= float(keep_min))
     return scored

@@ -1948,3 +1948,61 @@ def test_dsir_score_stream_equals_batch(spark, tmp_path):
     kept = {r.doc_id for r in spark.table("t_dsir_gate").collect()}
     assert kept == {d for d, v in batch.items() if v[1] >= cut}
     assert 0 < len(kept) < len(batch)
+
+
+def test_dsir_gate_then_search_index_ingest(spark, tmp_path):
+    """The score-then-index pipeline the docstrings promise, end to
+    end: documents stream through the frozen-model DSIR keep gate and
+    the survivors flow straight into the search-index ingest sink —
+    the final persisted index answers EXACTLY like one built in batch
+    over the batch-selected subset."""
+    from nlp_with_pyspark_spark.functions.text import tokens_pipeline
+    from nlp_with_pyspark_spark.operators.search import (
+        PostingIndex,
+        bm25_topk,
+        bm25_topk_indexed,
+    )
+    from nlp_with_pyspark_spark.operators.selection import (
+        dsir_score_stream,
+        dsir_scores,
+        dsir_weights,
+    )
+    from nlp_with_pyspark_spark.streaming.sinks import search_index_sink
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    toks = docs.withColumn("tokens", tokens_pipeline(F.col("text"))).localCheckpoint()
+    w = dsir_weights(toks, toks.where(F.col("lang") == "en")).localCheckpoint()
+    import statistics
+
+    batch_scores = {
+        r.doc_id: r.dsir_score for r in dsir_scores(toks, None, weights=w).collect()
+    }
+    cut = statistics.median(sorted(batch_scores.values()))
+
+    src = tmp_path / "gate_src"
+    src.mkdir()
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(str(src / "b0"))
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(str(src / "b1"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+        .withColumn("tokens", tokens_pipeline(F.col("text")))
+    )
+    gated = dsir_score_stream(stream, w, keep_min=cut)
+    store = str(tmp_path / "gate_store")
+    search_index_sink(gated, store, str(tmp_path / "gate_ckpt"))
+
+    kept = toks.where(
+        F.col("doc_id").isin([d for d, s in batch_scores.items() if s >= cut])
+    )
+    idx = PostingIndex(
+        spark.read.parquet(f"{store}/postings"), spark.read.parquet(f"{store}/stats")
+    )
+    got = _bm25_rows(bm25_topk_indexed(idx, _BM25_TERMS, k=10))
+    assert got == _bm25_rows(bm25_topk(kept, _BM25_TERMS, k=10))
+    # the index holds exactly the gated doc set
+    stats = spark.read.parquet(f"{store}/stats").collect()[0]
+    assert stats["n_docs"] == kept.count()
