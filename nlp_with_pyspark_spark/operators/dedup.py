@@ -1651,3 +1651,233 @@ def semantic_delta_pairs(
         di.select("list_id", "id_a", "id_b", cos.alias("cosine"))
     )
     return both.where(F.col("cosine") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Survivor-store takedowns (right-to-be-forgotten maintenance)
+# ---------------------------------------------------------------------------
+
+#: (keys_table_suffix, features_table_suffix) per dedup-on-ingest hash
+#: family — the index tables streaming/sinks.neardup_upsert_batch keeps
+#: alongside ``{prefix}_docs``. Every one of these tables carries a
+#: ``doc_id`` column, which is all the maintenance pass below needs.
+NEARDUP_STORE_TABLES = {
+    "minhash": ("buckets", "shingles"),
+    "simhash": ("keys", "fingerprints"),
+    "semantic": ("keys", "assigned"),
+}
+
+
+def _neardup_tombstones_sidecar_path(spark, table_prefix: str) -> str:
+    """Canonical on-disk home of a survivor store's tombstone list: a
+    sibling of the docs data dir (``<docs>__tombstones``), so it shares
+    the store's lifecycle whether the store is external or
+    warehouse-managed — the ``<postings>__tombstones`` convention of
+    operators/search.py applied to the dedup store."""
+    from ..sources.io import table_bucket_spec
+
+    _, _, dpath = table_bucket_spec(spark, f"{table_prefix}_docs")
+    return dpath.rstrip("/") + "__tombstones"
+
+
+def _neardup_id_type(spark, table_prefix: str, id_col: str) -> str:
+    """SQL type of the store's id column, read from the docs table —
+    the tombstone table must match it exactly or the exclusion
+    anti-joins would insert casts that defeat bucket pruning."""
+    for f in spark.table(f"{table_prefix}_docs").schema.fields:
+        if f.name == id_col:
+            return f.dataType.simpleString()
+    raise ValueError(
+        f"{table_prefix}_docs has no column {id_col!r}; pass the id_col "
+        "the store was built with"
+    )
+
+
+def _heal_neardup_tombstones(
+    spark, table_prefix: str, id_col: str = "doc_id"
+) -> bool:
+    """Restart self-heal for the survivor store's tombstone table — the
+    same story ``register_bucketed_table`` gives docs/keys/features: the
+    catalog entry is per-session, the ``<docs>__tombstones`` data dir is
+    not. Without this, a fresh session's delta checks would let a
+    taken-down document keep suppressing its near-duplicates. Schema is
+    declared, not inferred (a post-vacuum empty dir has no footer), with
+    the id type read from the docs table. Local-filesystem stores only
+    (the engine's test/laptop path — ``os.path`` probes the dir); a
+    non-local store (hdfs://, s3a://) keeps a live metastore, where the
+    table never needs healing. Returns True if the table exists after
+    the call."""
+    import os
+
+    tomb_tbl = f"{table_prefix}_tombstones"
+    if spark.catalog.tableExists(tomb_tbl):
+        return True
+    if not spark.catalog.tableExists(f"{table_prefix}_docs"):
+        return False
+    tpath = _neardup_tombstones_sidecar_path(spark, table_prefix)
+    if not os.path.isdir(tpath):
+        return False
+    id_type = _neardup_id_type(spark, table_prefix, id_col)
+    spark.sql(
+        f"CREATE TABLE {tomb_tbl} (`doc_id` {id_type}) USING parquet "
+        f"LOCATION '{tpath}'"
+    )
+    return True
+
+
+def neardup_store_tombstones(
+    spark, table_prefix: str, id_col: str = "doc_id"
+):
+    """The store's LIVE tombstone list as a (doc_id) DataFrame, or
+    ``None`` when there are no tombstones — checked ONCE at load so a
+    never-deleted-into (or freshly vacuumed) store keeps its exact
+    pre-delete plan shape, no anti-join added (the
+    ``load_posting_index`` convention)."""
+    tomb_tbl = f"{table_prefix}_tombstones"
+    if not _heal_neardup_tombstones(spark, table_prefix, id_col):
+        return None
+    spark.catalog.refreshTable(tomb_tbl)
+    tombs = spark.table(tomb_tbl)
+    return None if tombs.isEmpty() else tombs
+
+
+def remove_from_neardup_store(
+    spark, doc_ids, table_prefix: str, id_col: str = "doc_id"
+) -> int:
+    """Logically DELETE documents from a persisted dedup-on-ingest
+    survivor store (streaming/sinks.neardup_upsert_batch's bucketed
+    layout) — the right-to-be-forgotten takedown the posting index
+    already has (operators/search.remove_from_posting_index). The ids
+    land in a ``{prefix}_tombstones`` table; every subsequent delta
+    check excludes tombstoned docs from candidate generation AND from
+    the Jaccard/Hamming/cosine verify (the sink anti-joins its index
+    views), so a deleted document stops suppressing near-duplicates of
+    its content the moment the delete commits — future re-crawls of
+    that content are admitted as fresh survivors. The store state after
+    :func:`vacuum_neardup_store` is BIT-IDENTICAL per table to the
+    original tables with the tombstoned docs' rows filtered out (pinned
+    in tests/test_streaming.py).
+
+    Replay-safe and idempotent: already-tombstoned ids are dropped by
+    an anti-join before the append (re-running a crashed delete adds
+    nothing) and ids absent from the docs ledger are ignored (deleting
+    a never-stored doc is a no-op, not an error). Returns the number of
+    NEWLY tombstoned ids.
+
+    A tombstoned id stays deleted until a vacuum: the sink's docs-guard
+    anti-join still sees it in the ledger, so re-ingesting the same id
+    requires vacuuming first — the posting-index rule, kept identical
+    so one takedown stream can drive both stores.
+
+    ``doc_ids``: a one-column DataFrame or any iterable of ids."""
+    from pyspark.sql import DataFrame as _DF
+
+    docs_tbl = f"{table_prefix}_docs"
+    tomb_tbl = f"{table_prefix}_tombstones"
+    if not spark.catalog.tableExists(docs_tbl):
+        raise ValueError(
+            f"{docs_tbl} not found: survivor-store deletes need the "
+            "bucketed store layout (neardup_upsert_batch with "
+            "table_prefix)"
+        )
+    id_type = _neardup_id_type(spark, table_prefix, id_col)
+    if not isinstance(doc_ids, _DF):
+        doc_ids = spark.createDataFrame(
+            [(i,) for i in doc_ids], f"doc_id {id_type}"
+        )
+    ids = doc_ids.select(
+        F.col(doc_ids.columns[0]).cast(id_type).alias("doc_id")
+    )
+    spark.catalog.refreshTable(docs_tbl)
+    # only ids the ledger knows can die; already-dead ids are replays
+    fresh = ids.distinct().join(
+        spark.table(docs_tbl).select(F.col(id_col).alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    has_tombs = _heal_neardup_tombstones(spark, table_prefix, id_col)
+    if has_tombs:
+        spark.catalog.refreshTable(tomb_tbl)
+        fresh = fresh.join(
+            F.broadcast(spark.table(tomb_tbl)), "doc_id", "left_anti"
+        )
+    fresh = fresh.localCheckpoint()  # consumed by the count and the append
+    n_new = fresh.count()
+    if n_new:
+        if has_tombs:
+            fresh.write.mode("append").format("parquet").saveAsTable(tomb_tbl)
+        else:
+            fresh.write.mode("overwrite").format("parquet").option(
+                "path", _neardup_tombstones_sidecar_path(spark, table_prefix)
+            ).saveAsTable(tomb_tbl)
+    return n_new
+
+
+def vacuum_neardup_store(
+    spark, table_prefix: str, hash_family: str, id_col: str = "doc_id"
+) -> dict:
+    """Physically drop tombstoned docs' rows from all three store
+    tables (docs + the family's keys/features — their shingles, band
+    keys, fingerprints or normalized vectors leave disk, completing the
+    takedown), then clear the tombstones table — each table a
+    spec-preserving staged rewrite + directory swap
+    (``compact_bucketed_table``'s crash-recoverable protocol through
+    its ``transform`` seam), exactly
+    :func:`~.search.vacuum_posting_index` applied to the survivor
+    store. Delta-check results are identical before and after (the
+    sink's anti-join was already excluding those rows — pinned in
+    tests); vacuum reclaims space, restores scan cost to live data,
+    and resets the broadcast tombstone list. A crash after the
+    rewrites but before the clear leaves tombstones whose rows are
+    already gone — the anti-joins then subtract nothing and re-running
+    the vacuum completes the clear. Returns per-table rewrite reports
+    plus the number of tombstones folded."""
+    from ..sources.io import compact_bucketed_table
+    from .search import _table_path_if_external
+
+    if hash_family not in NEARDUP_STORE_TABLES:
+        raise ValueError(
+            f"unknown hash_family {hash_family!r} "
+            "(minhash | simhash | semantic)"
+        )
+    tomb_tbl = f"{table_prefix}_tombstones"
+    if not _heal_neardup_tombstones(spark, table_prefix, id_col):
+        return {"tombstones_folded": 0}
+    spark.catalog.refreshTable(tomb_tbl)
+    dead = spark.table(tomb_tbl).localCheckpoint()
+    n_dead = dead.count()
+    report: dict = {"tombstones_folded": n_dead}
+    if n_dead:
+        keys_sfx, feats_sfx = NEARDUP_STORE_TABLES[hash_family]
+        dead_as_id = dead.select(F.col("doc_id").alias(id_col))
+
+        def drop_dead_docs(df):
+            return df.join(F.broadcast(dead_as_id), id_col, "left_anti")
+
+        def drop_dead_index(df):
+            return df.join(F.broadcast(dead), "doc_id", "left_anti")
+
+        report["docs"] = compact_bucketed_table(
+            spark, f"{table_prefix}_docs", transform=drop_dead_docs
+        )
+        for sfx in (keys_sfx, feats_sfx):
+            tbl = f"{table_prefix}_{sfx}"
+            if spark.catalog.tableExists(tbl):
+                report[sfx] = compact_bucketed_table(
+                    spark, tbl, transform=drop_dead_index
+                )
+    # clear: overwrite with an empty frame, keeping an EXTERNAL table at
+    # its sidecar location (a bare saveAsTable would recreate it MANAGED,
+    # orphaning the pre-vacuum ids for the next session's self-heal to
+    # resurrect as live tombstones — the search.py lesson)
+    id_type = _neardup_id_type(spark, table_prefix, id_col)
+    writer = (
+        spark.createDataFrame([], f"doc_id {id_type}")
+        .write.mode("overwrite")
+        .format("parquet")
+    )
+    tpath = _table_path_if_external(spark, tomb_tbl)
+    if tpath is not None:
+        writer = writer.option("path", tpath)
+    writer.saveAsTable(tomb_tbl)
+    return report

@@ -347,8 +347,11 @@ def _heal_tombstones(spark: SparkSession, table_prefix: str) -> bool:
     counts. Re-registers an EXTERNAL table over surviving sidecar data
     (schema declared, not inferred — a post-vacuum empty dir has no
     footer to read); no-ops when the table is live or the store was
-    never deleted into. Returns True if the table exists after the
-    call."""
+    never deleted into. Local-filesystem stores only (the engine's
+    test/laptop path — the sidecar probe is ``os.path``): a non-local
+    store (hdfs://, s3a://) pairs with a live metastore, where catalog
+    entries survive restarts and the heal is never needed. Returns
+    True if the table exists after the call."""
     import os
 
     tomb_tbl = f"{table_prefix}_tombstones"

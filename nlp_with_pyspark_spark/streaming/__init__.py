@@ -6,7 +6,11 @@ from .joins import (
 from .sinks import (
     incremental_dedup_sink,
     neardup_dedup_sink,
+    neardup_delete_batch,
+    neardup_delete_sink,
     neardup_upsert_batch,
+    search_index_delete_batch,
+    search_index_delete_sink,
     search_index_sink,
     search_index_upsert_batch,
 )
@@ -28,7 +32,11 @@ __all__ = [
     "incremental_dedup_sink",
     "interval_join_streams",
     "neardup_dedup_sink",
+    "neardup_delete_batch",
+    "neardup_delete_sink",
     "neardup_upsert_batch",
+    "search_index_delete_batch",
+    "search_index_delete_sink",
     "search_index_sink",
     "search_index_upsert_batch",
     "interval_join_streams_outer",

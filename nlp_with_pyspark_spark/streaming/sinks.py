@@ -428,6 +428,24 @@ def neardup_upsert_batch(
             ):
                 keys_raw = spark.table(keys_tbl)
                 feats_raw = spark.table(feats_tbl)
+                # takedown exclusion (operators/dedup.remove_from_
+                # neardup_store): tombstoned docs leave candidate
+                # generation AND the verify, so deleted content stops
+                # suppressing its future near-duplicates the moment the
+                # delete commits. The broadcast list stays small because
+                # vacuum_neardup_store periodically folds it into the
+                # tables (the LSM cadence); checked once per batch so a
+                # never-deleted-into store adds no join at all. The
+                # docs-guard anti-join above still sees tombstoned ids
+                # in the ledger — re-ingesting one requires a vacuum
+                # first, the posting-index rule.
+                from ..operators.dedup import neardup_store_tombstones
+
+                tombs = neardup_store_tombstones(spark, table_prefix, id_col)
+                if tombs is not None:
+                    tombs = F.broadcast(tombs.select("doc_id"))
+                    keys_raw = keys_raw.join(tombs, "doc_id", "left_anti")
+                    feats_raw = feats_raw.join(tombs, "doc_id", "left_anti")
     else:
         try:
             existing = spark.read.parquet(docs_path).select(id_col)
@@ -775,6 +793,88 @@ def search_index_sink(
 
     q = (
         stream_docs.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def neardup_delete_batch(
+    batch_df: DataFrame,
+    table_prefix: str,
+    hash_family: str = "minhash",
+    id_col: str = "doc_id",
+    vacuum_threshold_tombstones: int | None = None,
+) -> int:
+    """One streaming takedown step against a dedup-on-ingest survivor
+    store: tombstone this micro-batch's ids
+    (operators/dedup.remove_from_neardup_store — the delete half of
+    :func:`neardup_upsert_batch`'s append), so a taken-down document
+    stops suppressing near-duplicates of its content as soon as the
+    batch commits. Idempotence comes from the delete itself
+    (already-dead and never-stored ids are dropped by anti-joins before
+    the tombstone append), so a foreachBatch replay after a crash adds
+    nothing — no sink-side ledger needed.
+
+    ``vacuum_threshold_tombstones``: the LSM maintenance cadence —
+    after the delete commits, if the live tombstone list has grown past
+    the threshold, :func:`~..operators.dedup.vacuum_neardup_store`
+    folds it into a physical rewrite of all three store tables, keeping
+    the per-batch broadcast anti-join list small no matter how long the
+    takedown stream runs. A crash between the delete and the vacuum is
+    safe: the vacuum is itself crash-recoverable and the next batch
+    re-triggers it.
+
+    Returns the number of newly tombstoned ids."""
+    from ..operators.dedup import (
+        neardup_store_tombstones,
+        remove_from_neardup_store,
+        vacuum_neardup_store,
+    )
+
+    spark = batch_df.sparkSession
+    n_new = remove_from_neardup_store(
+        spark, batch_df.select(id_col), table_prefix, id_col=id_col
+    )
+    if vacuum_threshold_tombstones is not None:
+        tombs = neardup_store_tombstones(spark, table_prefix, id_col)
+        if tombs is not None and tombs.count() >= vacuum_threshold_tombstones:
+            vacuum_neardup_store(spark, table_prefix, hash_family, id_col=id_col)
+    return n_new
+
+
+def neardup_delete_sink(
+    stream_ids: DataFrame,
+    table_prefix: str,
+    checkpoint: str,
+    hash_family: str = "minhash",
+    id_col: str = "doc_id",
+    vacuum_threshold_tombstones: int | None = None,
+):
+    """Streaming takedowns against a persisted survivor store: each
+    micro-batch of doc ids is tombstoned via
+    :func:`neardup_delete_batch` — the delete twin of
+    :func:`neardup_dedup_sink`, completing the right-to-be-forgotten
+    story for all three dedup families exactly as
+    :func:`search_index_delete_sink` does for the posting index
+    (takedowns arrive as streams exactly like ingest does). Replaying a
+    batch from the checkpoint is a no-op, and the optional vacuum
+    threshold keeps the store physically bounded under an unbounded
+    delete stream."""
+
+    def delete(batch_df: DataFrame, batch_id: int) -> None:
+        neardup_delete_batch(
+            batch_df,
+            table_prefix,
+            hash_family=hash_family,
+            id_col=id_col,
+            vacuum_threshold_tombstones=vacuum_threshold_tombstones,
+        )
+
+    q = (
+        stream_ids.writeStream.foreachBatch(delete)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -594,10 +594,17 @@ def bm25_maint_probe(corpus_dir: str, tag: str) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     prefix = f"probe_maint_{tag}"
     toks = _tokenized_documents(spark, corpus_dir)
+    store_dir = tempfile.mkdtemp(prefix=f"bm25maint_{tag}_")
+    # swept at process exit (the queries.py _drain_serving_dirs
+    # lesson): repeated probe runs must not accumulate full
+    # posting-index copies in /tmp
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, store_dir, ignore_errors=True)
     t0 = time.perf_counter()
     persist_posting_index(
-        build_posting_index(toks), prefix, n_buckets=32,
-        path=tempfile.mkdtemp(prefix=f"bm25maint_{tag}_"),
+        build_posting_index(toks), prefix, n_buckets=32, path=store_dir,
     )
     t_build = time.perf_counter() - t0
     # fixed-size takedown wave: 500 ids regardless of corpus size —

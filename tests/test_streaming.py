@@ -2006,3 +2006,284 @@ def test_dsir_gate_then_search_index_ingest(spark, tmp_path):
     # the index holds exactly the gated doc set
     stats = spark.read.parquet(f"{store}/stats").collect()[0]
     assert stats["n_docs"] == kept.count()
+
+
+# ---------------------------------------------------------------------------
+# Survivor-store takedowns (right-to-be-forgotten)
+# ---------------------------------------------------------------------------
+
+
+def _takedown_setup(spark, sf_dir, family):
+    """(upsert kwargs, corpus frame, id_col) for one hash family."""
+    if family == "semantic":
+        emb = read_table(spark, sf_dir, "embeddings").localCheckpoint()
+        cents = [
+            (int(r.vec_id), [float(x) for x in r.embedding])
+            for r in emb.where(F.col("vec_id") < 8)
+            .select("vec_id", "embedding")
+            .collect()
+        ]
+        kw = dict(
+            tokens_col="embedding",
+            id_col="vec_id",
+            hash_family="semantic",
+            centroids=cents,
+            threshold=0.3,
+        )
+        return kw, emb, "vec_id"
+    toks = _neardup_toks(spark, sf_dir).localCheckpoint()
+    if family == "simhash":
+        return dict(hash_family="simhash", max_hamming=3), toks, "doc_id"
+    return dict(threshold=0.2), toks, "doc_id"
+
+
+def _table_rows(spark, table):
+    return sorted(map(tuple, spark.table(table).collect()))
+
+
+@pytest.mark.parametrize("family", ["minhash", "simhash", "semantic"])
+def test_neardup_takedown_delete_equals_filter(spark, sf_dir, tmp_path, family):
+    """The survivor-store takedown contract, per family: (1) deleting
+    ids is idempotent and ignores never-stored ids; (2) the tombstone
+    list survives a session restart via the ``<docs>__tombstones``
+    sidecar self-heal; (3) after vacuum, every store table is
+    BIT-IDENTICAL to the original table with the dead docs' rows
+    filtered out (delete ≡ rebuild-without at the table level — the
+    posting-index pin applied to the dedup store), the tombstone list
+    is reset, and the bucket-spec layout contract survives the staged
+    rewrite."""
+    from nlp_with_pyspark_spark.operators.dedup import (
+        NEARDUP_STORE_TABLES,
+        neardup_store_tombstones,
+        remove_from_neardup_store,
+        vacuum_neardup_store,
+    )
+    from nlp_with_pyspark_spark.sources.io import (
+        register_bucketed_table,
+        table_bucket_spec,
+    )
+    from nlp_with_pyspark_spark.streaming.sinks import neardup_upsert_batch
+
+    kw, corpus, id_col = _takedown_setup(spark, sf_dir, family)
+    prefix = f"t_takedown_{family}"
+    keys_sfx, feats_sfx = NEARDUP_STORE_TABLES[family]
+    suffixes = ("docs", keys_sfx, feats_sfx)
+    store = str(tmp_path / "store")
+    try:
+        neardup_upsert_batch(
+            corpus, store, table_prefix=prefix, n_buckets=8, **kw
+        )
+        snap = {s: _table_rows(spark, f"{prefix}_{s}") for s in suffixes}
+        stored = sorted(
+            r[0] for r in spark.table(f"{prefix}_docs").select(id_col).collect()
+        )
+        dead = stored[::5][:10]
+        assert dead, "store too small; test is vacuous"
+        n = remove_from_neardup_store(spark, dead, prefix, id_col=id_col)
+        assert n == len(dead)
+        # idempotent replay; never-stored ids are a no-op, not an error
+        assert remove_from_neardup_store(spark, dead, prefix, id_col=id_col) == 0
+        assert (
+            remove_from_neardup_store(
+                spark, [max(stored) + 999], prefix, id_col=id_col
+            )
+            == 0
+        )
+
+        # --- "restart": catalog entries vanish, files survive
+        specs = {s: table_bucket_spec(spark, f"{prefix}_{s}") for s in suffixes}
+        for s in suffixes + ("tombstones",):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{s}")
+        for s in suffixes:
+            col, nb, path = specs[s]
+            register_bucketed_table(spark, f"{prefix}_{s}", col, nb, path)
+        tombs = neardup_store_tombstones(spark, prefix, id_col)
+        assert tombs is not None
+        assert sorted(r.doc_id for r in tombs.collect()) == sorted(dead)
+
+        # --- vacuum: tables == original filtered, bit-identical
+        report = vacuum_neardup_store(spark, prefix, family, id_col=id_col)
+        assert report["tombstones_folded"] == len(dead)
+        deadset = set(dead)
+        for s in suffixes:
+            keycol = id_col if s == "docs" else "doc_id"
+            idx = spark.table(f"{prefix}_{s}").columns.index(keycol)
+            expected = [t for t in snap[s] if t[idx] not in deadset]
+            assert _table_rows(spark, f"{prefix}_{s}") == expected, s
+        assert neardup_store_tombstones(spark, prefix, id_col) is None
+        assert (
+            vacuum_neardup_store(spark, prefix, family, id_col=id_col)[
+                "tombstones_folded"
+            ]
+            == 0
+        )
+        for s in suffixes:
+            col0, nb0, _ = specs[s]
+            col1, nb1, _ = table_bucket_spec(spark, f"{prefix}_{s}")
+            assert (col0, nb0) == (col1, nb1), s
+    finally:
+        for s in suffixes + ("tombstones",):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{s}")
+
+
+@pytest.mark.parametrize("family", ["minhash", "semantic"])
+def test_neardup_takedown_unsuppresses_future_neardups(
+    spark, sf_dir, tmp_path, family
+):
+    """The behavioral point of the takedown: a deleted document must
+    stop suppressing near-duplicates of its content. Before the delete,
+    a copy of stored doc X is dropped at ingest; after the delete, a
+    fresh copy is ADMITTED — while X itself stays excluded by the docs
+    guard until a vacuum (the posting-index re-ingest rule)."""
+    from nlp_with_pyspark_spark.operators.dedup import (
+        NEARDUP_STORE_TABLES,
+        remove_from_neardup_store,
+    )
+    from nlp_with_pyspark_spark.streaming.sinks import neardup_upsert_batch
+
+    kw, corpus, id_col = _takedown_setup(spark, sf_dir, family)
+    prefix = f"t_unsup_{family}"
+    keys_sfx, feats_sfx = NEARDUP_STORE_TABLES[family]
+    suffixes = ("docs", keys_sfx, feats_sfx)
+    store = str(tmp_path / "store")
+    try:
+        neardup_upsert_batch(
+            corpus, store, table_prefix=prefix, n_buckets=8, **kw
+        )
+        # X: a stored survivor that HAS index rows (so a copy collides)
+        x = (
+            spark.table(f"{prefix}_{feats_sfx}")
+            .select(F.min("doc_id").alias("m"))
+            .collect()[0]["m"]
+        )
+        top = corpus.agg(F.max(id_col)).collect()[0][0]
+
+        def copy_of_x(new_id):
+            return corpus.where(F.col(id_col) == x).withColumn(
+                id_col, F.lit(new_id).cast("long")
+            )
+
+        n_docs = spark.table(f"{prefix}_docs").count()
+        # a near-dup copy of live X is suppressed
+        neardup_upsert_batch(
+            copy_of_x(top + 1), store, table_prefix=prefix, n_buckets=8, **kw
+        )
+        assert spark.table(f"{prefix}_docs").count() == n_docs
+        # take X down; a fresh copy is now admitted
+        assert remove_from_neardup_store(spark, [x], prefix, id_col=id_col) == 1
+        neardup_upsert_batch(
+            copy_of_x(top + 2), store, table_prefix=prefix, n_buckets=8, **kw
+        )
+        kept = {
+            r[0] for r in spark.table(f"{prefix}_docs").select(id_col).collect()
+        }
+        assert top + 2 in kept and top + 1 not in kept
+        # X itself stays excluded until a vacuum: re-ingesting it
+        # changes nothing (still exactly one ledger row for X)
+        neardup_upsert_batch(
+            corpus.where(F.col(id_col) == x),
+            store,
+            table_prefix=prefix,
+            n_buckets=8,
+            **kw,
+        )
+        assert (
+            spark.table(f"{prefix}_docs").where(F.col(id_col) == x).count() == 1
+        )
+        assert spark.table(f"{prefix}_docs").count() == n_docs + 1
+    finally:
+        for s in suffixes + ("tombstones",):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{s}")
+
+
+@pytest.mark.parametrize("family", ["minhash", "simhash", "semantic"])
+def test_neardup_delete_sink_stream_equals_batch(spark, sf_dir, tmp_path, family):
+    """Streaming takedowns ≡ batch takedowns, per family: ids arriving
+    as a file stream through ``neardup_delete_sink`` leave the store in
+    exactly the filtered-snapshot state the batch delete + vacuum
+    produces (the vacuum threshold fires on the last micro-batch), and
+    replaying the whole stream against a fresh checkpoint is a no-op."""
+    from nlp_with_pyspark_spark.operators.dedup import (
+        NEARDUP_STORE_TABLES,
+        neardup_store_tombstones,
+    )
+    from nlp_with_pyspark_spark.streaming.sinks import (
+        neardup_delete_sink,
+        neardup_upsert_batch,
+    )
+
+    kw, corpus, id_col = _takedown_setup(spark, sf_dir, family)
+    prefix = f"t_delsink_{family}"
+    keys_sfx, feats_sfx = NEARDUP_STORE_TABLES[family]
+    suffixes = ("docs", keys_sfx, feats_sfx)
+    store = str(tmp_path / "store")
+    try:
+        neardup_upsert_batch(
+            corpus, store, table_prefix=prefix, n_buckets=8, **kw
+        )
+        snap = {s: _table_rows(spark, f"{prefix}_{s}") for s in suffixes}
+        stored = sorted(
+            r[0] for r in spark.table(f"{prefix}_docs").select(id_col).collect()
+        )
+        dead = stored[::7][:6]
+        assert len(dead) >= 2, "store too small; test is vacuous"
+        # two files -> two micro-batches; threshold == len(dead) so the
+        # vacuum fires exactly on the final batch
+        src = tmp_path / "ids_src"
+        src.mkdir()
+        half = len(dead) // 2
+        for i, chunk in enumerate((dead[:half], dead[half:])):
+            spark.createDataFrame(
+                [(int(d),) for d in chunk], f"{id_col} long"
+            ).coalesce(1).write.parquet(str(src / f"b{i}"))
+        stream = (
+            spark.readStream.schema(f"{id_col} long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "b*"))
+        )
+        neardup_delete_sink(
+            stream,
+            prefix,
+            str(tmp_path / "ckpt1"),
+            hash_family=family,
+            id_col=id_col,
+            vacuum_threshold_tombstones=len(dead),
+        )
+        # the vacuum's directory swap ran inside the micro-batch's
+        # session clone; this session's cached file listings are stale
+        for s in suffixes:
+            spark.catalog.refreshTable(f"{prefix}_{s}")
+        deadset = set(dead)
+        for s in suffixes:
+            keycol = id_col if s == "docs" else "doc_id"
+            idx = spark.table(f"{prefix}_{s}").columns.index(keycol)
+            expected = [t for t in snap[s] if t[idx] not in deadset]
+            assert _table_rows(spark, f"{prefix}_{s}") == expected, s
+        assert neardup_store_tombstones(spark, prefix, id_col) is None
+
+        # full replay against a fresh checkpoint: every id is already
+        # vacuumed out of the ledger, so nothing is re-tombstoned
+        stream2 = (
+            spark.readStream.schema(f"{id_col} long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "b*"))
+        )
+        neardup_delete_sink(
+            stream2,
+            prefix,
+            str(tmp_path / "ckpt2"),
+            hash_family=family,
+            id_col=id_col,
+            vacuum_threshold_tombstones=len(dead),
+        )
+        assert neardup_store_tombstones(spark, prefix, id_col) is None
+        for s in suffixes:
+            spark.catalog.refreshTable(f"{prefix}_{s}")
+        for s in suffixes:
+            keycol = id_col if s == "docs" else "doc_id"
+            idx = spark.table(f"{prefix}_{s}").columns.index(keycol)
+            expected = [t for t in snap[s] if t[idx] not in deadset]
+            assert _table_rows(spark, f"{prefix}_{s}") == expected, s
+    finally:
+        for s in suffixes + ("tombstones",):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{s}")
