@@ -33,36 +33,22 @@ FUNNEL_STAGES = (
 )
 
 
-def corpus_funnel(
+def _hygiene_flags(
     corpus: DataFrame,
     benchmark: DataFrame,
-    quality_min: float = 0.5,
-    jaccard_threshold: float = 0.2,
-    contamination_max: float = 0.5,
-    tokens_col: str = "tokens",
+    jaccard_threshold: float,
+    contamination_max: float,
+    tokens_col: str,
+    text_col: str,
 ) -> DataFrame:
-    """(stage_idx, stage, n_docs): documents surviving each cumulative
-    pipeline stage — quality filter, then repetition filter, then
-    keep-first near-dup dedup, then benchmark decontamination.
-
-    Both inputs carry text + ``tokens_col``. Thresholds compare against
-    the ROUNDED scores the stage operators emit, so the funnel is
-    bit-reproducible against the DuckDB oracle (float-boundary docs land
-    the same way in both engines).
-
-    Scale shape: ONE full-corpus projection computes both per-row gates
-    (quality score + repetition flag — the expression-level
-    ``quality_score_expr`` / ``is_repetitive_expr`` twins of the checked
-    stage operators, so no self-join of two corpus scans), ONE corpus
-    shingle materialization feeds both the minhash pair pipeline and the
-    decontamination corpus side (each used to re-derive shingles from
-    text independently — the combined change measured 1.3× at sf0.1:
-    7.9 s → 6.0 s warm median-of-2), and the two
-    id-only drop lists join back LEFT (AQE broadcasts them at realistic
-    duplicate/contamination rates). The corpus body itself is never
-    shuffled by the funnel; the stage explode emits ≤ 5 rows per doc of
-    (int, bool) pairs into one final hash agg.
-    """
+    """The shared per-doc gate frame of the hygiene funnel: (doc_id,
+    quality_score, is_repetitive, is_dropped, is_contaminated) — one
+    corpus projection for the two row-local gates, one shingle
+    materialization feeding both the minhash pair pipeline and the
+    decontamination corpus side, two id-only drop lists joined back
+    LEFT. Factored out of :func:`corpus_funnel` so
+    :func:`full_curation_funnel` composes the SAME flags without a
+    second shingle pass."""
     shingles = _shingle_sets(corpus, tokens_col, "doc_id").localCheckpoint()
     # pairs checkpointed: connected_components re-reads its input for
     # the canonicalize step AND the funnel wants the pair job's cost
@@ -89,20 +75,31 @@ def corpus_funnel(
         .distinct()
         .withColumn("is_contaminated", F.lit(1))
     )
-    flags = (
+    return (
         corpus.select(
             "doc_id",
-            quality_score_expr(F.col("text")).alias("quality_score"),
-            is_repetitive_expr(F.col("text")).alias("is_repetitive"),
+            quality_score_expr(F.col(text_col)).alias("quality_score"),
+            is_repetitive_expr(F.col(text_col)).alias("is_repetitive"),
         )
         .join(dropped, "doc_id", "left")
         .join(contaminated, "doc_id", "left")
     )
+
+
+def _hygiene_conds(quality_min: float) -> dict:
+    """Cumulative stage predicates over the ``_hygiene_flags`` frame,
+    keyed by FUNNEL_STAGES index."""
     c1 = F.col("quality_score") >= quality_min
     c2 = c1 & (F.col("is_repetitive") == 0)
     c3 = c2 & F.col("is_dropped").isNull()
     c4 = c3 & F.col("is_contaminated").isNull()
-    conds = {0: F.lit(True), 1: c1, 2: c2, 3: c3, 4: c4}
+    return {0: F.lit(True), 1: c1, 2: c2, 3: c3, 4: c4}
+
+
+def _stage_counts(flags: DataFrame, conds: dict) -> DataFrame:
+    """(stage_idx, stage, n_docs) from the flags frame: the stage
+    explode emits ≤ |conds| rows per doc of (int, bool) pairs into one
+    final hash agg — the corpus body is never shuffled."""
     stages = F.array(
         *[
             F.struct(
@@ -123,6 +120,45 @@ def corpus_funnel(
     )
 
 
+def corpus_funnel(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    quality_min: float = 0.5,
+    jaccard_threshold: float = 0.2,
+    contamination_max: float = 0.5,
+    tokens_col: str = "tokens",
+    text_col: str = "text",
+) -> DataFrame:
+    """(stage_idx, stage, n_docs): documents surviving each cumulative
+    pipeline stage — quality filter, then repetition filter, then
+    keep-first near-dup dedup, then benchmark decontamination.
+
+    Both inputs carry ``text_col`` (the raw text the quality/repetition
+    gates score) + ``tokens_col``. Thresholds compare against
+    the ROUNDED scores the stage operators emit, so the funnel is
+    bit-reproducible against the DuckDB oracle (float-boundary docs land
+    the same way in both engines).
+
+    Scale shape: ONE full-corpus projection computes both per-row gates
+    (quality score + repetition flag — the expression-level
+    ``quality_score_expr`` / ``is_repetitive_expr`` twins of the checked
+    stage operators, so no self-join of two corpus scans), ONE corpus
+    shingle materialization feeds both the minhash pair pipeline and the
+    decontamination corpus side (each used to re-derive shingles from
+    text independently — the combined change measured 1.3× at sf0.1:
+    7.9 s → 6.0 s warm median-of-2), and the two
+    id-only drop lists join back LEFT (AQE broadcasts them at realistic
+    duplicate/contamination rates). The corpus body itself is never
+    shuffled by the funnel; the stage explode emits ≤ 5 rows per doc of
+    (int, bool) pairs into one final hash agg.
+    """
+    flags = _hygiene_flags(
+        corpus, benchmark, jaccard_threshold, contamination_max,
+        tokens_col, text_col,
+    )
+    return _stage_counts(flags, _hygiene_conds(quality_min))
+
+
 #: (index, name) of the curation stages, in order
 CURATION_STAGES = (
     (0, "raw"),
@@ -137,6 +173,7 @@ def curation_funnel(
     quality_min: float = 0.5,
     keep_frac: float = 0.5,
     tokens_col: str = "tokens",
+    text_col: str = "text",
     ns=(1, 2),
     n_buckets: int = 4096,
     smoothing: float = 1.0,
@@ -148,7 +185,9 @@ def curation_funnel(
     dedup → decontamination; this composes the data-selection cut on
     top of the same quality gate).
 
-    The DSIR source model is fit on the QUALITY SURVIVORS (the set the
+    The corpus carries ``text_col`` (scored by the quality gate) +
+    ``tokens_col`` (the DSIR feature stream); ``target`` needs only
+    ``tokens_col``. The DSIR source model is fit on the QUALITY SURVIVORS (the set the
     selection actually draws from — scoring a distribution the cut never
     sees would bias the importance ratio); ``target`` supplies the
     target-domain model. The keep threshold is the exact
@@ -172,7 +211,7 @@ def curation_funnel(
     flagged = corpus.select(
         "doc_id",
         F.col(tokens_col),
-        quality_score_expr(F.col("text")).alias("__qs"),
+        quality_score_expr(F.col(text_col)).alias("__qs"),
     )
     # checkpointed: the survivor set feeds the DSIR source-model pass
     # AND the scoring pass — without the pin each would re-run the
@@ -212,3 +251,81 @@ def curation_funnel(
         s = stage(i, name, frames[name])
         out = s if out is None else out.unionByName(s)
     return out
+
+
+#: (index, name) of the full published pipeline's stages, in order:
+#: the hygiene funnel then the selection cut on its survivors
+FULL_FUNNEL_STAGES = FUNNEL_STAGES + ((5, "dsir_selected"),)
+
+
+def full_curation_funnel(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    target: DataFrame,
+    quality_min: float = 0.5,
+    jaccard_threshold: float = 0.2,
+    contamination_max: float = 0.5,
+    keep_frac: float = 0.5,
+    tokens_col: str = "tokens",
+    text_col: str = "text",
+    ns=(1, 2),
+    n_buckets: int = 4096,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """(stage_idx, stage, n_docs): the WHOLE published training-data
+    pipeline as one funnel — quality → repetition → near-dup dedup →
+    decontamination (:func:`corpus_funnel`'s hygiene stages), then the
+    DSIR importance-selection cut (:func:`curation_funnel`'s selection
+    stage) drawn over the HYGIENE SURVIVORS. The two halves are each
+    oracle-checked alone; this runs them the way a real ingestion
+    pipeline does: the selection model is fit on exactly the documents
+    that survived hygiene (fitting it on the raw corpus would score a
+    distribution the cut never sees), and the keep threshold is the
+    exact ``(1 - keep_frac)`` quantile of the survivors' rounded
+    scores.
+
+    Scale shape — the composition pays each shared input ONCE:
+    the hygiene half reuses :func:`corpus_funnel`'s seams verbatim (one
+    gate projection, one shingle materialization feeding dedup AND
+    decontamination, id-only drop lists), the survivor (doc_id, tokens)
+    frame is localCheckpoint-ed once and feeds the DSIR source-model
+    pass, the scoring pass and the keep count, and the stage report is
+    the flags explode (≤5 thin rows per doc into one hash agg) plus one
+    1-row agg for the selection stage. Nothing corpus-sized is
+    collected: the driver sees one quantile cutoff and ≤``n_buckets``
+    histogram rows."""
+    from .selection import dsir_scores
+    from .sketch import exact_quantiles
+
+    flags = _hygiene_flags(
+        corpus, benchmark, jaccard_threshold, contamination_max,
+        tokens_col, text_col,
+    )
+    conds = _hygiene_conds(quality_min)
+    hygiene = _stage_counts(flags, conds)
+    survivor_ids = flags.where(conds[4]).select("doc_id")
+    survivors = (
+        corpus.join(survivor_ids, "doc_id", "left_semi")
+        .select("doc_id", tokens_col)
+        .localCheckpoint()
+    )
+    scored = dsir_scores(
+        survivors,
+        target,
+        tokens_col=tokens_col,
+        ns=ns,
+        n_buckets=n_buckets,
+        smoothing=smoothing,
+    ).localCheckpoint()
+    qrows = exact_quantiles(scored, "dsir_score", [1.0 - keep_frac]).collect()
+    if qrows:
+        kept = scored.where(F.col("dsir_score") >= float(qrows[0]["value"]))
+    else:
+        # no hygiene survivors: no quantile exists and the keep set is
+        # empty by definition — scored is already empty
+        kept = scored
+    idx, name = FULL_FUNNEL_STAGES[-1]
+    sel = kept.agg(F.count(F.lit(1)).alias("n_docs")).select(
+        F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"), "n_docs"
+    )
+    return hygiene.unionByName(sel)

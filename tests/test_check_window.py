@@ -16,36 +16,39 @@ from nlp_with_pyspark_spark.queries import (
 #: header + git history; this set pins the CURRENT family coverage.
 REQUIRED_IN_WINDOW = {
     # relational / TPC-H-ish
-    "customer_nation_revenue", "salted_nation_revenue",
+    "customer_nation_revenue", "pricing_summary",
     "revenue_rollup", "top_parts_by_revenue",
     "customer_rolling_7d_revenue", "dormant_customers",
-    "order_priority_melt",
+    "order_priority_melt", "customer_order_setops",
     # event-time
     "events_gap_filled_hourly", "events_asof_click_purchase",
-    "events_sliding_10m", "events_distinct_users",
-    "latest_event_per_user",
+    "events_tumbling_5m", "events_distinct_users",
+    "click_purchase_attribution",
     # text / NLP
     "vocab_top100", "tfidf_long", "repetition_features",
-    "bigram_top50", "corpus_clean_stats",
+    "corpus_clean_stats", "doc_token_chunks",
     # dedup / similarity
-    "dedup_exact_groups", "dedup_minhash_pairs", "dedup_ngram_jaccard",
-    "simhash_delta_pairs", "dedup_delta_pairs", "semantic_dedup_pairs",
-    "embedding_near_dups", "ann_recall_at_k", "embedding_pq_codes",
-    "ann_brute_force_topk",
+    "dedup_exact_groups", "dedup_minhash_pairs", "dedup_components",
+    "simhash_delta_pairs", "simhash_near_pairs", "dedup_delta_pairs",
+    "semantic_dedup_pairs",
+    "ann_recall_at_k", "embedding_pq_codes",
+    "dedup_maintained_corpus",
     # corpus hygiene / curation pipeline
     "quality_lr_filter", "pii_scrub_stats", "dup_ngram_coverage",
     "domain_mixture_weights",
     "decontam_fuzzy_overlap",
-    "corpus_pipeline_funnel", "curation_funnel",
+    "corpus_pipeline_funnel", "curation_funnel", "full_curation_funnel",
+    # ml evaluation
+    "confusion_metrics",
     # deterministic sampling / packing / layout
     "corpus_train_split", "token_pack_assignments",
     "zorder_file_envelopes",
     # multimodal plumbing
-    "multimodal_resize", "multimodal_frame_sample",
+    "multimodal_frame_sample",
     "multimodal_asset_stats",
     # sketches / quantiles
-    "price_percentiles", "doc_length_histogram",
-    "vocab_heavy_hitters", "events_distinct_sketch",
+    "price_percentiles",
+    "vocab_heavy_hitters",
     # retrieval (direct path bm25_search_topk demoted round 10 — the
     # indexed and maintenance paths are pinned bit-identical to it)
     "bm25_indexed_topk", "bm25_maintained_topk", "bm25_batch_topk",
