@@ -49,47 +49,35 @@ HEADLINE = [
     "pricing_summary",
     "top_parts_by_revenue",
     "customer_nation_revenue",
-    "salted_nation_revenue",
-    "top_orders_per_customer",
     "revenue_rollup",
     "events_tumbling_5m",
     "events_gap_filled_hourly",
-    "events_session_stats",
     "dedup_exact_groups",
     "leakage_safe_split",
     "dedup_minhash_pairs",
     "dedup_components",
     "ann_brute_force_topk",
     "quality_lr_filter",
-    "quality_scores",
     "token_pack_assignments",
     "multimodal_decode_features",
     "events_asof_click_purchase",
     "customer_rolling_7d_revenue",
     "dormant_customers",
-    "embedding_centroid_topk",
     "repetition_features",
     "decontamination_overlap",
     "pii_scrub_stats",
-    "dedup_canonical_corpus",
     "dup_ngram_coverage",
     "domain_mixture_weights",
     "embedding_pq_codes",
-    "corpus_stats_card",
-    "model_auc_eval",
-    "line_dedup_stats",
     "ann_recall_at_k",
-    "click_purchase_funnel",
     "corpus_pipeline_funnel",
     "dedup_delta_pairs",
     "bpe_merge_stats",
     "simhash_delta_pairs",
-    "collocations_pmi_top50",
     "zorder_file_envelopes",
     "semantic_dedup_pairs",
     "decontam_fuzzy_overlap",
     "corpus_shuffle_order",
-    "doc_length_quantiles",
     "vocab_heavy_hitters",
     "bm25_indexed_topk",
     "events_distinct_sketch",
@@ -110,7 +98,35 @@ HEADLINE = [
     "events_sliding_10m",
     "order_priority_pivot",
     "tfidf_smoothed_long",
+    "ann_lsh_topk",
+    "confusion_metrics",
+    "stratified_sample_by_lang",
+    "lang_id_counts",
+    "doc_fingerprints",
+    "simhash_near_pairs",
+    "session_event_overlap",
+    "click_purchase_attribution",
+    "markup_strip_stats",
+    "embedding_rp_project",
+    "full_curation_funnel",
+    "dedup_maintained_corpus",
 ]
+
+#: Legs that price a persisted-store LIFECYCLE per call (build +
+#: persist + maintain + serve — many jobs of fixed scheduling overhead
+#: at sf0.1) or a deliberately multi-pass pipeline composition, rather
+#: than one query. The suite line splits their subtotal out so
+#: round-over-round comparisons stop mixing the two regimes (the
+#: round-10 verdict's ask; per-leg stage decompositions in SCALING.md).
+LIFECYCLE = {
+    "bm25_indexed_topk",
+    "bm25_maintained_topk",
+    "dedup_maintained_corpus",
+    "zorder_file_envelopes",
+    "curation_funnel",
+    "full_curation_funnel",
+    "corpus_pipeline_funnel",
+}
 # MEMBERSHIP POLICY. The printed JSON line must stay under ~1850 chars
 # (the driver captures only the last 2000 chars of stdout), capping the
 # suite at ~68 entries — fewer than the registry. Rules (since r8):
@@ -150,11 +166,31 @@ HEADLINE = [
 # its approx side runs the identical ivfpq configuration, so the leg
 # prices ivfpq + exact-L2 ground truth + the recall join). OUT:
 # ann_ivfpq_topk (benched r8-r10; composed verbatim by the new leg).
-# Rotation debt for round 11: ann_lsh_topk, confusion_metrics,
-# stratified_sample_by_lang, lang_id_counts, doc_fingerprints,
-# simhash_near_pairs, session_event_overlap, click_purchase_
-# attribution, markup_strip_stats, embedding_rp_project (benched
-# through r8), plus the r9-OUT and r10-OUT sets (benched r9).
+#
+# Round 11 swap — IN: the full r8-benched debt due this round
+# (ann_lsh_topk, confusion_metrics, stratified_sample_by_lang,
+# lang_id_counts, doc_fingerprints, simhash_near_pairs,
+# session_event_overlap, click_purchase_attribution,
+# markup_strip_stats, embedding_rp_project) plus the two round-11
+# registrations (full_curation_funnel, dedup_maintained_corpus —
+# never benched). OUT (12, all benched r9-r10, kin stays benched):
+# salted_nation_revenue (customer_nation_revenue — same query,
+# salting variant), top_orders_per_customer (customer_rolling_7d_
+# revenue + latest_event_per_user), quality_scores (quality_lr_filter,
+# the same scoring frame), events_session_stats (session_event_overlap
+# returning — the same sessionize machinery), embedding_centroid_topk
+# (ann_brute_force_topk, the same broadcast cosine scan),
+# dedup_canonical_corpus (corpus_pipeline_funnel composes the same
+# drop; the NEW dedup_maintained_corpus serves the same canonical
+# survivors), corpus_stats_card (corpus_clean_stats), model_auc_eval
+# (quality_lr_filter + confusion_metrics returning), line_dedup_stats
+# (dedup_exact_groups, the same hash-group family),
+# click_purchase_funnel (events_asof_click_purchase + click_purchase_
+# attribution returning), collocations_pmi_top50 (bigram_top50, the
+# same bigram explode+count), doc_length_quantiles (price_percentiles,
+# the same exact-quantile operator).
+# Rotation debt for round 12: the r9-OUT set (benched r9) and this
+# round's OUT set (benched r10) come due rounds 12-13.
 
 
 def run_one(name: str, sf_dir: str, runs: int) -> None:
@@ -207,10 +243,16 @@ def main() -> None:
         # it mid-run the tail still ends in a parseable record —
         # explicitly marked partial with a null total, never a
         # fewer-queries sum masquerading as a faster suite.
+        lc = round(sum(v for k, v in times.items() if k in LIFECYCLE), 3)
         out = {
             "metric": "suite-iso-med-of-%d" % runs,
             "value": round(sum(times.values()), 3),
             "unit": "sec",
+            # store-lifecycle / multi-stage pipeline legs vs single-query
+            # legs (see LIFECYCLE above): compare like with like across
+            # rounds
+            "lifecycle_sec": lc,
+            "query_sec": round(sum(times.values()) - lc, 3),
             "queries": {k: round(v, 2) for k, v in times.items()},
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }

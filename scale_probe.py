@@ -634,6 +634,80 @@ def bm25_maint_probe(corpus_dir: str, tag: str) -> dict:
     }
 
 
+def neardup_maint_probe(corpus_dir: str, tag: str, batch_docs: int = 500) -> dict:
+    """Survivor-store takedown maintenance probe (the bm25_maint_probe
+    pattern applied to the dedup store): build a bucketed minhash
+    dedup-on-ingest store from the corpus, tombstone a FIXED 200-id
+    wave (the cost claim is about the store side, so the wave is
+    pinned), serve the live ledger under the tombstone anti-join, run a
+    fixed-size delta upsert against the tombstoned store (the takedown
+    exclusion joins ride the same broadcast id list — per-batch ingest
+    cost must not grow with deletes), then vacuum. Expect: delete ~flat
+    vs corpus size (broadcast anti-joins on id frames only), serve =
+    ledger scan + one broadcast anti-join, vacuum tracks live data.
+    One fresh session per leg (run via subprocess)."""
+    from nlp_with_pyspark_spark.operators.dedup import (
+        remove_from_neardup_store,
+        vacuum_neardup_store,
+    )
+    from nlp_with_pyspark_spark.queries import _tokenized_documents
+    from nlp_with_pyspark_spark.streaming.sinks import neardup_upsert_batch
+    from pyspark.sql import functions as F
+    import atexit
+    import shutil
+    import tempfile
+
+    spark = get_spark(app_name=f"nd-maint-{tag}")
+    spark.sparkContext.setLogLevel("ERROR")
+    prefix = f"probe_ndmaint_{tag}"
+    store_dir = tempfile.mkdtemp(prefix=f"ndmaint_{tag}_")
+    atexit.register(shutil.rmtree, store_dir, ignore_errors=True)
+    toks = _tokenized_documents(spark, corpus_dir).select(
+        "doc_id", "lang", "n_chars", "tokens"
+    )
+    # the delta batch re-ingests fresh ids AFTER the takedown wave; ids
+    # shifted out of the stored range so the docs guard admits them
+    top = toks.agg(F.max("doc_id")).collect()[0][0]
+    delta = toks.limit(batch_docs).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(int(top) + 1)
+    ).localCheckpoint()
+    t0 = time.perf_counter()
+    neardup_upsert_batch(
+        toks, store_dir, threshold=0.2, table_prefix=prefix, n_buckets=32
+    )
+    t_build = time.perf_counter() - t0
+    dead = [r.doc_id for r in spark.table(f"{prefix}_docs").select("doc_id").limit(200).collect()]
+    t0 = time.perf_counter()
+    n = remove_from_neardup_store(spark, dead, prefix)
+    t_delete = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    from nlp_with_pyspark_spark.operators.dedup import neardup_store_tombstones
+
+    live = spark.table(f"{prefix}_docs").join(
+        F.broadcast(neardup_store_tombstones(spark, prefix).select("doc_id")),
+        "doc_id",
+        "left_anti",
+    )
+    materialize(live.select("doc_id", "lang", "n_chars"))
+    t_serve_tombstoned = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    neardup_upsert_batch(
+        delta, store_dir, threshold=0.2, table_prefix=prefix, n_buckets=32
+    )
+    t_upsert_after_delete = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    vacuum_neardup_store(spark, prefix, "minhash")
+    t_vacuum = time.perf_counter() - t0
+    return {
+        "deleted": n,
+        "t_build": round(t_build, 2),
+        "t_delete_200ids": round(t_delete, 2),
+        "t_serve_tombstoned": round(t_serve_tombstoned, 2),
+        "t_upsert_after_delete": round(t_upsert_after_delete, 2),
+        "t_vacuum": round(t_vacuum, 2),
+    }
+
+
 def materialize(df) -> None:
     """Force FULL evaluation of every output column.
 
@@ -708,6 +782,17 @@ def main() -> None:
         "corpus dir from --base)",
     )
     ap.add_argument(
+        "--nd-maint-probe", action="store_true",
+        help="survivor-store takedown probe: fixed-size delete wave, "
+        "tombstoned serve, post-delete upsert, and vacuum cost at 1x "
+        "and --factor x (one fresh session per leg)",
+    )
+    ap.add_argument(
+        "--nd-maint-leg", default=None,
+        help="internal: run one survivor-store maintenance leg (value = "
+        "tag; corpus dir from --base)",
+    )
+    ap.add_argument(
         "--compact-mid", action="store_true",
         help="minhash sink probe: arm threshold-triggered compaction so it "
         "trips mid-sequence, and run the store-integrity check afterwards",
@@ -716,6 +801,32 @@ def main() -> None:
 
     if args.bm25_maint_leg:
         print(json.dumps({args.bm25_maint_leg: bm25_maint_probe(args.base, args.bm25_maint_leg)}))
+        return
+
+    if args.nd_maint_leg:
+        print(json.dumps({args.nd_maint_leg: neardup_maint_probe(args.base, args.nd_maint_leg)}))
+        return
+
+    if args.nd_maint_probe:
+        import subprocess
+
+        out_dir = args.out or f"/tmp/scale{args.factor}x_documents"
+        spark = get_spark(app_name=f"nd-maint-build-{args.factor}x")
+        spark.sparkContext.setLogLevel("ERROR")
+        build_replicated_dir(spark, args.base, out_dir, args.factor, ("documents",))
+        spark.stop()
+        results = {}
+        for tag, corpus_dir in (("1x", args.base), (f"{args.factor}x", out_dir)):
+            out = subprocess.run(
+                [
+                    sys.executable, os.path.abspath(__file__),
+                    "--nd-maint-leg", tag, "--base", corpus_dir,
+                ],
+                capture_output=True, text=True, check=True,
+            )
+            results.update(json.loads(out.stdout.strip().splitlines()[-1]))
+            print(json.dumps({tag: results[tag]}), flush=True)
+        print(json.dumps({"factor": args.factor, "results": results}))
         return
 
     if args.bm25_maint_probe:

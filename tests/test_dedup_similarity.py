@@ -791,3 +791,72 @@ def test_ann_recall_matches_driverside_recount(emb):
             want = len(approx_ids.get(r.query_id, set()) & exact_ids[r.query_id])
             assert r.n_hits == want, (n_probe, r.query_id, r.n_hits, want)
             assert r.recall == round(want / 10.0, 6)
+
+
+def test_trained_quantizer_recall_beats_untrained(spark, emb):
+    """The tuning loop ann_recall_at_k's docstring promises, closed
+    end-to-end: train the coarse quantizer (k-means, build_ivf_index)
+    and the PQ codebooks (pq_train) on the corpus and recall@10 against
+    exact-L2 ground truth must materially beat the untrained
+    oracle-able literals (first-8-vector centroids + fixed md5
+    codebooks, the registered ann_recall_at_k configuration).
+
+    Measured on a CLUSTERED corpus (32 centers from the embeddings
+    table, 12 seeded-noise members each) because that is the structure
+    real embedding corpora have and the structure training learns; on
+    the testdata's unclustered random vectors training at fixed
+    capacity is honestly a no-op (~0.15 both ways — there is nothing to
+    learn, measured r11). Same search budget both sides (k=10,
+    n_probe=3); the trained side uses the production capacity the
+    tuning loop would pick (n_lists=32 ≈ cluster count, ksub=16) while
+    the untrained side is the registered 8-centroid/ksub-4 literal
+    config. Deterministic end-to-end (seeded data, seeded k-means):
+    measured 0.253 untrained vs 0.700 trained at r11 — the assert
+    leaves margin."""
+    import numpy as np
+
+    from nlp_with_pyspark_spark.operators.similarity import (
+        ann_recall_at_k,
+        build_ivf_index,
+        pq_fixed_codebooks,
+        pq_train,
+    )
+
+    seedvecs = np.array(
+        [r.embedding for r in emb.orderBy("vec_id").limit(32).collect()]
+    )
+    rng = np.random.RandomState(7)
+    rows = []
+    i = 0
+    for c in range(32):
+        for _ in range(12):
+            v = seedvecs[c] + 0.15 * rng.randn(64)
+            rows.append((i, [float(x) for x in v]))
+            i += 1
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).cache()
+    queries = corpus.where(F.col("vec_id") % 12 == 0)  # one per cluster
+    cent_rows = (
+        corpus.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    )
+    unt_cent = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in cent_rows]
+    r_unt = (
+        ann_recall_at_k(
+            corpus, queries, unt_cent, pq_fixed_codebooks(), k=10, n_probe=3
+        )
+        .agg(F.avg("recall"))
+        .collect()[0][0]
+    )
+    _, cents = build_ivf_index(corpus, n_lists=32)
+    tr_cent = [(int(r.list_id), [float(x) for x in r.centroid]) for r in cents.collect()]
+    r_tr = (
+        ann_recall_at_k(
+            corpus, queries, tr_cent, pq_train(corpus, m=8, ksub=16, dim=64),
+            k=10, n_probe=3,
+        )
+        .agg(F.avg("recall"))
+        .collect()[0][0]
+    )
+    assert r_tr >= 2.5 * r_unt, f"trained {r_tr:.3f} vs untrained {r_unt:.3f}"
+    assert r_tr >= 0.6 and r_unt <= 0.35, (r_tr, r_unt)
