@@ -1881,3 +1881,180 @@ def vacuum_neardup_store(
         writer = writer.option("path", tpath)
     writer.saveAsTable(tomb_tbl)
     return report
+
+
+def _exact_store_tombstones_sidecar_path(spark, table: str) -> str:
+    """``<data>__tombstones`` sibling of the exact-dedup store's data
+    dir — the same lifecycle-sharing convention as the survivor-store
+    and posting-index sidecars."""
+    from ..sources.io import table_bucket_spec
+
+    _, _, dpath = table_bucket_spec(spark, table)
+    return dpath.rstrip("/") + "__tombstones"
+
+
+def _exact_store_key_schema(spark, table: str, key_cols: tuple) -> str:
+    """DDL fragment for the store's key columns, read from the store
+    table (the tombstone table must match the key types exactly)."""
+    fields = {f.name: f.dataType.simpleString() for f in spark.table(table).schema.fields}
+    missing = [k for k in key_cols if k not in fields]
+    if missing:
+        raise ValueError(f"{table} has no key column(s) {missing}")
+    return ", ".join(f"`{k}` {fields[k]}" for k in key_cols)
+
+
+def _heal_exact_store_tombstones(
+    spark, table: str, key_cols: tuple = ("event_id",)
+) -> bool:
+    """Restart self-heal for the exact-dedup store's tombstone table
+    (the ``_heal_neardup_tombstones`` story, single-table store).
+    Local-filesystem stores only; a non-local store pairs with a live
+    metastore where the heal is never needed."""
+    import os
+
+    tomb_tbl = f"{table}_tombstones"
+    if spark.catalog.tableExists(tomb_tbl):
+        return True
+    if not spark.catalog.tableExists(table):
+        return False
+    tpath = _exact_store_tombstones_sidecar_path(spark, table)
+    if not os.path.isdir(tpath):
+        return False
+    schema = _exact_store_key_schema(spark, table, key_cols)
+    spark.sql(
+        f"CREATE TABLE {tomb_tbl} ({schema}) USING parquet LOCATION '{tpath}'"
+    )
+    return True
+
+
+def exact_dedup_store_tombstones(
+    spark, table: str, key_cols: tuple = ("event_id",)
+):
+    """The exact-dedup store's LIVE tombstone list (key-cols frame), or
+    ``None`` when empty — checked once at load so a never-deleted-into
+    store reads with no extra join (the load_posting_index convention)."""
+    tomb_tbl = f"{table}_tombstones"
+    if not _heal_exact_store_tombstones(spark, table, key_cols):
+        return None
+    spark.catalog.refreshTable(tomb_tbl)
+    tombs = spark.table(tomb_tbl)
+    return None if tombs.isEmpty() else tombs
+
+
+def load_exact_dedup_store(
+    spark, table: str, key_cols: tuple = ("event_id",)
+) -> DataFrame:
+    """The store's LIVE rows: the committed first-occurrence table
+    minus tombstoned keys (one broadcast anti-join that disappears
+    after a vacuum). This is the frame every reader of an
+    ``incremental_dedup_sink`` store should consume once takedowns are
+    in play."""
+    spark.catalog.refreshTable(table)
+    live = spark.table(table)
+    tombs = exact_dedup_store_tombstones(spark, table, key_cols)
+    if tombs is not None:
+        live = live.join(
+            F.broadcast(tombs.select(*key_cols)), list(key_cols), "left_anti"
+        )
+    return live
+
+
+def remove_from_exact_dedup_store(
+    spark, keys, table: str, key_cols: tuple = ("event_id",)
+) -> int:
+    """Logically DELETE keys from a persisted exact-dedup store
+    (streaming/sinks.incremental_dedup_sink's bucketed layout) — the
+    right-to-be-forgotten takedown, completing the pattern across all
+    four persisted stores (posting index + three near-dup families +
+    this). Tombstoned rows leave every :func:`load_exact_dedup_store`
+    read immediately; :func:`vacuum_exact_dedup_store` folds them out
+    physically. A tombstoned key stays dead until a vacuum — the sink's
+    append guard still sees it in the store table, so an identical
+    re-crawl is admitted only after the vacuum (the posting-index rule;
+    admitting it earlier would let the vacuum's key-level fold delete
+    the re-admitted row too).
+
+    Replay-safe and idempotent: already-tombstoned and never-stored
+    keys are dropped by anti-joins before the append. Returns the
+    number of NEWLY tombstoned keys.
+
+    ``keys``: a DataFrame carrying ``key_cols``, or (single-key
+    stores) any iterable of key values."""
+    from pyspark.sql import DataFrame as _DF
+
+    tomb_tbl = f"{table}_tombstones"
+    if not spark.catalog.tableExists(table):
+        raise ValueError(
+            f"{table} not found: exact-store deletes need the bucketed "
+            "store layout (incremental_dedup_sink with table=...)"
+        )
+    schema = _exact_store_key_schema(spark, table, key_cols)
+    if not isinstance(keys, _DF):
+        if len(key_cols) != 1:
+            raise ValueError(
+                "iterable keys only supported for single-column stores; "
+                "pass a DataFrame carrying " + repr(key_cols)
+            )
+        keys = spark.createDataFrame([(k,) for k in keys], schema)
+    ids = keys.select(*key_cols)
+    spark.catalog.refreshTable(table)
+    fresh = ids.distinct().join(
+        spark.table(table).select(*key_cols), list(key_cols), "left_semi"
+    )
+    has_tombs = _heal_exact_store_tombstones(spark, table, key_cols)
+    if has_tombs:
+        spark.catalog.refreshTable(tomb_tbl)
+        fresh = fresh.join(
+            F.broadcast(spark.table(tomb_tbl)), list(key_cols), "left_anti"
+        )
+    fresh = fresh.localCheckpoint()
+    n_new = fresh.count()
+    if n_new:
+        if has_tombs:
+            fresh.write.mode("append").format("parquet").saveAsTable(tomb_tbl)
+        else:
+            fresh.write.mode("overwrite").format("parquet").option(
+                "path", _exact_store_tombstones_sidecar_path(spark, table)
+            ).saveAsTable(tomb_tbl)
+    return n_new
+
+
+def vacuum_exact_dedup_store(
+    spark, table: str, key_cols: tuple = ("event_id",)
+) -> dict:
+    """Physically drop tombstoned keys' rows from the store table (a
+    spec-preserving staged rewrite through compact's ``transform``
+    seam), then clear the tombstone table at its external sidecar
+    location — :func:`vacuum_neardup_store` for the single-table exact
+    store. After the vacuum the store genuinely forgets the keys: the
+    sink's append guard no longer sees them, so identical future
+    content is admitted as a first occurrence again."""
+    from ..sources.io import compact_bucketed_table
+    from .search import _table_path_if_external
+
+    tomb_tbl = f"{table}_tombstones"
+    if not _heal_exact_store_tombstones(spark, table, key_cols):
+        return {"tombstones_folded": 0}
+    spark.catalog.refreshTable(tomb_tbl)
+    dead = spark.table(tomb_tbl).localCheckpoint()
+    n_dead = dead.count()
+    report: dict = {"tombstones_folded": n_dead}
+    if n_dead:
+        report["store"] = compact_bucketed_table(
+            spark,
+            table,
+            transform=lambda df: df.join(
+                F.broadcast(dead), list(key_cols), "left_anti"
+            ),
+        )
+    schema = _exact_store_key_schema(spark, table, key_cols)
+    writer = (
+        spark.createDataFrame([], schema)
+        .write.mode("overwrite")
+        .format("parquet")
+    )
+    tpath = _table_path_if_external(spark, tomb_tbl)
+    if tpath is not None:
+        writer = writer.option("path", tpath)
+    writer.saveAsTable(tomb_tbl)
+    return report

@@ -4,6 +4,8 @@ from .joins import (
     interval_join_streams_outer,
 )
 from .sinks import (
+    dedup_store_delete_batch,
+    dedup_store_delete_sink,
     incremental_dedup_sink,
     neardup_dedup_sink,
     neardup_delete_batch,
@@ -27,6 +29,8 @@ from .windows import (
 
 __all__ = [
     "click_purchase_attribution",
+    "dedup_store_delete_batch",
+    "dedup_store_delete_sink",
     "events_stream_from_dir",
     "gap_filled_stream",
     "incremental_dedup_sink",

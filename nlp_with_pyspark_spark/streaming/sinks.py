@@ -883,6 +883,66 @@ def neardup_delete_sink(
     return q
 
 
+def dedup_store_delete_batch(
+    batch_df: DataFrame,
+    table: str,
+    key_cols: tuple[str, ...] = ("event_id",),
+    vacuum_threshold_tombstones: int | None = None,
+) -> int:
+    """One streaming takedown step against an exact-dedup store
+    (operators/dedup.remove_from_exact_dedup_store — the delete half of
+    :func:`incremental_dedup_sink`'s append): idempotent under replay,
+    with the same threshold-triggered vacuum cadence as the other
+    delete sinks. Returns the number of newly tombstoned keys."""
+    from ..operators.dedup import (
+        exact_dedup_store_tombstones,
+        remove_from_exact_dedup_store,
+        vacuum_exact_dedup_store,
+    )
+
+    spark = batch_df.sparkSession
+    n_new = remove_from_exact_dedup_store(
+        spark, batch_df.select(*key_cols), table, key_cols=key_cols
+    )
+    if vacuum_threshold_tombstones is not None:
+        tombs = exact_dedup_store_tombstones(spark, table, key_cols)
+        if tombs is not None and tombs.count() >= vacuum_threshold_tombstones:
+            vacuum_exact_dedup_store(spark, table, key_cols=key_cols)
+    return n_new
+
+
+def dedup_store_delete_sink(
+    stream_keys: DataFrame,
+    table: str,
+    checkpoint: str,
+    key_cols: tuple[str, ...] = ("event_id",),
+    vacuum_threshold_tombstones: int | None = None,
+):
+    """Streaming takedowns against a persisted exact-dedup store — the
+    delete twin of :func:`incremental_dedup_sink`, completing the
+    right-to-be-forgotten story for the fourth and last persisted
+    store family (posting index, three near-dup families, exact
+    dedup). Replays are no-ops; the optional vacuum threshold keeps
+    the store physically bounded under an unbounded delete stream."""
+
+    def delete(batch_df: DataFrame, batch_id: int) -> None:
+        dedup_store_delete_batch(
+            batch_df,
+            table,
+            key_cols=key_cols,
+            vacuum_threshold_tombstones=vacuum_threshold_tombstones,
+        )
+
+    q = (
+        stream_keys.writeStream.foreachBatch(delete)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def search_index_delete_batch(
     batch_df: DataFrame,
     table_prefix: str,

@@ -2101,6 +2101,23 @@ def test_neardup_takedown_delete_equals_filter(spark, sf_dir, tmp_path, family):
         assert tombs is not None
         assert sorted(r.doc_id for r in tombs.collect()) == sorted(dead)
 
+        if family == "minhash":
+            # serving plan shape with tombstones live: the live-corpus
+            # read is the bucketed ledger scan plus ONE broadcast
+            # anti-join — the store side crosses no Exchange (the
+            # dedup_maintained_corpus serving contract)
+            from nlp_with_pyspark_spark.plans import (
+                exchanges_covering,
+                plan_string,
+            )
+
+            live = spark.table(f"{prefix}_docs").join(
+                F.broadcast(tombs.select("doc_id")), "doc_id", "left_anti"
+            )
+            p = plan_string(live)
+            assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+            assert exchanges_covering(live, f"{prefix}_docs") == 0, p
+
         # --- vacuum: tables == original filtered, bit-identical
         report = vacuum_neardup_store(spark, prefix, family, id_col=id_col)
         assert report["tombstones_folded"] == len(dead)
@@ -2287,3 +2304,166 @@ def test_neardup_delete_sink_stream_equals_batch(spark, sf_dir, tmp_path, family
     finally:
         for s in suffixes + ("tombstones",):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{s}")
+
+
+def _exact_store_rows(spark, tbl):
+    return sorted(map(tuple, spark.table(tbl).collect()))
+
+
+def test_exact_dedup_store_takedown(spark, tmp_path):
+    """Takedowns for the exact-dedup sink store — the fourth persisted
+    store family: (1) deletes are idempotent, ignore never-stored keys,
+    and leave load_exact_dedup_store serving the live rows via one
+    broadcast anti-join; (2) a tombstoned key stays dead until a vacuum
+    (the sink's guard still sees the stored row, so an identical
+    re-ingest pre-vacuum is suppressed); (3) the tombstone list
+    restart-heals from its sidecar; (4) after vacuum the store table is
+    bit-identical to the original filtered, and a re-ingest of the
+    forgotten key is admitted as a first occurrence again."""
+    from nlp_with_pyspark_spark.operators.dedup import (
+        exact_dedup_store_tombstones,
+        load_exact_dedup_store,
+        remove_from_exact_dedup_store,
+        vacuum_exact_dedup_store,
+    )
+    from nlp_with_pyspark_spark.sources.io import (
+        register_bucketed_table,
+        table_bucket_spec,
+    )
+    from nlp_with_pyspark_spark.streaming.sinks import incremental_dedup_sink
+    from nlp_with_pyspark_spark.streaming.windows import events_stream_from_dir
+
+    base = 1_700_000_000_000_000
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        (i, base + i * 1_000_000, 10 + i, "click", float(i), "{}")
+        for i in range(1, 7)
+    ]
+    _write_events_file(spark, src / "f1", rows)
+    store = str(tmp_path / "store")
+    tbl = "t_exact_takedown"
+    try:
+        stream = events_stream_from_dir(spark, str(src / "f*"), max_files_per_trigger=1)
+        incremental_dedup_sink(
+            stream, store, str(tmp_path / "ck1"), table=tbl, n_buckets=4
+        )
+        snap = _exact_store_rows(spark, tbl)
+        assert len(snap) == 6
+
+        dead = [2, 4]
+        assert remove_from_exact_dedup_store(spark, dead, tbl) == 2
+        assert remove_from_exact_dedup_store(spark, dead, tbl) == 0
+        assert remove_from_exact_dedup_store(spark, [99], tbl) == 0
+        live = load_exact_dedup_store(spark, tbl)
+        assert sorted(r.event_id for r in live.collect()) == [1, 3, 5, 6]
+
+        # pre-vacuum: an identical re-crawl of a tombstoned key is NOT
+        # re-admitted (the guard still sees the stored row)
+        _write_events_file(spark, src / "f2", [rows[1]])  # event_id 2
+        stream2 = events_stream_from_dir(spark, str(src / "f*"), max_files_per_trigger=1)
+        incremental_dedup_sink(
+            stream2, store, str(tmp_path / "ck2"), table=tbl, n_buckets=4
+        )
+        assert sorted(
+            r.event_id for r in load_exact_dedup_store(spark, tbl).collect()
+        ) == [1, 3, 5, 6]
+
+        # --- restart: catalog gone, files survive
+        col, nb, path = table_bucket_spec(spark, tbl)
+        for t in (tbl, f"{tbl}_tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        register_bucketed_table(spark, tbl, col, nb, path)
+        tombs = exact_dedup_store_tombstones(spark, tbl)
+        assert tombs is not None
+        assert sorted(r.event_id for r in tombs.collect()) == dead
+
+        # --- vacuum: store == original filtered, bit-identical
+        report = vacuum_exact_dedup_store(spark, tbl)
+        assert report["tombstones_folded"] == 2
+        expected = [t for t in snap if t[0] not in set(dead)]
+        assert _exact_store_rows(spark, tbl) == expected
+        assert exact_dedup_store_tombstones(spark, tbl) is None
+        assert vacuum_exact_dedup_store(spark, tbl)["tombstones_folded"] == 0
+
+        # post-vacuum: the forgotten key re-ingests as a first
+        # occurrence (a fresh checkpoint replays all files; only the
+        # genuinely-missing key lands)
+        stream3 = events_stream_from_dir(spark, str(src / "f*"), max_files_per_trigger=1)
+        incremental_dedup_sink(
+            stream3, store, str(tmp_path / "ck3"), table=tbl, n_buckets=4
+        )
+        assert sorted(
+            r.event_id for r in load_exact_dedup_store(spark, tbl).collect()
+        ) == [1, 2, 3, 4, 5, 6]
+    finally:
+        for t in (tbl, f"{tbl}_tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_dedup_store_delete_sink_stream_equals_batch(spark, tmp_path):
+    """Streaming takedowns against the exact-dedup store: keys arriving
+    as a file stream leave the store in the filtered-snapshot state
+    (vacuum fires on the final micro-batch via the threshold), and a
+    full replay against a fresh checkpoint re-tombstones nothing."""
+    from nlp_with_pyspark_spark.operators.dedup import (
+        exact_dedup_store_tombstones,
+    )
+    from nlp_with_pyspark_spark.streaming.sinks import (
+        dedup_store_delete_sink,
+        incremental_dedup_sink,
+    )
+    from nlp_with_pyspark_spark.streaming.windows import events_stream_from_dir
+
+    base = 1_700_000_000_000_000
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        (i, base + i * 1_000_000, 10 + i, "view", float(i), "{}")
+        for i in range(1, 9)
+    ]
+    _write_events_file(spark, src / "f1", rows)
+    store = str(tmp_path / "store")
+    tbl = "t_exact_delsink"
+    try:
+        stream = events_stream_from_dir(spark, str(src / "f*"), max_files_per_trigger=1)
+        incremental_dedup_sink(
+            stream, store, str(tmp_path / "ck"), table=tbl, n_buckets=4
+        )
+        snap = _exact_store_rows(spark, tbl)
+        dead = [2, 4, 6, 8]
+        ids_src = tmp_path / "ids"
+        ids_src.mkdir()
+        for i, chunk in enumerate((dead[:2], dead[2:])):
+            spark.createDataFrame(
+                [(k,) for k in chunk], "event_id long"
+            ).coalesce(1).write.parquet(str(ids_src / f"b{i}"))
+        key_stream = (
+            spark.readStream.schema("event_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(ids_src / "b*"))
+        )
+        dedup_store_delete_sink(
+            key_stream, tbl, str(tmp_path / "dck1"),
+            vacuum_threshold_tombstones=len(dead),
+        )
+        spark.catalog.refreshTable(tbl)
+        expected = [t for t in snap if t[0] not in set(dead)]
+        assert _exact_store_rows(spark, tbl) == expected
+        assert exact_dedup_store_tombstones(spark, tbl) is None
+
+        key_stream2 = (
+            spark.readStream.schema("event_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(ids_src / "b*"))
+        )
+        dedup_store_delete_sink(
+            key_stream2, tbl, str(tmp_path / "dck2"),
+            vacuum_threshold_tombstones=len(dead),
+        )
+        spark.catalog.refreshTable(tbl)
+        assert _exact_store_rows(spark, tbl) == expected
+        assert exact_dedup_store_tombstones(spark, tbl) is None
+    finally:
+        for t in (tbl, f"{tbl}_tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
