@@ -793,6 +793,41 @@ def test_ann_recall_matches_driverside_recount(emb):
             assert r.recall == round(want / 10.0, 6)
 
 
+def _clustered_corpus(spark, emb, n_clusters=32, per=12, noise=0.15, seed=7):
+    """Deterministic clustered embedding corpus: ``n_clusters`` centers
+    drawn from the embeddings table, ``per`` seeded-noise members each —
+    the structure real embedding corpora have (and the testdata's
+    uniform random vectors do not), so quantizer training has something
+    to learn."""
+    import numpy as np
+
+    seedvecs = np.array(
+        [r.embedding for r in emb.orderBy("vec_id").limit(n_clusters).collect()]
+    )
+    rng = np.random.RandomState(seed)
+    rows = []
+    i = 0
+    for c in range(n_clusters):
+        for _ in range(per):
+            v = seedvecs[c] + noise * rng.randn(64)
+            rows.append((i, [float(x) for x in v]))
+            i += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _trained_quantizer(corpus):
+    from nlp_with_pyspark_spark.operators.similarity import (
+        build_ivf_index,
+        pq_train,
+    )
+
+    _, cents = build_ivf_index(corpus, n_lists=32)
+    tr_cent = [
+        (int(r.list_id), [float(x) for x in r.centroid]) for r in cents.collect()
+    ]
+    return tr_cent, pq_train(corpus, m=8, ksub=16, dim=64)
+
+
 def test_trained_quantizer_recall_beats_untrained(spark, emb):
     """The tuning loop ann_recall_at_k's docstring promises, closed
     end-to-end: train the coarse quantizer (k-means, build_ivf_index)
@@ -801,41 +836,22 @@ def test_trained_quantizer_recall_beats_untrained(spark, emb):
     oracle-able literals (first-8-vector centroids + fixed md5
     codebooks, the registered ann_recall_at_k configuration).
 
-    Measured on a CLUSTERED corpus (32 centers from the embeddings
-    table, 12 seeded-noise members each) because that is the structure
-    real embedding corpora have and the structure training learns; on
-    the testdata's unclustered random vectors training at fixed
-    capacity is honestly a no-op (~0.15 both ways — there is nothing to
-    learn, measured r11). Same search budget both sides (k=10,
-    n_probe=3); the trained side uses the production capacity the
-    tuning loop would pick (n_lists=32 ≈ cluster count, ksub=16) while
-    the untrained side is the registered 8-centroid/ksub-4 literal
-    config. Deterministic end-to-end (seeded data, seeded k-means):
-    measured 0.253 untrained vs 0.700 trained at r11 — the assert
-    leaves margin."""
-    import numpy as np
-
+    Measured on a CLUSTERED corpus because that is the structure
+    training learns; on the testdata's unclustered random vectors
+    training at fixed capacity is honestly a no-op (~0.15 both ways —
+    there is nothing to learn, measured r11). Same search budget both
+    sides (k=10, n_probe=3); the trained side uses the production
+    capacity the tuning loop would pick (n_lists=32 ≈ cluster count,
+    ksub=16) while the untrained side is the registered
+    8-centroid/ksub-4 literal config. Deterministic end-to-end (seeded
+    data, seeded k-means): measured 0.253 untrained vs 0.700 trained
+    at r11 — the assert leaves margin."""
     from nlp_with_pyspark_spark.operators.similarity import (
         ann_recall_at_k,
-        build_ivf_index,
         pq_fixed_codebooks,
-        pq_train,
     )
 
-    seedvecs = np.array(
-        [r.embedding for r in emb.orderBy("vec_id").limit(32).collect()]
-    )
-    rng = np.random.RandomState(7)
-    rows = []
-    i = 0
-    for c in range(32):
-        for _ in range(12):
-            v = seedvecs[c] + 0.15 * rng.randn(64)
-            rows.append((i, [float(x) for x in v]))
-            i += 1
-    corpus = spark.createDataFrame(
-        rows, "vec_id long, embedding array<double>"
-    ).cache()
+    corpus = _clustered_corpus(spark, emb).cache()
     queries = corpus.where(F.col("vec_id") % 12 == 0)  # one per cluster
     cent_rows = (
         corpus.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
@@ -848,15 +864,72 @@ def test_trained_quantizer_recall_beats_untrained(spark, emb):
         .agg(F.avg("recall"))
         .collect()[0][0]
     )
-    _, cents = build_ivf_index(corpus, n_lists=32)
-    tr_cent = [(int(r.list_id), [float(x) for x in r.centroid]) for r in cents.collect()]
+    tr_cent, books = _trained_quantizer(corpus)
     r_tr = (
-        ann_recall_at_k(
-            corpus, queries, tr_cent, pq_train(corpus, m=8, ksub=16, dim=64),
-            k=10, n_probe=3,
-        )
+        ann_recall_at_k(corpus, queries, tr_cent, books, k=10, n_probe=3)
         .agg(F.avg("recall"))
         .collect()[0][0]
     )
     assert r_tr >= 2.5 * r_unt, f"trained {r_tr:.3f} vs untrained {r_unt:.3f}"
     assert r_tr >= 0.6 and r_unt <= 0.35, (r_tr, r_unt)
+
+
+def test_ivfpq_rerank_full_probe_equals_exact(spark, emb):
+    """The re-rank identity anchor: with every list probed and the
+    shortlist covering the whole corpus, ivfpq_rerank_topk must equal
+    exact_l2_topk ROW-FOR-ROW (same rounding, same tie-break) — the
+    approximate stage only prunes, and with nothing pruned the exact
+    re-rank restores the exact answer."""
+    from nlp_with_pyspark_spark.operators.similarity import (
+        exact_l2_topk,
+        ivfpq_rerank_topk,
+        pq_fixed_codebooks,
+    )
+
+    queries = emb.where(F.col("vec_id") < 5)
+    cent_rows = (
+        emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    )
+    cents = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in cent_rows]
+    n = emb.count()
+    got = ivfpq_rerank_topk(
+        emb, queries, cents, pq_fixed_codebooks(),
+        k=10, shortlist=n, n_probe=len(cents),
+    )
+    exact = exact_l2_topk(emb, queries, k=10)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_ivfpq_rerank_lifts_recall(spark, emb):
+    """The production two-stage shape earns its keep: exact re-ranking
+    a 50-candidate ADC shortlist removes the ADC rank noise that
+    dominates the plain path's residual recall loss. Deterministic:
+    measured 0.700 plain vs 0.897 re-ranked at r11 (the remaining loss
+    is true neighbors outside the 3 probed lists — a probe-budget
+    effect the re-rank cannot and should not fix)."""
+    from nlp_with_pyspark_spark.operators.similarity import (
+        ann_recall_at_k,
+        exact_l2_topk,
+        ivfpq_rerank_topk,
+    )
+
+    corpus = _clustered_corpus(spark, emb).cache()
+    queries = corpus.where(F.col("vec_id") % 12 == 0)
+    tr_cent, books = _trained_quantizer(corpus)
+    plain = (
+        ann_recall_at_k(corpus, queries, tr_cent, books, k=10, n_probe=3)
+        .agg(F.avg("recall"))
+        .collect()[0][0]
+    )
+    rr = ivfpq_rerank_topk(
+        corpus, queries, tr_cent, books, k=10, shortlist=50, n_probe=3
+    )
+    exact = exact_l2_topk(corpus, queries, k=10)
+    n_hits = (
+        rr.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .count()
+    )
+    rerank = n_hits / (queries.count() * 10.0)
+    assert rerank >= plain + 0.15, (rerank, plain)
+    assert rerank >= 0.85, rerank
