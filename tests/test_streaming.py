@@ -2467,3 +2467,100 @@ def test_dedup_store_delete_sink_stream_equals_batch(spark, tmp_path):
     finally:
         for t in (tbl, f"{tbl}_tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_neardup_takedown_random_lifecycle_invariants(spark, sf_dir, tmp_path):
+    """Seeded random interleavings of the survivor-store lifecycle —
+    upsert / delete-wave / vacuum / replay — must preserve the store's
+    four standing invariants at EVERY step (the per-transition tests
+    pin each edge; this pins the paths):
+
+      I1  no near-dup pair among LIVE docs (the store invariant,
+          takedown-aware);
+      I2  a deleted id is never live again until a vacuum clears its
+          tombstone AND a later batch re-ingests it;
+      I3  a vacuum never changes the live set;
+      I4  replaying the previous operation verbatim never changes the
+          live set (idempotence under at-least-once delivery).
+    """
+    import random
+
+    from nlp_with_pyspark_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        neardup_store_tombstones,
+        remove_from_neardup_store,
+        vacuum_neardup_store,
+    )
+    from nlp_with_pyspark_spark.streaming.sinks import neardup_upsert_batch
+
+    toks = _neardup_toks(spark, sf_dir).localCheckpoint()
+    ids = sorted(r.doc_id for r in toks.select("doc_id").collect())
+    rng = random.Random(11)
+    n_batches = 4
+    cuts = [ids[i * len(ids) // n_batches] for i in range(1, n_batches)]
+    bounds = [min(ids) - 1] + cuts + [max(ids) + 1]
+    batches = [
+        toks.where((F.col("doc_id") > bounds[i]) & (F.col("doc_id") <= bounds[i + 1]))
+        for i in range(n_batches)
+    ]
+    prefix = "t_ndlife"
+    store = str(tmp_path / "store")
+    kw = dict(threshold=0.2, table_prefix=prefix, n_buckets=8)
+
+    def live_ids():
+        spark.catalog.refreshTable(f"{prefix}_docs")
+        live = spark.table(f"{prefix}_docs")
+        tombs = neardup_store_tombstones(spark, prefix)
+        if tombs is not None:
+            live = live.join(
+                F.broadcast(tombs.select("doc_id")), "doc_id", "left_anti"
+            )
+        return {r.doc_id for r in live.select("doc_id").collect()}
+
+    try:
+        neardup_upsert_batch(batches[0], store, **kw)
+        tombstoned: set = set()
+        next_batch = 1
+        ops: list = []
+        for _ in range(8):
+            choice = rng.choice(["upsert", "delete", "vacuum", "replay"])
+            before = live_ids()
+            if choice == "upsert" and next_batch < n_batches:
+                neardup_upsert_batch(batches[next_batch], store, **kw)
+                ops.append(("upsert", next_batch))
+                next_batch += 1
+            elif choice == "delete" and before:
+                wave = sorted(rng.sample(sorted(before), min(5, len(before))))
+                remove_from_neardup_store(spark, wave, prefix)
+                tombstoned.update(wave)
+                ops.append(("delete", wave))
+                # I2: the wave is immediately not-live
+                assert not (live_ids() & set(wave))
+            elif choice == "vacuum":
+                vacuum_neardup_store(spark, prefix, "minhash")
+                tombstoned = set()
+                ops.append(("vacuum", None))
+                assert live_ids() == before  # I3
+            elif choice == "replay" and ops:
+                kind, arg = ops[-1]
+                if kind == "upsert":
+                    neardup_upsert_batch(batches[arg], store, **kw)
+                elif kind == "delete":
+                    assert remove_from_neardup_store(spark, arg, prefix) == 0
+                else:
+                    vacuum_neardup_store(spark, prefix, "minhash")
+                assert live_ids() == before  # I4
+            # I2 (standing): tombstoned ids are never live
+            assert not (live_ids() & tombstoned)
+        # I1 at the end: live docs contain no near-dup pair
+        live = toks.join(
+            spark.createDataFrame(
+                [(i,) for i in sorted(live_ids())], "doc_id long"
+            ),
+            "doc_id",
+            "left_semi",
+        )
+        assert minhash_dedup_pairs(live, threshold=0.2).count() == 0
+    finally:
+        for s in ("docs", "buckets", "shingles", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{s}")
