@@ -988,6 +988,82 @@ def search_index_delete_batch(
     return n_new
 
 
+def takedown_fanout_batch(batch_df: DataFrame, targets: list[dict]) -> dict:
+    """Apply ONE micro-batch of takedown ids to EVERY persisted store —
+    the operational shape of a right-to-be-forgotten request, which
+    must leave no index serving (or suppressing near-duplicates of)
+    the deleted documents. ``targets`` is a list of store specs:
+
+      * ``{"kind": "posting", "table_prefix": ...,
+          "vacuum_threshold_tombstones": ...}``
+      * ``{"kind": "neardup", "table_prefix": ..., "hash_family": ...,
+          "id_col": ..., "vacuum_threshold_tombstones": ...}``
+      * ``{"kind": "exact", "table": ..., "key_cols": (...),
+          "vacuum_threshold_tombstones": ...}``
+
+    Atomicity across stores is CONVERGENCE, not a transaction: each
+    store's delete is individually idempotent (anti-joins before the
+    tombstone append), so a crash after store i commits and before
+    store i+1 does is healed by the foreachBatch replay — stores that
+    already deleted re-tombstone nothing, the rest catch up. Stores are
+    processed in ``targets`` order. Returns {store_label: n_new}."""
+    out = {}
+    for t in targets:
+        kind = t["kind"]
+        if kind == "posting":
+            out[t["table_prefix"]] = search_index_delete_batch(
+                batch_df,
+                t["table_prefix"],
+                id_col=t.get("id_col", "doc_id"),
+                vacuum_threshold_tombstones=t.get("vacuum_threshold_tombstones"),
+            )
+        elif kind == "neardup":
+            out[t["table_prefix"]] = neardup_delete_batch(
+                batch_df,
+                t["table_prefix"],
+                hash_family=t.get("hash_family", "minhash"),
+                id_col=t.get("id_col", "doc_id"),
+                vacuum_threshold_tombstones=t.get("vacuum_threshold_tombstones"),
+            )
+        elif kind == "exact":
+            out[t["table"]] = dedup_store_delete_batch(
+                batch_df,
+                t["table"],
+                key_cols=tuple(t.get("key_cols", ("event_id",))),
+                vacuum_threshold_tombstones=t.get("vacuum_threshold_tombstones"),
+            )
+        else:
+            raise ValueError(
+                f"unknown takedown target kind {kind!r} "
+                "(posting | neardup | exact)"
+            )
+    return out
+
+
+def takedown_fanout_sink(
+    stream_ids: DataFrame, targets: list[dict], checkpoint: str
+):
+    """One takedown-id stream driving EVERY persisted store the engine
+    keeps — posting index, near-dup survivor stores, exact-dedup store
+    — through a single checkpointed sink (:func:`takedown_fanout_batch`
+    per micro-batch). A replay after a crash anywhere in the fan-out
+    converges: stores that already committed their delete re-tombstone
+    nothing. The per-store vacuum thresholds keep every tombstone list
+    broadcast-small under an unbounded delete stream."""
+
+    def delete(batch_df: DataFrame, batch_id: int) -> None:
+        takedown_fanout_batch(batch_df, targets)
+
+    q = (
+        stream_ids.writeStream.foreachBatch(delete)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def search_index_delete_sink(
     stream_ids: DataFrame,
     table_prefix: str,

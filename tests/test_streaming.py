@@ -2564,3 +2564,95 @@ def test_neardup_takedown_random_lifecycle_invariants(spark, sf_dir, tmp_path):
     finally:
         for s in ("docs", "buckets", "shingles", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{s}")
+
+
+def test_takedown_fanout_hits_every_store(spark, sf_dir, tmp_path):
+    """One takedown-id stream must converge EVERY persisted store:
+    after the fan-out sink drains, the posting index answers as if the
+    dead docs were never indexed, the near-dup survivor store's live
+    set excludes them, and a full replay against a fresh checkpoint
+    re-tombstones nothing anywhere (per-store idempotence is what makes
+    the multi-store fan-out converge under at-least-once delivery)."""
+    from nlp_with_pyspark_spark.operators.dedup import (
+        neardup_store_tombstones,
+    )
+    from nlp_with_pyspark_spark.operators.search import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_posting_index,
+        load_posting_index,
+        persist_posting_index,
+    )
+    from nlp_with_pyspark_spark.streaming.sinks import (
+        neardup_upsert_batch,
+        takedown_fanout_sink,
+    )
+
+    toks = _neardup_toks(spark, sf_dir).localCheckpoint()
+    pidx = "t_fan_pidx"
+    ndx = "t_fan_nd"
+    store = str(tmp_path / "nd_store")
+    try:
+        persist_posting_index(
+            build_posting_index(toks), pidx, n_buckets=8,
+            path=str(tmp_path / "pidx"),
+        )
+        neardup_upsert_batch(
+            toks, store, threshold=0.2, table_prefix=ndx, n_buckets=8
+        )
+        survivors = sorted(
+            r.doc_id for r in spark.table(f"{ndx}_docs").select("doc_id").collect()
+        )
+        dead = survivors[::6][:8]
+        src = tmp_path / "ids"
+        src.mkdir()
+        half = len(dead) // 2
+        for i, chunk in enumerate((dead[:half], dead[half:])):
+            spark.createDataFrame(
+                [(int(d),) for d in chunk], "doc_id long"
+            ).coalesce(1).write.parquet(str(src / f"b{i}"))
+        targets = [
+            {"kind": "posting", "table_prefix": pidx},
+            {"kind": "neardup", "table_prefix": ndx, "hash_family": "minhash"},
+        ]
+
+        def run(ck):
+            stream = (
+                spark.readStream.schema("doc_id long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src / "b*"))
+            )
+            takedown_fanout_sink(stream, targets, str(tmp_path / ck))
+
+        run("ck1")
+        # posting index: answers equal the direct path over the live corpus
+        live_corpus = toks.join(
+            spark.createDataFrame([(int(d),) for d in dead], "doc_id long"),
+            "doc_id",
+            "left_anti",
+        )
+        got = _bm25_rows(bm25_topk_indexed(load_posting_index(spark, pidx), _BM25_TERMS, k=15))
+        assert got == _bm25_rows(bm25_topk(live_corpus, _BM25_TERMS, k=15))
+        # near-dup store: dead ids tombstoned, live set excludes them
+        nd_tombs = neardup_store_tombstones(spark, ndx)
+        assert sorted(r.doc_id for r in nd_tombs.collect()) == sorted(dead)
+        # posting index: same ids tombstoned
+        assert sorted(
+            r.doc_id for r in spark.table(f"{pidx}_tombstones").collect()
+        ) == sorted(dead)
+
+        # full replay, fresh checkpoint: both stores unchanged
+        run("ck2")
+        assert sorted(r.doc_id for r in spark.table(f"{pidx}_tombstones").collect()) == sorted(dead)
+        assert sorted(
+            r.doc_id
+            for r in neardup_store_tombstones(spark, ndx).collect()
+        ) == sorted(dead)
+        assert _bm25_rows(
+            bm25_topk_indexed(load_posting_index(spark, pidx), _BM25_TERMS, k=15)
+        ) == got
+    finally:
+        for t in ("postings", "docs", "stats", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {pidx}_{t}")
+        for t in ("docs", "buckets", "shingles", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {ndx}_{t}")
