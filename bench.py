@@ -53,13 +53,10 @@ HEADLINE = [
     "events_tumbling_5m",
     "events_gap_filled_hourly",
     "dedup_exact_groups",
-    "leakage_safe_split",
     "dedup_minhash_pairs",
     "dedup_components",
-    "ann_brute_force_topk",
     "quality_lr_filter",
     "token_pack_assignments",
-    "multimodal_decode_features",
     "events_asof_click_purchase",
     "customer_rolling_7d_revenue",
     "dormant_customers",
@@ -77,27 +74,17 @@ HEADLINE = [
     "zorder_file_envelopes",
     "semantic_dedup_pairs",
     "decontam_fuzzy_overlap",
-    "corpus_shuffle_order",
     "vocab_heavy_hitters",
     "bm25_indexed_topk",
     "events_distinct_sketch",
-    "small_qty_part_revenue",
     "doc_token_stats",
-    "latest_event_per_user",
     "bm25_batch_topk",
     "dsir_selection_scores",
     "bm25_maintained_topk",
     "dsir_selected_topk",
     "curation_funnel",
-    "bigram_top50",
-    "corpus_clean_stats",
     "doc_token_chunks",
     "multimodal_frame_sample",
-    "local_supplier_volume",
-    "price_percentiles",
-    "events_sliding_10m",
-    "order_priority_pivot",
-    "tfidf_smoothed_long",
     "ann_lsh_topk",
     "confusion_metrics",
     "stratified_sample_by_lang",
@@ -110,6 +97,19 @@ HEADLINE = [
     "embedding_rp_project",
     "full_curation_funnel",
     "dedup_maintained_corpus",
+    "ann_ivf_topk",
+    "corpus_train_split",
+    "customer_running_revenue",
+    "doc_length_histogram",
+    "embedding_quantization_stats",
+    "events_distinct_users",
+    "multimodal_asset_stats",
+    "multimodal_resize",
+    "order_priority_melt",
+    "order_status_cube",
+    "simhash_fingerprints",
+    "token_budget",
+    "ivfpq_rerank_topk",
 ]
 
 #: Legs that price a persisted-store LIFECYCLE per call (build +
@@ -191,6 +191,34 @@ LIFECYCLE = {
 # the same exact-quantile operator).
 # Rotation debt for round 12: the r9-OUT set (benched r9) and this
 # round's OUT set (benched r10) come due rounds 12-13.
+#
+# Round 12 swap — IN (13): the full never-since-r8 debt the round-11
+# verdict enumerated (ann_ivf_topk, corpus_train_split,
+# customer_running_revenue, doc_length_histogram,
+# embedding_quantization_stats, events_distinct_users,
+# multimodal_asset_stats, multimodal_resize, order_priority_melt,
+# order_status_cube, simhash_fingerprints, token_budget) plus the new
+# registration ivfpq_rerank_topk (never benched). OUT (13, all benched
+# r10-r11, kin stays benched): bigram_top50 (vocab_top100 — same
+# explode+count), corpus_clean_stats (doc_token_stats — textstats
+# composition), events_sliding_10m (events_tumbling_5m — the same
+# windowed-agg core), order_priority_pivot (order_priority_melt
+# returning — the same priority reshaping, inverse direction),
+# tfidf_smoothed_long (tfidf_long — the same tf-idf core),
+# local_supplier_volume (customer_nation_revenue — join-agg family),
+# price_percentiles (doc_length_histogram returning +
+# vocab_heavy_hitters — the sketch/binning family), small_qty_part_
+# revenue (top_parts_by_revenue — the pre-agg join pair),
+# latest_event_per_user (customer_rolling_7d_revenue — window family),
+# leakage_safe_split + corpus_shuffle_order (corpus_train_split
+# returning — the same deterministic md5 split/order family),
+# multimodal_decode_features (multimodal_asset_stats +
+# multimodal_resize returning — the same decode plumbing),
+# ann_brute_force_topk (ann_recall_at_k embeds the same exact ground
+# truth; ann_ivf_topk returning). The four legs the round-11 verdict
+# graded weak-pending-A/B (decontam_fuzzy_overlap, dsir_selected_topk,
+# vocab_heavy_hitters, token_pack_assignments) stay IN deliberately so
+# BENCH_r12 re-measures them after the SCALING.md round-12 A/B.
 
 
 def run_one(name: str, sf_dir: str, runs: int) -> None:

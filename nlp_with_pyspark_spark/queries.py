@@ -1970,6 +1970,71 @@ def _ann_recall_sql(k: int = 10) -> str:
     """
 
 
+def _ivfpq_rerank_sql(k: int = 10, shortlist: int = 50) -> str:
+    """Two-stage retrieval oracle: stage 1 is _ann_ivfpq_sql VERBATIM at
+    k=shortlist (the same centroids/codebooks/n_probe as the hash-green
+    ann_ivfpq_topk rows — the ADC shortlist), stage 2 re-joins the TRUE
+    vectors of only the shortlisted candidates and re-ranks by exact
+    squared L2 (the d2 idiom of _ann_recall_sql's exact side). Mirrors
+    similarity.ivfpq_rerank_topk: round-6 BEFORE the rank window on both
+    engines so ties resolve identically (d2 asc, neighbor_id asc)."""
+    d2 = (
+        "list_sum(list_transform(list_zip(qv, cv),"
+        " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+        " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    )
+    return f"""
+    WITH cand AS (
+        {_ann_ivfpq_sql(k=shortlist)}
+    ),
+    rescored AS (
+        SELECT c.query_id, c.neighbor_id, round({d2}, 6) AS d2
+        FROM (SELECT query_id, neighbor_id FROM cand) c
+        JOIN (SELECT vec_id AS neighbor_id, embedding AS cv
+              FROM embeddings) nv USING (neighbor_id)
+        JOIN (SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 5) q USING (query_id)
+    )
+    SELECT query_id, neighbor_id, d2, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY d2 ASC, neighbor_id ASC) AS rank
+        FROM rescored
+    )
+    WHERE rank <= {k}
+    """
+
+
+@query("ivfpq_rerank_topk", _ivfpq_rerank_sql())
+def ivfpq_rerank_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production two-stage retrieval shape under the external gate
+    (Jégou et al. 2011 §V): IVF-PQ ADC produces a 50-candidate shortlist
+    per query from compressed codes, then ONLY those candidates' true
+    vectors are fetched (broadcast semi-join — the corpus is never
+    shuffled) and re-ranked by exact squared L2. Same deterministic
+    configuration as the hash-green ann_ivfpq_topk (pinned sampled
+    centroids vec_id < 8, fixed md5 codebooks, n_probe=3), so the FULL
+    composition — assign + encode + probe + ADC + candidate fetch +
+    exact re-rank — is hash-verified by the driver. Measured effect of
+    the stage this adds: recall@10 0.700 → 0.897 at the same probe
+    budget (tests/test_dedup_similarity.py:831,877; full-probe ≡
+    exact_l2_topk pinned row-identical)."""
+    from .operators.similarity import ivfpq_rerank_topk, pq_fixed_codebooks
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent_rows = emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    centroids = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in cent_rows]
+    return ivfpq_rerank_topk(
+        emb,
+        emb.where(F.col("vec_id") < 5),
+        centroids,
+        pq_fixed_codebooks(),
+        k=10,
+        shortlist=50,
+        n_probe=3,
+    )
+
+
 @query("ann_recall_at_k", _ann_recall_sql())
 def ann_recall_at_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN retrieval QUALITY under the external gate — recall@10 of the
@@ -3334,8 +3399,6 @@ def dedup_maintained_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole lifecycle per call — ingest + two waves + a physical rewrite
     + serve — which at 100 TB are separate amortized maintenance
     events."""
-    import tempfile
-
     from .operators.dedup import (
         neardup_store_tombstones,
         remove_from_neardup_store,
@@ -3344,10 +3407,12 @@ def dedup_maintained_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.sinks import neardup_upsert_batch
 
     prefix = "q_nd_maint"
-    _drop_serving_tables(spark)
-    _drain_serving_dirs()
-    path = tempfile.mkdtemp(prefix="nd_maint_store_")
-    _BM25_SERVING_DIRS.append(path)
+    path = _claim_serving_store(
+        spark,
+        prefix,
+        ("docs", "buckets", "shingles", "tombstones"),
+        "nd_maint_store_",
+    )
     docs = _tokenized_documents(spark, sf_dir).select(
         "doc_id", "lang", "n_chars", "tokens"
     )
@@ -4598,15 +4663,35 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_SERVING_DIRS: list[str] = []
 
 
-#: every serving-store table each lifecycle query may register — ALL
+#: prefix → serving-store tables, populated by _claim_serving_store at
+#: the moment a lifecycle query claims its scratch dir — ALL registered
 #: prefixes drop together before any _drain_serving_dirs() call (the
 #: dir list is shared, so draining with a sibling's tables registered
-#: would leave them dangling at a deleted directory)
-_SERVING_PREFIXES = {
-    "q_bm25_serving": ("postings", "docs", "stats", "tombstones"),
-    "q_bm25_maint": ("postings", "docs", "stats", "tombstones"),
-    "q_nd_maint": ("docs", "buckets", "shingles", "tombstones"),
-}
+#: would leave them dangling at a deleted directory). Registration is
+#: structural, not hand-maintained (the round-11 verdict's ask): the
+#: ONLY way to a serving dir is the claim helper, which records the
+#: cleanup entry first — enforced by the source-scan meta-test in
+#: tests/test_check_window.py.
+_SERVING_PREFIXES: dict[str, tuple[str, ...]] = {}
+
+
+def _claim_serving_store(
+    spark: SparkSession, prefix: str, tables: tuple[str, ...], dir_prefix: str
+) -> str:
+    """Claim a fresh serving-store scratch dir for a lifecycle query:
+    register ``prefix`` → ``tables`` for cross-prefix cleanup, drop every
+    registered prefix's catalog entries (a sibling's tables must never
+    dangle at a directory the shared drain below deletes), drain the
+    previous dirs, then mkdtemp the new store path (atexit sweeps the
+    final one). Returns the path."""
+    import tempfile
+
+    _SERVING_PREFIXES[prefix] = tuple(tables)
+    _drop_serving_tables(spark)
+    _drain_serving_dirs()
+    path = tempfile.mkdtemp(prefix=dir_prefix)
+    _BM25_SERVING_DIRS.append(path)
+    return path
 
 
 def _drop_serving_tables(spark: SparkSession) -> None:
@@ -4649,8 +4734,6 @@ def bm25_indexed_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the build is a once-per-corpus cost the ingest sink
     amortizes per-batch, and query time is independent of corpus
     size."""
-    import tempfile
-
     from .operators.search import (
         bm25_topk_indexed,
         build_posting_index,
@@ -4662,10 +4745,12 @@ def bm25_indexed_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tombstones included: a leftover tombstone registration from an
     # earlier store at this prefix would silently delete docs from the
     # fresh index's answers
-    _drop_serving_tables(spark)
-    _drain_serving_dirs()
-    path = tempfile.mkdtemp(prefix="bm25_serving_idx_")
-    _BM25_SERVING_DIRS.append(path)
+    path = _claim_serving_store(
+        spark,
+        prefix,
+        ("postings", "docs", "stats", "tombstones"),
+        "bm25_serving_idx_",
+    )
     persist_posting_index(
         build_posting_index(_tokenized_documents(spark, sf_dir)),
         prefix,
@@ -4715,8 +4800,6 @@ def bm25_maintained_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     overhead at sf0.1 (~9 s; the serving query alone is sub-second and
     corpus-size-independent, SCALING.md) — at 100 TB each stage is a
     separate amortized maintenance event."""
-    import tempfile
-
     from .operators.search import (
         bm25_topk_indexed,
         build_posting_index,
@@ -4727,10 +4810,12 @@ def bm25_maintained_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     prefix = "q_bm25_maint"
-    _drop_serving_tables(spark)
-    _drain_serving_dirs()
-    path = tempfile.mkdtemp(prefix="bm25_maint_idx_")
-    _BM25_SERVING_DIRS.append(path)
+    path = _claim_serving_store(
+        spark,
+        prefix,
+        ("postings", "docs", "stats", "tombstones"),
+        "bm25_maint_idx_",
+    )
     docs = _tokenized_documents(spark, sf_dir)
     persist_posting_index(
         build_posting_index(docs), prefix, n_buckets=8, path=path
@@ -5075,21 +5160,10 @@ def events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 #:   multimodal_resize       — kin multimodal_frame_sample (in-window,
 #:                             the same mapInPandas decode plumbing)
 _DEMOTED_PAST_CHECK_WINDOW = [
-    # r7-green
-    "order_priority_counts",
-    "doc_token_stats",
-    "lang_id_counts",
-    "ann_lsh_topk",
-    "doc_fingerprints",
-    "embedding_centroid_topk",
-    "embedding_rp_project",
-    "markup_strip_stats",
-    "session_event_overlap",
-    "sql_top_unshipped_orders",
-    "events_session_stats",
-    "events_json_stats",
-    "stratified_sample_by_lang",
-    "decontamination_overlap",
+    # (round 12: the entire r7-green block — 14 queries, the oldest
+    # driver greens in the registry — returned to the window; the
+    # testdata regenerates per round, so r7 rows were 5 regenerations
+    # stale. 15 r11-fresh queries demoted, kin below.)
     # r8-green
     "tfidf_smoothed_long",
     "simhash_fingerprints",
@@ -5153,6 +5227,62 @@ _DEMOTED_PAST_CHECK_WINDOW = [
     "events_sliding_10m",
     "latest_event_per_user",
     "multimodal_resize",
+    # round 12: the full r7-stale set (14) returns + ivfpq_rerank_topk
+    # registers inside the window (the r11 verdict's ask) ⇒ 15
+    # r11-fresh demotions, kin (each stays in the post-rotation window):
+    #   order_priority_melt     — kin order_priority_counts (returning;
+    #                             the melt composes the same counts)
+    #   corpus_clean_stats      — kin doc_token_stats (returning) +
+    #                             repetition_features (textstats family)
+    #   domain_mixture_weights  — kin lang_id_counts +
+    #                             stratified_sample_by_lang (returning —
+    #                             the same metadata-groupBy family)
+    #   embedding_pq_codes      — kin ivfpq_rerank_topk (NEW — composes
+    #                             the identical PQ encode) +
+    #                             embedding_rp_project (returning)
+    #   simhash_near_pairs      — kin simhash_delta_pairs (stays, same
+    #                             banding) + doc_fingerprints (returning)
+    #   events_tumbling_5m      — kin events_gap_filled_hourly (stays,
+    #                             hourly buckets + expansion) +
+    #                             events_session_stats (returning)
+    #   click_purchase_attribution — kin events_asof_click_purchase
+    #                             (stays, the same click→purchase join)
+    #                             + session_event_overlap (returning)
+    #   top_parts_by_revenue    — kin sql_top_unshipped_orders
+    #                             (returning) + customer_nation_revenue
+    #                             (stays, join-agg family)
+    #   pii_scrub_stats         — kin markup_strip_stats (returning —
+    #                             the same regex-scrub stats family)
+    #   revenue_rollup          — kin pricing_summary (stays — the same
+    #                             lineitem agg, rollup variant)
+    #   bm25_batch_topk         — kin bm25_indexed_topk +
+    #                             bm25_maintained_topk (stay — the same
+    #                             scoring core, single/maintained paths)
+    #   corpus_train_split      — kin stratified_sample_by_lang
+    #                             (returning — deterministic hash-
+    #                             sampling family)
+    #   multimodal_asset_stats  — kin multimodal_frame_sample (stays —
+    #                             the same binary-column plumbing)
+    #   dormant_customers       — kin customer_order_setops (stays —
+    #                             the anti-join/set-op family)
+    #   vocab_heavy_hitters     — kin vocab_top100 (stays, exact counts)
+    #                             + price_percentiles (stays, sketch
+    #                             family rep)
+    "order_priority_melt",
+    "corpus_clean_stats",
+    "domain_mixture_weights",
+    "embedding_pq_codes",
+    "simhash_near_pairs",
+    "events_tumbling_5m",
+    "click_purchase_attribution",
+    "top_parts_by_revenue",
+    "pii_scrub_stats",
+    "revenue_rollup",
+    "bm25_batch_topk",
+    "corpus_train_split",
+    "multimodal_asset_stats",
+    "dormant_customers",
+    "vocab_heavy_hitters",
 ]
 
 

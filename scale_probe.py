@@ -708,6 +708,117 @@ def neardup_maint_probe(corpus_dir: str, tag: str, batch_docs: int = 500) -> dic
     }
 
 
+def fanout_maint_probe(corpus_dir: str, tag: str) -> dict:
+    """Takedown FAN-OUT cost profile (round 12) — the one takedown
+    surface without a measured decomposition: one pinned 200-id delete
+    batch driven through streaming/sinks.takedown_fanout_batch against
+    ALL FOUR persisted store families at once (posting index, minhash
+    survivor store, simhash survivor store, exact-dedup store), versus
+    the same-size batch hitting each store alone, at 1x and --factor x
+    corpus. Claims probed: (a) per-batch fan-out cost ≈ the sum of the
+    four per-store anti-join bets — fanning out adds no multiplicative
+    interaction, the stores share nothing but the broadcast id list;
+    (b) each bet is ~flat in corpus size (deletes move id lists, never
+    store rows); (c) replaying the SAME batch — the crash-replay
+    convergence path — re-tombstones nothing and costs no more than the
+    first pass. One fresh session per leg (run via subprocess)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from nlp_with_pyspark_spark.operators.search import (
+        build_posting_index,
+        persist_posting_index,
+    )
+    from nlp_with_pyspark_spark.queries import _tokenized_documents
+    from nlp_with_pyspark_spark.sources.io import write_bucketed
+    from nlp_with_pyspark_spark.streaming.sinks import (
+        neardup_upsert_batch,
+        takedown_fanout_batch,
+    )
+
+    spark = get_spark(app_name=f"fanout-maint-{tag}")
+    spark.sparkContext.setLogLevel("ERROR")
+    names = {
+        "pidx": f"probe_fo_{tag}_pidx",
+        "ndm": f"probe_fo_{tag}_ndm",
+        "nds": f"probe_fo_{tag}_nds",
+        "exact": f"probe_fo_{tag}_exact",
+    }
+    dirs = {}
+    for label in names:
+        d = tempfile.mkdtemp(prefix=f"fanout_{tag}_{label}_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        dirs[label] = d
+    toks = _tokenized_documents(spark, corpus_dir).select(
+        "doc_id", "lang", "n_chars", "tokens"
+    )
+    t0 = time.perf_counter()
+    persist_posting_index(
+        build_posting_index(toks), names["pidx"], n_buckets=32, path=dirs["pidx"]
+    )
+    neardup_upsert_batch(
+        toks, dirs["ndm"], threshold=0.2, table_prefix=names["ndm"], n_buckets=32
+    )
+    neardup_upsert_batch(
+        toks,
+        dirs["nds"],
+        hash_family="simhash",
+        max_hamming=8,
+        table_prefix=names["nds"],
+        n_buckets=32,
+    )
+    write_bucketed(
+        toks.select("doc_id", "lang", "n_chars").dropDuplicates(["doc_id"]),
+        names["exact"],
+        "doc_id",
+        32,
+        path=dirs["exact"],
+    )
+    t_build = time.perf_counter() - t0
+    targets = [
+        {"kind": "posting", "table_prefix": names["pidx"]},
+        {"kind": "neardup", "table_prefix": names["ndm"], "hash_family": "minhash"},
+        {"kind": "neardup", "table_prefix": names["nds"], "hash_family": "simhash"},
+        {"kind": "exact", "table": names["exact"], "key_cols": ("doc_id",)},
+    ]
+    # two disjoint PINNED 200-id waves (the cost claim is about the
+    # store side, so the batch never scales): wave A feeds the fan-out
+    # and its replay, wave B feeds the per-store solo timings the
+    # fan-out total is decomposed against
+    ids = [
+        r.doc_id
+        for r in toks.select("doc_id").orderBy("doc_id").limit(400).collect()
+    ]
+    wave_a = spark.createDataFrame(
+        [(int(i),) for i in ids[:200]], "doc_id long"
+    ).localCheckpoint()
+    wave_b = spark.createDataFrame(
+        [(int(i),) for i in ids[200:400]], "doc_id long"
+    ).localCheckpoint()
+    t0 = time.perf_counter()
+    n_first = takedown_fanout_batch(wave_a, targets)
+    t_fanout = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_replay = takedown_fanout_batch(wave_a, targets)
+    t_replay = time.perf_counter() - t0
+    solo = {}
+    for t in targets:
+        full = t.get("table_prefix") or t["table"]
+        t0 = time.perf_counter()
+        takedown_fanout_batch(wave_b, [t])
+        solo[full.rsplit("_", 1)[-1]] = round(time.perf_counter() - t0, 2)
+    return {
+        "t_build_4stores": round(t_build, 2),
+        "t_fanout_200ids_4stores": round(t_fanout, 2),
+        "t_replay_same_batch": round(t_replay, 2),
+        "replay_new_tombstones": sum(n_replay.values()),
+        "first_new_tombstones": sum(n_first.values()),
+        "t_solo_per_store": solo,
+        "t_solo_sum": round(sum(solo.values()), 2),
+    }
+
+
 def materialize(df) -> None:
     """Force FULL evaluation of every output column.
 
@@ -793,6 +904,18 @@ def main() -> None:
         "tag; corpus dir from --base)",
     )
     ap.add_argument(
+        "--fanout-maint-probe", action="store_true",
+        help="takedown fan-out probe: one 200-id batch through "
+        "takedown_fanout_batch against all four store families vs each "
+        "store alone, plus same-batch replay, at 1x and --factor x "
+        "(one fresh session per leg)",
+    )
+    ap.add_argument(
+        "--fanout-maint-leg", default=None,
+        help="internal: run one fan-out maintenance leg (value = tag; "
+        "corpus dir from --base)",
+    )
+    ap.add_argument(
         "--compact-mid", action="store_true",
         help="minhash sink probe: arm threshold-triggered compaction so it "
         "trips mid-sequence, and run the store-integrity check afterwards",
@@ -805,6 +928,32 @@ def main() -> None:
 
     if args.nd_maint_leg:
         print(json.dumps({args.nd_maint_leg: neardup_maint_probe(args.base, args.nd_maint_leg)}))
+        return
+
+    if args.fanout_maint_leg:
+        print(json.dumps({args.fanout_maint_leg: fanout_maint_probe(args.base, args.fanout_maint_leg)}))
+        return
+
+    if args.fanout_maint_probe:
+        import subprocess
+
+        out_dir = args.out or f"/tmp/scale{args.factor}x_documents"
+        spark = get_spark(app_name=f"fanout-maint-build-{args.factor}x")
+        spark.sparkContext.setLogLevel("ERROR")
+        build_replicated_dir(spark, args.base, out_dir, args.factor, ("documents",))
+        spark.stop()
+        results = {}
+        for tag, corpus_dir in (("1x", args.base), (f"{args.factor}x", out_dir)):
+            out = subprocess.run(
+                [
+                    sys.executable, os.path.abspath(__file__),
+                    "--fanout-maint-leg", tag, "--base", corpus_dir,
+                ],
+                capture_output=True, text=True, check=True,
+            )
+            results.update(json.loads(out.stdout.strip().splitlines()[-1]))
+            print(json.dumps({tag: results[tag]}), flush=True)
+        print(json.dumps({"factor": args.factor, "results": results}))
         return
 
     if args.nd_maint_probe:

@@ -15,43 +15,44 @@ from nlp_with_pyspark_spark.queries import (
 #: ≤9) is compressed into queries.py's _DEMOTED_PAST_CHECK_WINDOW
 #: header + git history; this set pins the CURRENT family coverage.
 REQUIRED_IN_WINDOW = {
-    # relational / TPC-H-ish
+    # relational / TPC-H-ish (round 12: the returning SQL/priority reps
+    # replace the demoted melt/rollup/top-parts/dormant kin)
     "customer_nation_revenue", "pricing_summary",
-    "revenue_rollup", "top_parts_by_revenue",
-    "customer_rolling_7d_revenue", "dormant_customers",
-    "order_priority_melt", "customer_order_setops",
-    # event-time
+    "customer_rolling_7d_revenue", "customer_order_setops",
+    "order_priority_counts", "sql_top_unshipped_orders",
+    # event-time (tumbling/attribution demoted round 12 — gap-fill +
+    # asof stay; the session/json reps return)
     "events_gap_filled_hourly", "events_asof_click_purchase",
-    "events_tumbling_5m", "events_distinct_users",
-    "click_purchase_attribution",
+    "events_distinct_users",
+    "events_session_stats", "events_json_stats", "session_event_overlap",
     # text / NLP
     "vocab_top100", "tfidf_long", "repetition_features",
-    "corpus_clean_stats", "doc_token_chunks",
+    "doc_token_stats", "doc_token_chunks",
+    "lang_id_counts", "markup_strip_stats",
     # dedup / similarity
     "dedup_exact_groups", "dedup_minhash_pairs", "dedup_components",
-    "simhash_delta_pairs", "simhash_near_pairs", "dedup_delta_pairs",
-    "semantic_dedup_pairs",
-    "ann_recall_at_k", "embedding_pq_codes",
+    "simhash_delta_pairs", "dedup_delta_pairs",
+    "semantic_dedup_pairs", "doc_fingerprints",
+    "ann_recall_at_k", "ann_lsh_topk", "ivfpq_rerank_topk",
+    "embedding_centroid_topk", "embedding_rp_project",
     "dedup_maintained_corpus",
     # corpus hygiene / curation pipeline
-    "quality_lr_filter", "pii_scrub_stats", "dup_ngram_coverage",
-    "domain_mixture_weights",
-    "decontam_fuzzy_overlap",
+    "quality_lr_filter", "dup_ngram_coverage",
+    "decontam_fuzzy_overlap", "decontamination_overlap",
     "corpus_pipeline_funnel", "curation_funnel", "full_curation_funnel",
     # ml evaluation
     "confusion_metrics",
     # deterministic sampling / packing / layout
-    "corpus_train_split", "token_pack_assignments",
+    "stratified_sample_by_lang", "token_pack_assignments",
     "zorder_file_envelopes",
     # multimodal plumbing
     "multimodal_frame_sample",
-    "multimodal_asset_stats",
     # sketches / quantiles
     "price_percentiles",
-    "vocab_heavy_hitters",
     # retrieval (direct path bm25_search_topk demoted round 10 — the
-    # indexed and maintenance paths are pinned bit-identical to it)
-    "bm25_indexed_topk", "bm25_maintained_topk", "bm25_batch_topk",
+    # indexed and maintenance paths are pinned bit-identical to it;
+    # batch path demoted round 12, same scoring core)
+    "bm25_indexed_topk", "bm25_maintained_topk",
     # data selection (DSIR)
     "dsir_selection_scores", "dsir_selected_topk",
     # tokenizer
@@ -68,6 +69,43 @@ def test_window_holds_every_family():
 def test_demoted_are_exactly_the_tail():
     names = list(QUERIES)
     assert set(names[50:]) == set(_DEMOTED_PAST_CHECK_WINDOW) & set(names)
+
+
+def test_serving_store_claims_are_structural():
+    """A lifecycle query cannot forget its cleanup registration: the
+    ONLY route to a serving scratch dir is _claim_serving_store, which
+    records prefix → tables BEFORE the cross-prefix drop + drain (the
+    round-11 'hand-maintained trio' finding). Scan the module source:
+    any direct mkdtemp or _BM25_SERVING_DIRS.append outside the helper
+    is a new query bypassing the registry."""
+    import ast
+    import inspect
+
+    import nlp_with_pyspark_spark.queries as qmod
+
+    tree = ast.parse(inspect.getsource(qmod))
+
+    def calls_in(node, needle):
+        return [
+            n
+            for n in ast.walk(node)
+            if isinstance(n, ast.Call) and needle in ast.unparse(n.func)
+        ]
+
+    helper = next(
+        n
+        for n in tree.body
+        if isinstance(n, ast.FunctionDef) and n.name == "_claim_serving_store"
+    )
+    for needle in ("mkdtemp", "_BM25_SERVING_DIRS.append"):
+        everywhere = calls_in(tree, needle)
+        inside = calls_in(helper, needle)
+        assert len(inside) == 1, f"{needle} must live in _claim_serving_store"
+        assert len(everywhere) == 1, (
+            f"{needle} called outside _claim_serving_store — route the new "
+            "lifecycle query through the claim helper so its cleanup entry "
+            "is registered structurally"
+        )
 
 
 def test_every_query_is_oracled():
