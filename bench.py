@@ -76,7 +76,6 @@ HEADLINE = [
     "decontam_fuzzy_overlap",
     "vocab_heavy_hitters",
     "bm25_indexed_topk",
-    "events_distinct_sketch",
     "doc_token_stats",
     "bm25_batch_topk",
     "dsir_selection_scores",
@@ -110,6 +109,7 @@ HEADLINE = [
     "simhash_fingerprints",
     "token_budget",
     "ivfpq_rerank_topk",
+    "ann_ivfpq_maintained_topk",
 ]
 
 #: Legs that price a persisted-store LIFECYCLE per call (build +
@@ -119,6 +119,7 @@ HEADLINE = [
 #: round-over-round comparisons stop mixing the two regimes (the
 #: round-10 verdict's ask; per-leg stage decompositions in SCALING.md).
 LIFECYCLE = {
+    "ann_ivfpq_maintained_topk",
     "bm25_indexed_topk",
     "bm25_maintained_topk",
     "dedup_maintained_corpus",
@@ -219,6 +220,12 @@ LIFECYCLE = {
 # graded weak-pending-A/B (decontam_fuzzy_overlap, dsir_selected_topk,
 # vocab_heavy_hitters, token_pack_assignments) stay IN deliberately so
 # BENCH_r12 re-measures them after the SCALING.md round-12 A/B.
+# Round 12 (second swap) — IN: ann_ivfpq_maintained_topk (new
+# registration, never benched; LIFECYCLE leg — prices build + two
+# takedown waves + vacuum + two-stage serve per call). OUT:
+# events_distinct_sketch (benched r9-r11; kin events_distinct_users —
+# the exact twin of the same distinct-count question — returns to the
+# bench this round).
 
 
 def run_one(name: str, sf_dir: str, runs: int) -> None:

@@ -1,0 +1,469 @@
+"""Persisted IVF-PQ vector index with the full store lifecycle —
+ingest, takedown, vacuum, serve.
+
+Every other persisted store family in this engine (posting index,
+minhash/simhash survivor stores, exact-dedup store) has the LSM
+maintenance story: appends are replay-safe, deletes are broadcast
+tombstone lists, a once-per-epoch vacuum physically folds them out, and
+a fresh session self-heals the sidecar state. The vector index is the
+store that HOLDS EMBEDDINGS — user-derived data a takedown must purge
+just as surely as the documents themselves — so this module gives it
+the identical contract, built from the same proven pieces:
+
+  * ``{prefix}_codes``  (vec_id, list_id, codes) — the compressed
+    corpus ADC search scans, bucketed **and sorted by list_id** via
+    ``io.write_bucketed``: every inverted list is physically clustered,
+    so the serve-time literal IN-filter on probed lists prunes row
+    groups at the parquet footer (the IVF layout promise — a query
+    touches only its ``n_probe`` lists' bytes, plan-asserted in
+    tests/test_vector_store.py).
+  * ``{prefix}_vecs``   (vec_id, embedding) — the full-precision
+    ledger, bucketed by vec_id. Doubles as the append-time replay
+    guard (the posting index's ``docs`` ledger role) and as the
+    re-rank fetch target: stage 2 reads ONLY the shortlisted
+    candidates' vectors through a broadcast semi-join.
+  * ``{prefix}_centroids`` / ``{prefix}_codebooks`` — the coarse and
+    product quantizers AS TABLES: the quantizer is a trained artifact
+    with the store's lifetime (re-training it re-encodes the store),
+    so the store is self-contained — a fresh session serves without
+    re-deriving anything. Both are bounded-small (n_lists rows;
+    m·ksub rows) and are collected into plan literals at load.
+  * ``<codes>__tombstones`` sidecar + ``{prefix}_tombstones`` table —
+    the LSM delete, byte-for-byte the posting index's pattern
+    (operators/search.remove_from_posting_index): idempotent appends,
+    broadcast anti-join at serve time, restart self-heal from the
+    sidecar, vacuum folds + clears.
+
+Scale shape at 100 TB: the corpus never shuffles after the one encode
+projection at build/ingest (codebooks and centroids compile to plan
+literals — reference: Jégou et al., "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011, §V for the re-rank refinement); serve
+moves Q·n_probe probe rows and Q·shortlist candidate rows; deletes
+move id lists only; vacuum is the once-per-epoch rewrite that tracks
+live data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .similarity import _d2_sql, centroid_assign_col, centroid_entries_sql
+
+__all__ = [
+    "VectorIndex",
+    "append_to_vector_index",
+    "load_vector_index",
+    "persist_vector_index",
+    "remove_from_vector_index",
+    "vacuum_vector_index",
+    "vector_index_rerank_topk",
+    "vector_index_tombstones",
+]
+
+
+@dataclass
+class VectorIndex:
+    """A loaded persisted IVF-PQ store: the two data tables plus the
+    quantizer literals (collected once — n_lists and m·ksub rows) and
+    the live tombstone list (``None`` when empty, so every serve plan
+    stays anti-join-free after a vacuum — the posting-index idiom)."""
+
+    codes: DataFrame
+    vecs: DataFrame
+    centroids: list[tuple[int, list[float]]]
+    codebooks: list[list[list[float]]]
+    tombstones: DataFrame | None = None
+
+
+def _encode(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(vec_id, list_id, codes) — ONE literal-compiled projection does
+    the coarse assignment and the PQ encode (the corpus-side block of
+    similarity.ivfpq_topk): zero shuffle, scan speed, the index build's
+    only corpus pass."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    vs = f"`{vec_col}`"
+
+    def code_sql(s: int) -> str:
+        sub_sql = f"slice({vs}, {s * dsub + 1}, {dsub})"
+        items = ", ".join(
+            f"struct({_d2_sql(sub_sql, codebooks[s][c])} AS d2, {c} AS code)"
+            for c in range(len(codebooks[s]))
+        )
+        return f"array_min(array({items})).code"
+
+    return corpus.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        centroid_assign_col(vs, centroids).alias("list_id"),
+        F.expr(f"array({', '.join(code_sql(s) for s in range(m))})").alias("codes"),
+    )
+
+
+def persist_vector_index(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    table_prefix: str,
+    n_buckets: int = 8,
+    path: str | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Build + persist the store. ``codes`` is bucketed+sorted by
+    list_id (probe pruning — see module docstring), ``vecs`` by vec_id
+    (ledger joins); quantizer tables are tiny plain parquet."""
+    from ..sources.io import write_bucketed
+
+    spark = corpus.sparkSession
+    write_bucketed(
+        _encode(corpus, centroids, codebooks, vec_col, id_col),
+        f"{table_prefix}_codes",
+        "list_id",
+        n_buckets,
+        path=None if path is None else f"{path}/codes",
+    )
+    write_bucketed(
+        corpus.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+        ),
+        f"{table_prefix}_vecs",
+        "vec_id",
+        n_buckets,
+        path=None if path is None else f"{path}/vecs",
+    )
+    for name, df in (
+        (
+            "centroids",
+            spark.createDataFrame(
+                [(int(i), [float(x) for x in c]) for i, c in centroids],
+                "list_id int, centroid array<double>",
+            ),
+        ),
+        (
+            "codebooks",
+            spark.createDataFrame(
+                [
+                    (s, c, [float(x) for x in codebooks[s][c]])
+                    for s in range(len(codebooks))
+                    for c in range(len(codebooks[s]))
+                ],
+                "subspace int, code int, centroid array<double>",
+            ),
+        ),
+    ):
+        writer = df.write.mode("overwrite").format("parquet")
+        if path is not None:
+            writer = writer.option("path", f"{path}/{name}")
+        writer.saveAsTable(f"{table_prefix}_{name}")
+
+
+def _tombstones_sidecar_path(spark: SparkSession, table_prefix: str) -> str:
+    from ..sources.io import table_bucket_spec
+
+    _, _, cpath = table_bucket_spec(spark, f"{table_prefix}_codes")
+    return cpath.rstrip("/") + "__tombstones"
+
+
+def _heal_tombstones(spark: SparkSession, table_prefix: str) -> bool:
+    """Restart self-heal for the tombstone table over its surviving
+    sidecar data — operators/search._heal_tombstones verbatim for the
+    vector store (same local-filesystem scope, same rationale: a
+    non-local store pairs with a live metastore where catalog entries
+    survive and the heal is never needed)."""
+    import os
+
+    tomb_tbl = f"{table_prefix}_tombstones"
+    if spark.catalog.tableExists(tomb_tbl):
+        return True
+    if not spark.catalog.tableExists(f"{table_prefix}_codes"):
+        return False
+    tpath = _tombstones_sidecar_path(spark, table_prefix)
+    if not os.path.isdir(tpath):
+        return False
+    spark.sql(
+        f"CREATE TABLE {tomb_tbl} (`vec_id` bigint) USING parquet "
+        f"LOCATION '{tpath}'"
+    )
+    return True
+
+
+def vector_index_tombstones(
+    spark: SparkSession, table_prefix: str
+) -> DataFrame | None:
+    """The live tombstone list, or ``None`` when the store has none —
+    healed from the sidecar first, so a fresh session never serves
+    taken-down vectors."""
+    if not _heal_tombstones(spark, table_prefix):
+        return None
+    tomb_tbl = f"{table_prefix}_tombstones"
+    spark.catalog.refreshTable(tomb_tbl)
+    tombs = spark.table(tomb_tbl)
+    return None if tombs.isEmpty() else tombs
+
+
+def load_vector_index(spark: SparkSession, table_prefix: str) -> VectorIndex:
+    """Load the store for serving. The quantizer tables are collected
+    into literals here — bounded by construction (n_lists rows and
+    m·ksub rows, the artifact's size, independent of corpus size)."""
+    cent_rows = spark.table(f"{table_prefix}_centroids").collect()
+    centroids = sorted(
+        (int(r.list_id), [float(x) for x in r.centroid]) for r in cent_rows
+    )
+    cb_rows = spark.table(f"{table_prefix}_codebooks").collect()
+    by_key = {(int(r.subspace), int(r.code)): [float(x) for x in r.centroid] for r in cb_rows}
+    m = 1 + max(s for s, _ in by_key)
+    ksub = 1 + max(c for _, c in by_key)
+    codebooks = [[by_key[(s, c)] for c in range(ksub)] for s in range(m)]
+    return VectorIndex(
+        spark.table(f"{table_prefix}_codes"),
+        spark.table(f"{table_prefix}_vecs"),
+        centroids,
+        codebooks,
+        vector_index_tombstones(spark, table_prefix),
+    )
+
+
+def append_to_vector_index(
+    new_vectors: DataFrame,
+    table_prefix: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """Ingest a batch into the persisted store, REPLAY-SAFELY — the
+    posting index's append protocol (operators/search.
+    append_to_posting_index) with the vecs ledger in the docs-ledger
+    role:
+
+      * ids already in the ledger leave the batch up front (anti-join —
+        re-appending a committed vector after a crash is a no-op);
+      * the batch's code rows are anti-joined against the store's rows
+        for the batch's own ids (vec_id is row-identifying in codes and
+        the encode is deterministic, so a replay after a crash BETWEEN
+        the codes append and the vecs append cancels row-for-row);
+      * append order is codes → vecs (the commit point).
+
+    A tombstoned id is still in the ledger, so re-ingesting it
+    pre-vacuum is suppressed — a taken-down vector stays dead until the
+    vacuum physically forgets it, after which a re-ingest is admitted
+    as a first occurrence (the exact-dedup store's pinned semantics).
+
+    Scale shape: the encode is the literal projection; both guard
+    joins semi-filter store scans by the broadcast batch id list.
+    Returns the number of newly ingested vectors."""
+    from ..sources.io import append_to_bucketed_table
+
+    spark = new_vectors.sparkSession
+    codes_tbl = f"{table_prefix}_codes"
+    vecs_tbl = f"{table_prefix}_vecs"
+    spark.catalog.refreshTable(codes_tbl)
+    spark.catalog.refreshTable(vecs_tbl)
+    idx = load_vector_index(spark, table_prefix)
+    batch = new_vectors.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+    ).dropDuplicates(["vec_id"])
+    fresh = batch.join(
+        spark.table(vecs_tbl).select("vec_id"), "vec_id", "left_anti"
+    ).localCheckpoint()
+    n_new = fresh.count()
+    if not n_new:
+        return 0
+    batch_ids = F.broadcast(fresh.select("vec_id"))
+    new_codes = _encode(fresh, idx.centroids, idx.codebooks, "embedding", "vec_id")
+    stale = spark.table(codes_tbl).join(batch_ids, "vec_id", "left_semi")
+    new_codes = new_codes.join(stale.select("vec_id"), "vec_id", "left_anti")
+    append_to_bucketed_table(new_codes, codes_tbl)
+    append_to_bucketed_table(fresh, vecs_tbl)  # commit point
+    return n_new
+
+
+def remove_from_vector_index(
+    spark: SparkSession, vec_ids, table_prefix: str
+) -> int:
+    """Logically DELETE vectors (takedown): ids land in the tombstone
+    table; serving excludes them via a broadcast anti-join on the
+    probed-candidate frame BEFORE the shortlist rank, so the answer
+    equals an index rebuilt without them (next-best candidates fill the
+    freed shortlist slots — pinned in tests). Idempotent and replay-safe
+    exactly like operators/search.remove_from_posting_index: already-
+    tombstoned ids are dropped before the append, never-ingested ids
+    are ignored. Returns the number of NEWLY tombstoned ids."""
+    if not isinstance(vec_ids, DataFrame):
+        vec_ids = spark.createDataFrame(
+            [(int(i),) for i in vec_ids], "vec_id bigint"
+        )
+    ids = vec_ids.select(F.col(vec_ids.columns[0]).cast("long").alias("vec_id"))
+    vecs_tbl = f"{table_prefix}_vecs"
+    tomb_tbl = f"{table_prefix}_tombstones"
+    spark.catalog.refreshTable(vecs_tbl)
+    fresh = ids.distinct().join(
+        spark.table(vecs_tbl).select("vec_id"), "vec_id", "left_semi"
+    )
+    has_tombs = _heal_tombstones(spark, table_prefix)
+    if has_tombs:
+        spark.catalog.refreshTable(tomb_tbl)
+        fresh = fresh.join(F.broadcast(spark.table(tomb_tbl)), "vec_id", "left_anti")
+    fresh = fresh.localCheckpoint()
+    n_new = fresh.count()
+    if n_new:
+        if has_tombs:
+            fresh.write.mode("append").format("parquet").saveAsTable(tomb_tbl)
+        else:
+            fresh.write.mode("overwrite").format("parquet").option(
+                "path", _tombstones_sidecar_path(spark, table_prefix)
+            ).saveAsTable(tomb_tbl)
+    return n_new
+
+
+def vacuum_vector_index(spark: SparkSession, table_prefix: str) -> dict:
+    """Physically fold tombstoned vectors out of ``codes`` and ``vecs``
+    (spec-preserving staged rewrite + crash-recoverable swap —
+    ``io.compact_bucketed_table``'s transform seam, the same machinery
+    every other store family vacuums through), then clear the tombstone
+    table preserving its external location. Serve results are identical
+    before and after; the rewrite reclaims space and resets the
+    broadcast list. Returns per-table rewrite reports + fold count."""
+    from ..sources.io import compact_bucketed_table
+
+    tomb_tbl = f"{table_prefix}_tombstones"
+    if not _heal_tombstones(spark, table_prefix):
+        return {"tombstones_folded": 0}
+    spark.catalog.refreshTable(tomb_tbl)
+    dead = spark.table(tomb_tbl).localCheckpoint()
+    n_dead = dead.count()
+    report: dict = {"tombstones_folded": n_dead}
+    if n_dead:
+        drop_dead = lambda df: df.join(F.broadcast(dead), "vec_id", "left_anti")  # noqa: E731
+        for t in ("codes", "vecs"):
+            report[t] = compact_bucketed_table(
+                spark, f"{table_prefix}_{t}", transform=drop_dead
+            )
+    from ..operators.search import _table_path_if_external
+
+    writer = (
+        spark.createDataFrame([], "vec_id bigint")
+        .write.mode("overwrite")
+        .format("parquet")
+    )
+    tpath = _table_path_if_external(spark, tomb_tbl)
+    if tpath is not None:
+        writer = writer.option("path", tpath)
+    writer.saveAsTable(tomb_tbl)
+    return report
+
+
+def vector_index_rerank_topk(
+    index: VectorIndex,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Serve the production two-stage retrieval FROM THE STORE —
+    row-identical to similarity.ivfpq_rerank_topk over the live corpus
+    (pinned in tests), without ever touching the corpus:
+
+      1. the probe set (query_id, list_id) is computed from the stored
+         quantizer literals, and its DISTINCT list ids are collected
+         into the plan as a literal IN-filter on the codes scan —
+         bounded by ``n_probe · |queries|`` ids (a query batch, never
+         corpus-sized) — so the bucketed-sorted-by-list_id layout
+         prunes unprobed lists' row groups at the parquet footer;
+      2. tombstoned vectors leave the candidate frame BEFORE the
+         shortlist rank (broadcast anti-join — freed slots fill with
+         next-best, the rebuild-without semantics);
+      3. ADC fold over codes → shortlist rank window;
+      4. exact re-rank: ONLY the Q·shortlist candidates' true vectors
+         are fetched from the vecs ledger via a broadcast semi-join.
+    """
+    m = len(index.codebooks)
+    dsub = len(index.codebooks[0][0])
+    vs = f"`{vec_col}`"
+
+    def lut_sql(s: int) -> str:
+        sub_sql = f"slice({vs}, {s * dsub + 1}, {dsub})"
+        return (
+            "array("
+            + ", ".join(
+                _d2_sql(sub_sql, index.codebooks[s][c])
+                for c in range(len(index.codebooks[s]))
+            )
+            + ")"
+        )
+
+    q = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.explode(
+            F.expr(
+                f"transform(slice(array_sort({centroid_entries_sql(vs, index.centroids)}),"
+                f" 1, {n_probe}), s -> s.list_id)"
+            )
+        ).alias("list_id"),
+        F.expr(f"array({', '.join(lut_sql(s) for s in range(m))})").alias("lut"),
+    ).localCheckpoint()  # consumed by the probe-id collect AND the join
+    probe_ids = sorted(
+        r.list_id for r in q.select("list_id").distinct().collect()
+    )
+    cand_codes = index.codes.where(F.col("list_id").isin([int(i) for i in probe_ids]))
+    if index.tombstones is not None:
+        cand_codes = cand_codes.join(
+            F.broadcast(index.tombstones.select("vec_id")), "vec_id", "left_anti"
+        )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("lut"),
+            lambda cd, l: F.element_at(l, cd + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cand_codes.join(F.broadcast(q), "list_id")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dist, 6).alias("adc_d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("neighbor_id"))
+    cand = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    from ..functions.vector import squared_l2
+
+    ids = cand.select(F.col("neighbor_id").alias("vec_id")).distinct()
+    vecs = index.vecs.join(F.broadcast(ids), "vec_id", "left_semi").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    qv = queries.select(
+        F.col(id_col).cast("long").alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    rescored = (
+        cand.join(vecs, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(squared_l2(F.col("qv"), F.col("cv")), 6).alias("d2"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    return rescored.withColumn("rank", F.row_number().over(w2)).where(
+        F.col("rank") <= k
+    )

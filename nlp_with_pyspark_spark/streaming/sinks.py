@@ -988,6 +988,181 @@ def search_index_delete_batch(
     return n_new
 
 
+def _heal_plain_table(spark, table: str, path: str) -> None:
+    """Re-register a plain (non-bucketed) EXTERNAL parquet table over
+    surviving data after a session restart — the quantizer tables' heal
+    (schema inferred from footers; they are never empty by
+    construction). No-op when the table is live or the path is gone."""
+    import os
+
+    if spark.catalog.tableExists(table) or not os.path.isdir(path):
+        return
+    spark.catalog.createTable(table, path=path, source="parquet")
+
+
+def vector_index_upsert_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    centroids: list,
+    codebooks: list,
+    table_prefix: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_buckets: int = 8,
+    compact_threshold_files: int | None = None,
+) -> int:
+    """One vector-index-on-ingest step: append this micro-batch's
+    embeddings into the persisted IVF-PQ store
+    (operators/vector_store), so ANN serves every vector the moment its
+    batch commits — the streaming write half of
+    :func:`~..operators.vector_store.vector_index_rerank_topk`'s read
+    path, and the fifth persisted store family to get the ingest-sink
+    treatment.
+
+    First batch bootstraps the store (``persist_vector_index``); later
+    batches ride ``append_to_vector_index``'s replay-safe protocol
+    (ledger anti-join guard, codes→vecs commit ordering — the posting
+    sink's idempotence story). ``centroids``/``codebooks`` are consumed
+    only at bootstrap: the quantizer is a trained artifact FIXED for
+    the store's life (re-training re-encodes the store — that is a
+    rebuild, not an append), and later batches encode with the STORED
+    quantizer, so a sink restarted with different literals cannot fork
+    the code space. Restart self-heal: bucketed tables re-register from
+    their ``_BUCKET_SPEC`` sidecars, quantizer tables from their
+    parquet dirs. Returns newly ingested vector count."""
+    from ..operators.vector_store import (
+        append_to_vector_index,
+        persist_vector_index,
+    )
+    from ..sources.io import (
+        compact_bucketed_table,
+        recover_compact_swap,
+        register_bucketed_table,
+    )
+
+    spark = batch_df.sparkSession
+    for sub, key in (("codes", "list_id"), ("vecs", "vec_id")):
+        recover_compact_swap(f"{store_path}/{sub}")
+        register_bucketed_table(
+            spark, f"{table_prefix}_{sub}", key, n_buckets, f"{store_path}/{sub}"
+        )
+    for sub in ("centroids", "codebooks"):
+        _heal_plain_table(spark, f"{table_prefix}_{sub}", f"{store_path}/{sub}")
+    if not spark.catalog.tableExists(f"{table_prefix}_vecs"):
+        persist_vector_index(
+            batch_df.dropDuplicates([id_col]),
+            centroids,
+            codebooks,
+            table_prefix,
+            n_buckets=n_buckets,
+            path=store_path,
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+        return batch_df.select(id_col).distinct().count()
+    n = append_to_vector_index(batch_df, table_prefix, vec_col=vec_col, id_col=id_col)
+    if compact_threshold_files is not None:
+        for sub in ("codes", "vecs"):
+            if _parquet_file_count(f"{store_path}/{sub}") > compact_threshold_files:
+                compact_bucketed_table(spark, f"{table_prefix}_{sub}")
+    return n
+
+
+def vector_index_sink(
+    stream_df: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    centroids: list,
+    codebooks: list,
+    table_prefix: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_buckets: int = 8,
+    compact_threshold_files: int | None = None,
+):
+    """Streaming ingest into the persisted IVF-PQ store — one
+    :func:`vector_index_upsert_batch` per micro-batch, idempotent under
+    foreachBatch's at-least-once replay."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        vector_index_upsert_batch(
+            batch_df,
+            store_path,
+            centroids,
+            codebooks,
+            table_prefix,
+            vec_col=vec_col,
+            id_col=id_col,
+            n_buckets=n_buckets,
+            compact_threshold_files=compact_threshold_files,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def vector_index_delete_batch(
+    batch_df: DataFrame,
+    table_prefix: str,
+    id_col: str = "vec_id",
+    vacuum_threshold_tombstones: int | None = None,
+) -> int:
+    """One streaming takedown step against the persisted vector index
+    (operators/vector_store.remove_from_vector_index — the delete half
+    of :func:`vector_index_upsert_batch`): idempotent under replay,
+    with the same threshold-triggered vacuum cadence as the other
+    delete sinks. Returns the number of newly tombstoned ids."""
+    from ..operators.vector_store import (
+        remove_from_vector_index,
+        vacuum_vector_index,
+        vector_index_tombstones,
+    )
+
+    spark = batch_df.sparkSession
+    n_new = remove_from_vector_index(spark, batch_df.select(id_col), table_prefix)
+    if vacuum_threshold_tombstones is not None:
+        tombs = vector_index_tombstones(spark, table_prefix)
+        if tombs is not None and tombs.count() >= vacuum_threshold_tombstones:
+            vacuum_vector_index(spark, table_prefix)
+    return n_new
+
+
+def vector_index_delete_sink(
+    stream_ids: DataFrame,
+    table_prefix: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vacuum_threshold_tombstones: int | None = None,
+):
+    """Streaming takedowns against the persisted vector index — ANN
+    stops retrieving a vector as soon as its takedown batch commits
+    (embeddings are user-derived data; right-to-be-forgotten must purge
+    the vector store as surely as the text indexes)."""
+
+    def delete(batch_df: DataFrame, batch_id: int) -> None:
+        vector_index_delete_batch(
+            batch_df,
+            table_prefix,
+            id_col=id_col,
+            vacuum_threshold_tombstones=vacuum_threshold_tombstones,
+        )
+
+    q = (
+        stream_ids.writeStream.foreachBatch(delete)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def takedown_fanout_batch(batch_df: DataFrame, targets: list[dict]) -> dict:
     """Apply ONE micro-batch of takedown ids to EVERY persisted store —
     the operational shape of a right-to-be-forgotten request, which
@@ -1000,6 +1175,11 @@ def takedown_fanout_batch(batch_df: DataFrame, targets: list[dict]) -> dict:
           "id_col": ..., "vacuum_threshold_tombstones": ...}``
       * ``{"kind": "exact", "table": ..., "key_cols": (...),
           "vacuum_threshold_tombstones": ...}``
+      * ``{"kind": "vector", "table_prefix": ..., "id_col": ...,
+          "vacuum_threshold_tombstones": ...}`` — the persisted IVF-PQ
+        embedding store (``id_col`` defaults to ``doc_id``: the one
+        takedown stream carries document ids, and the vector store's
+        vec_id shares that id space when embeddings are per-document)
 
     Atomicity across stores is CONVERGENCE, not a transaction: each
     store's delete is individually idempotent (anti-joins before the
@@ -1032,10 +1212,17 @@ def takedown_fanout_batch(batch_df: DataFrame, targets: list[dict]) -> dict:
                 key_cols=tuple(t.get("key_cols", ("event_id",))),
                 vacuum_threshold_tombstones=t.get("vacuum_threshold_tombstones"),
             )
+        elif kind == "vector":
+            out[t["table_prefix"]] = vector_index_delete_batch(
+                batch_df,
+                t["table_prefix"],
+                id_col=t.get("id_col", "doc_id"),
+                vacuum_threshold_tombstones=t.get("vacuum_threshold_tombstones"),
+            )
         else:
             raise ValueError(
                 f"unknown takedown target kind {kind!r} "
-                "(posting | neardup | exact)"
+                "(posting | neardup | exact | vector)"
             )
     return out
 
@@ -1044,7 +1231,8 @@ def takedown_fanout_sink(
     stream_ids: DataFrame, targets: list[dict], checkpoint: str
 ):
     """One takedown-id stream driving EVERY persisted store the engine
-    keeps — posting index, near-dup survivor stores, exact-dedup store
+    keeps — posting index, near-dup survivor stores, exact-dedup store,
+    IVF-PQ vector index
     — through a single checkpointed sink (:func:`takedown_fanout_batch`
     per micro-batch). A replay after a crash anywhere in the fan-out
     converges: stores that already committed their delete re-tombstone

@@ -36,6 +36,7 @@ REQUIRED_IN_WINDOW = {
     "ann_recall_at_k", "ann_lsh_topk", "ivfpq_rerank_topk",
     "embedding_centroid_topk", "embedding_rp_project",
     "dedup_maintained_corpus",
+    "ann_ivfpq_maintained_topk",
     # corpus hygiene / curation pipeline
     "quality_lr_filter", "dup_ngram_coverage",
     "decontam_fuzzy_overlap", "decontamination_overlap",
@@ -49,10 +50,10 @@ REQUIRED_IN_WINDOW = {
     "multimodal_frame_sample",
     # sketches / quantiles
     "price_percentiles",
-    # retrieval (direct path bm25_search_topk demoted round 10 — the
-    # indexed and maintenance paths are pinned bit-identical to it;
-    # batch path demoted round 12, same scoring core)
-    "bm25_indexed_topk", "bm25_maintained_topk",
+    # retrieval (direct path bm25_search_topk demoted round 10, indexed
+    # + batch paths round 12 — the maintained path composes the same
+    # persisted-index build + scoring core, pinned bit-identical)
+    "bm25_maintained_topk",
     # data selection (DSIR)
     "dsir_selection_scores", "dsir_selected_topk",
     # tokenizer

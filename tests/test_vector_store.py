@@ -1,0 +1,298 @@
+"""Persisted IVF-PQ vector store (operators/vector_store): the fifth
+store family's full lifecycle — serve ≡ the inline two-stage retrieval,
+takedown ≡ rebuild-without, vacuum physically folds, re-ingest of a
+forgotten vector is admitted, tombstones restart-heal, the streaming
+ingest sink converges under replay, and the takedown fan-out drives the
+vector store from the same id stream as every other family."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nlp_with_pyspark_spark.operators.similarity import (
+    ivfpq_rerank_topk,
+    pq_fixed_codebooks,
+)
+from nlp_with_pyspark_spark.operators.vector_store import (
+    append_to_vector_index,
+    load_vector_index,
+    persist_vector_index,
+    remove_from_vector_index,
+    vacuum_vector_index,
+    vector_index_rerank_topk,
+    vector_index_tombstones,
+)
+from nlp_with_pyspark_spark.plans.inspect import final_plan_string
+from nlp_with_pyspark_spark.sources.io import read_table
+
+STORE_TABLES = ("codes", "vecs", "centroids", "codebooks", "tombstones")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings").localCheckpoint()
+
+
+@pytest.fixture(scope="module")
+def quantizer(emb):
+    cent = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 8).collect()
+    ]
+    return cent, pq_fixed_codebooks()
+
+
+def _drop(spark, prefix):
+    for t in STORE_TABLES:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _serve(spark, prefix, queries):
+    return vector_index_rerank_topk(
+        load_vector_index(spark, prefix), queries, k=10, shortlist=50, n_probe=3
+    )
+
+
+def test_store_serve_equals_inline_rerank_and_prunes(
+    spark, emb, quantizer, tmp_path
+):
+    """Serving from the persisted store is row-identical to the inline
+    similarity.ivfpq_rerank_topk over the same corpus, and the serve
+    plan reads only the probed lists: the literal IN-filter on list_id
+    is pushed into the bucketed-sorted-by-list_id parquet scan (footer
+    pruning — the IVF layout promise), and the probe/candidate joins
+    are broadcasts (the store side never shuffles pre-shortlist)."""
+    cent, cbs = quantizer
+    prefix = "t_vstore_serve"
+    queries = emb.where(F.col("vec_id") < 5)
+    try:
+        persist_vector_index(emb, cent, cbs, prefix, n_buckets=8, path=str(tmp_path / "s"))
+        served = _serve(spark, prefix, queries)
+        assert _rows(served) == _rows(
+            ivfpq_rerank_topk(emb, queries, cent, cbs, k=10, shortlist=50, n_probe=3)
+        )
+        plan = final_plan_string(served).split("== Initial Plan ==")[0]
+        # the codes scan carries the probed-list filter down to parquet
+        assert "PushedFilters: [In(list_id" in plan or "PushedFilters: [EqualTo(list_id" in plan
+        assert "BroadcastHashJoin" in plan
+    finally:
+        _drop(spark, prefix)
+
+
+def test_takedown_lifecycle_delete_vacuum_reingest(spark, emb, quantizer, tmp_path):
+    """The LSM maintenance contract, end to end: (1) a takedown wave is
+    served as if the index were rebuilt without the dead vectors —
+    next-best candidates fill the freed shortlist slots; (2) deletes
+    are idempotent and ignore never-ingested ids; (3) a tombstoned id
+    is suppressed on re-ingest (the ledger still holds it); (4) vacuum
+    preserves answers, leaves codes+vecs bit-identical to a rebuild
+    without the dead vectors, and clears the tombstone list; (5) after
+    the vacuum a re-ingest of the forgotten vector is admitted as a
+    first occurrence, and replaying the same append is a no-op."""
+    cent, cbs = quantizer
+    prefix = "t_vstore_life"
+    rebuilt = "t_vstore_rebuilt"
+    queries = emb.where(F.col("vec_id") < 5)
+    dead = emb.where(
+        (F.col("vec_id") >= 5) & (F.col("vec_id") % 7 == 1)
+    ).select("vec_id").localCheckpoint()
+    live = emb.join(dead, "vec_id", "left_anti")
+    try:
+        persist_vector_index(emb, cent, cbs, prefix, n_buckets=8, path=str(tmp_path / "a"))
+        before = _rows(_serve(spark, prefix, queries))
+
+        n = remove_from_vector_index(spark, dead, prefix)
+        assert n == dead.count() > 0
+        # idempotent; never-ingested ids ignored
+        assert remove_from_vector_index(spark, dead, prefix) == 0
+        assert remove_from_vector_index(spark, [10**12], prefix) == 0
+
+        after = _rows(_serve(spark, prefix, queries))
+        assert after != before  # a true top-k neighbor died
+        assert after == _rows(
+            ivfpq_rerank_topk(live, queries, cent, cbs, k=10, shortlist=50, n_probe=3)
+        )
+        dead_ids = {r.vec_id for r in dead.collect()}
+        assert not ({r[1] for r in after} & dead_ids)
+
+        # tombstoned id re-ingest PRE-vacuum is suppressed (ledger guard)
+        resurrect = emb.join(F.broadcast(dead.limit(2)), "vec_id", "left_semi")
+        assert append_to_vector_index(resurrect, prefix) == 0
+
+        rep = vacuum_vector_index(spark, prefix)
+        assert rep["tombstones_folded"] == n
+        assert vector_index_tombstones(spark, prefix) is None
+        assert _rows(_serve(spark, prefix, queries)) == after
+        # physical fold ≡ rebuild-without, per table
+        persist_vector_index(live, cent, cbs, rebuilt, n_buckets=8, path=str(tmp_path / "b"))
+        for t in ("codes", "vecs"):
+            assert _rows(spark.table(f"{prefix}_{t}")) == _rows(
+                spark.table(f"{rebuilt}_{t}")
+            ), t
+
+        # POST-vacuum the forgotten vector is admitted again; replay no-op
+        assert append_to_vector_index(resurrect, prefix) == 2
+        assert append_to_vector_index(resurrect, prefix) == 0
+        back = _rows(_serve(spark, prefix, queries))
+        live_plus = live.unionByName(
+            emb.join(F.broadcast(dead.limit(2)), "vec_id", "left_semi")
+        )
+        assert back == _rows(
+            ivfpq_rerank_topk(live_plus, queries, cent, cbs, k=10, shortlist=50, n_probe=3)
+        )
+    finally:
+        _drop(spark, prefix)
+        _drop(spark, rebuilt)
+
+
+def test_tombstones_restart_selfheal(spark, emb, quantizer, tmp_path):
+    """A fresh session (catalog entries gone, sidecar data intact) must
+    not serve taken-down vectors: dropping the catalog entry and
+    re-loading heals the tombstone table from its on-disk sidecar —
+    the posting index's restart story, same mechanism."""
+    cent, cbs = quantizer
+    prefix = "t_vstore_heal"
+    queries = emb.where(F.col("vec_id") < 5)
+    dead = emb.where(
+        (F.col("vec_id") >= 5) & (F.col("vec_id") % 7 == 1)
+    ).select("vec_id")
+    try:
+        persist_vector_index(emb, cent, cbs, prefix, n_buckets=8, path=str(tmp_path / "h"))
+        remove_from_vector_index(spark, dead, prefix)
+        served = _rows(_serve(spark, prefix, queries))
+        spark.sql(f"DROP TABLE {prefix}_tombstones")  # the "restart"
+        tombs = vector_index_tombstones(spark, prefix)
+        assert tombs is not None and tombs.count() == dead.count()
+        assert _rows(_serve(spark, prefix, queries)) == served
+    finally:
+        _drop(spark, prefix)
+
+
+def test_streaming_ingest_sink_converges(spark, emb, quantizer, tmp_path):
+    """Two micro-batches through vector_index_sink build the same store
+    as a one-shot persist of their union (codes AND vecs tables
+    row-identical), and a full replay against a fresh checkpoint
+    changes nothing — foreachBatch at-least-once convergence."""
+    from nlp_with_pyspark_spark.streaming.sinks import vector_index_sink
+
+    cent, cbs = quantizer
+    prefix = "t_vstore_sink"
+    oneshot = "t_vstore_oneshot"
+    src = tmp_path / "vecs_in"
+    src.mkdir()
+    half = emb.where(F.col("vec_id") % 2 == 0)
+    other = emb.where(F.col("vec_id") % 2 == 1)
+    half.select("vec_id", "embedding").coalesce(1).write.parquet(str(src / "b0"))
+    other.select("vec_id", "embedding").coalesce(1).write.parquet(str(src / "b1"))
+    store = str(tmp_path / "store")
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "b*"))
+        )
+        vector_index_sink(
+            stream, store, str(tmp_path / ck), cent, cbs, prefix, n_buckets=8
+        )
+
+    try:
+        run("ck1")
+        persist_vector_index(
+            emb, cent, cbs, oneshot, n_buckets=8, path=str(tmp_path / "o")
+        )
+        for t in ("codes", "vecs"):
+            assert _rows(spark.table(f"{prefix}_{t}")) == _rows(
+                spark.table(f"{oneshot}_{t}")
+            ), t
+        snap = _rows(spark.table(f"{prefix}_vecs"))
+        run("ck2")  # full replay, fresh checkpoint
+        assert _rows(spark.table(f"{prefix}_vecs")) == snap
+    finally:
+        _drop(spark, prefix)
+        _drop(spark, oneshot)
+
+
+def test_fanout_drives_vector_store(spark, sf_dir, emb, quantizer, tmp_path):
+    """One takedown-id stream converges the vector store alongside a
+    text-side store through takedown_fanout_sink's new 'vector' kind:
+    after the drain both stores have tombstoned exactly the dead ids,
+    ANN stops retrieving them, and a full replay against a fresh
+    checkpoint re-tombstones nothing anywhere."""
+    from nlp_with_pyspark_spark.queries import _tokenized_documents
+    from nlp_with_pyspark_spark.streaming.sinks import (
+        neardup_upsert_batch,
+        takedown_fanout_sink,
+    )
+    from nlp_with_pyspark_spark.operators.dedup import neardup_store_tombstones
+
+    cent, cbs = quantizer
+    vprefix = "t_fanv_vec"
+    ndx = "t_fanv_nd"
+    queries = emb.where(F.col("vec_id") < 5)
+    try:
+        persist_vector_index(emb, cent, cbs, vprefix, n_buckets=8, path=str(tmp_path / "v"))
+        toks = _tokenized_documents(spark, sf_dir).select(
+            "doc_id", "lang", "n_chars", "tokens"
+        )
+        neardup_upsert_batch(
+            toks, str(tmp_path / "nd"), threshold=0.2, table_prefix=ndx, n_buckets=8
+        )
+        # dead ids present in BOTH stores (vec_id shares the doc id space)
+        dead = sorted(
+            r.vec_id
+            for r in emb.join(
+                spark.table(f"{ndx}_docs").select(F.col("doc_id").alias("vec_id")),
+                "vec_id",
+                "left_semi",
+            )
+            .where(F.col("vec_id") >= 5)
+            .limit(6)
+            .collect()
+        )
+        src = tmp_path / "ids"
+        src.mkdir()
+        half = len(dead) // 2
+        for i, chunk in enumerate((dead[:half], dead[half:])):
+            spark.createDataFrame(
+                [(int(d),) for d in chunk], "doc_id long"
+            ).coalesce(1).write.parquet(str(src / f"b{i}"))
+        targets = [
+            {"kind": "neardup", "table_prefix": ndx, "hash_family": "minhash"},
+            {"kind": "vector", "table_prefix": vprefix},
+        ]
+
+        def run(ck):
+            stream = (
+                spark.readStream.schema("doc_id long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src / "b*"))
+            )
+            takedown_fanout_sink(stream, targets, str(tmp_path / ck))
+
+        run("ck1")
+        vt = vector_index_tombstones(spark, vprefix)
+        assert sorted(r.vec_id for r in vt.collect()) == dead
+        assert sorted(
+            r.doc_id for r in neardup_store_tombstones(spark, ndx).collect()
+        ) == dead
+        served = _rows(_serve(spark, vprefix, queries))
+        assert not ({r[1] for r in served} & set(dead))
+        assert served == _rows(
+            ivfpq_rerank_topk(
+                emb.where(~F.col("vec_id").isin([int(d) for d in dead])),
+                queries, cent, cbs, k=10, shortlist=50, n_probe=3,
+            )
+        )
+        run("ck2")  # replay: both stores unchanged
+        assert sorted(
+            r.vec_id for r in vector_index_tombstones(spark, vprefix).collect()
+        ) == dead
+        assert _rows(_serve(spark, vprefix, queries)) == served
+    finally:
+        _drop(spark, vprefix)
+        for t in ("docs", "buckets", "shingles", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {ndx}_{t}")
