@@ -708,20 +708,112 @@ def neardup_maint_probe(corpus_dir: str, tag: str, batch_docs: int = 500) -> dic
     }
 
 
+def vec_maint_probe(corpus_dir: str, tag: str) -> dict:
+    """Vector-store takedown maintenance probe (round 12 — the
+    bm25/nd maint pattern applied to the NEW fifth store family,
+    operators/vector_store): build the persisted IVF-PQ index from the
+    embeddings table, tombstone a FIXED 200-id wave (the cost claim is
+    about the store side), serve the two-stage retrieval under the
+    tombstone anti-join, run a fixed-size delta append against the
+    tombstoned store (per-batch ingest cost must not grow with
+    deletes), then vacuum. Expect: delete ~flat vs corpus size
+    (broadcast id frames only), serve cost tracks probed lists + the
+    Q·shortlist fetch, vacuum tracks live data. One fresh session per
+    leg (run via subprocess)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from nlp_with_pyspark_spark.operators.similarity import pq_fixed_codebooks
+    from nlp_with_pyspark_spark.operators.vector_store import (
+        append_to_vector_index,
+        load_vector_index,
+        persist_vector_index,
+        remove_from_vector_index,
+        vacuum_vector_index,
+        vector_index_rerank_topk,
+    )
+    from nlp_with_pyspark_spark.sources.io import read_table
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name=f"vec-maint-{tag}")
+    spark.sparkContext.setLogLevel("ERROR")
+    prefix = f"probe_vecmaint_{tag}"
+    store_dir = tempfile.mkdtemp(prefix=f"vecmaint_{tag}_")
+    atexit.register(shutil.rmtree, store_dir, ignore_errors=True)
+    emb = read_table(spark, corpus_dir, "embeddings").select("vec_id", "embedding")
+    cent_rows = emb.where(F.col("vec_id") < 8).collect()
+    centroids = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in cent_rows]
+    cbs = pq_fixed_codebooks()
+    queries = emb.where(F.col("vec_id") < 5).localCheckpoint()
+    # the delta batch re-ingests fresh ids AFTER the takedown wave
+    top = emb.agg(F.max("vec_id")).collect()[0][0]
+    delta = emb.limit(200).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(int(top) + 1)
+    ).localCheckpoint()
+    t0 = time.perf_counter()
+    persist_vector_index(emb, centroids, cbs, prefix, n_buckets=8, path=store_dir)
+    t_build = time.perf_counter() - t0
+    dead = [
+        r.vec_id
+        for r in emb.where(F.col("vec_id") >= 5).select("vec_id").limit(200).collect()
+    ]
+    t0 = time.perf_counter()
+    n = remove_from_vector_index(spark, dead, prefix)
+    t_delete = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    materialize(
+        vector_index_rerank_topk(
+            load_vector_index(spark, prefix), queries, k=10, shortlist=50, n_probe=3
+        )
+    )
+    t_serve_tombstoned = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    append_to_vector_index(delta, prefix)
+    t_append_after_delete = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    vacuum_vector_index(spark, prefix)
+    t_vacuum = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    materialize(
+        vector_index_rerank_topk(
+            load_vector_index(spark, prefix), queries, k=10, shortlist=50, n_probe=3
+        )
+    )
+    t_serve_vacuumed = time.perf_counter() - t0
+    return {
+        "deleted": n,
+        "t_build": round(t_build, 2),
+        "t_delete_200ids": round(t_delete, 2),
+        "t_serve_tombstoned": round(t_serve_tombstoned, 2),
+        "t_append_200_after_delete": round(t_append_after_delete, 2),
+        "t_vacuum": round(t_vacuum, 2),
+        "t_serve_vacuumed": round(t_serve_vacuumed, 2),
+    }
+
+
 def fanout_maint_probe(corpus_dir: str, tag: str) -> dict:
     """Takedown FAN-OUT cost profile (round 12) — the one takedown
     surface without a measured decomposition: one pinned 200-id delete
     batch driven through streaming/sinks.takedown_fanout_batch against
-    ALL FOUR persisted store families at once (posting index, minhash
-    survivor store, simhash survivor store, exact-dedup store), versus
+    FOUR persisted store families at once (posting index, minhash
+    survivor store, exact-dedup store, IVF-PQ vector store), versus
     the same-size batch hitting each store alone, at 1x and --factor x
-    corpus. Claims probed: (a) per-batch fan-out cost ≈ the sum of the
-    four per-store anti-join bets — fanning out adds no multiplicative
-    interaction, the stores share nothing but the broadcast id list;
-    (b) each bet is ~flat in corpus size (deletes move id lists, never
-    store rows); (c) replaying the SAME batch — the crash-replay
-    convergence path — re-tombstones nothing and costs no more than the
-    first pass. One fresh session per leg (run via subprocess)."""
+    corpus. The simhash survivor family is deliberately NOT a probe
+    target: its delete path is the SAME neardup_delete_batch code over
+    a different table set (nothing new to price), while its one-batch
+    BUILD at a replicated 100x corpus is the documented worst case of
+    the within-batch verify (perturbed replicas are near-dups by
+    construction, so they pile into shared fingerprint buckets) — a
+    build cost, not a fan-out cost, and it starved the probe. Claims
+    probed: (a) per-batch fan-out cost ≈ the sum of the per-store
+    anti-join bets — fanning out adds no multiplicative interaction,
+    the stores share nothing but the broadcast id list; (b) each bet
+    is ~flat in corpus size (deletes move id lists, never store rows);
+    (c) replaying the SAME batch — the crash-replay convergence path —
+    re-tombstones nothing and costs no more than the first pass. One
+    fresh session per leg (run via subprocess; the leg builds 4 stores
+    in one JVM — run with SPARK_DRIVER_MEMORY=32g at 100x)."""
     import atexit
     import shutil
     import tempfile
@@ -730,8 +822,11 @@ def fanout_maint_probe(corpus_dir: str, tag: str) -> dict:
         build_posting_index,
         persist_posting_index,
     )
+    from nlp_with_pyspark_spark.operators.similarity import pq_fixed_codebooks
+    from nlp_with_pyspark_spark.operators.vector_store import persist_vector_index
     from nlp_with_pyspark_spark.queries import _tokenized_documents
-    from nlp_with_pyspark_spark.sources.io import write_bucketed
+    from nlp_with_pyspark_spark.sources.io import read_table, write_bucketed
+    from pyspark.sql import functions as F
     from nlp_with_pyspark_spark.streaming.sinks import (
         neardup_upsert_batch,
         takedown_fanout_batch,
@@ -742,8 +837,8 @@ def fanout_maint_probe(corpus_dir: str, tag: str) -> dict:
     names = {
         "pidx": f"probe_fo_{tag}_pidx",
         "ndm": f"probe_fo_{tag}_ndm",
-        "nds": f"probe_fo_{tag}_nds",
         "exact": f"probe_fo_{tag}_exact",
+        "vec": f"probe_fo_{tag}_vec",
     }
     dirs = {}
     for label in names:
@@ -753,20 +848,15 @@ def fanout_maint_probe(corpus_dir: str, tag: str) -> dict:
     toks = _tokenized_documents(spark, corpus_dir).select(
         "doc_id", "lang", "n_chars", "tokens"
     )
+    emb = read_table(spark, corpus_dir, "embeddings").select("vec_id", "embedding")
+    cent_rows = emb.where(F.col("vec_id") < 8).collect()
+    centroids = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in cent_rows]
     t0 = time.perf_counter()
     persist_posting_index(
         build_posting_index(toks), names["pidx"], n_buckets=32, path=dirs["pidx"]
     )
     neardup_upsert_batch(
         toks, dirs["ndm"], threshold=0.2, table_prefix=names["ndm"], n_buckets=32
-    )
-    neardup_upsert_batch(
-        toks,
-        dirs["nds"],
-        hash_family="simhash",
-        max_hamming=8,
-        table_prefix=names["nds"],
-        n_buckets=32,
     )
     write_bucketed(
         toks.select("doc_id", "lang", "n_chars").dropDuplicates(["doc_id"]),
@@ -775,12 +865,16 @@ def fanout_maint_probe(corpus_dir: str, tag: str) -> dict:
         32,
         path=dirs["exact"],
     )
+    persist_vector_index(
+        emb, centroids, pq_fixed_codebooks(), names["vec"],
+        n_buckets=8, path=dirs["vec"],
+    )
     t_build = time.perf_counter() - t0
     targets = [
         {"kind": "posting", "table_prefix": names["pidx"]},
         {"kind": "neardup", "table_prefix": names["ndm"], "hash_family": "minhash"},
-        {"kind": "neardup", "table_prefix": names["nds"], "hash_family": "simhash"},
         {"kind": "exact", "table": names["exact"], "key_cols": ("doc_id",)},
+        {"kind": "vector", "table_prefix": names["vec"]},
     ]
     # two disjoint PINNED 200-id waves (the cost claim is about the
     # store side, so the batch never scales): wave A feeds the fan-out
@@ -904,6 +998,17 @@ def main() -> None:
         "tag; corpus dir from --base)",
     )
     ap.add_argument(
+        "--vec-maint-probe", action="store_true",
+        help="vector-store takedown probe: fixed-size delete wave, "
+        "tombstoned serve, post-delete append, and vacuum cost at 1x "
+        "and --factor x embeddings (one fresh session per leg)",
+    )
+    ap.add_argument(
+        "--vec-maint-leg", default=None,
+        help="internal: run one vector-store maintenance leg (value = "
+        "tag; corpus dir from --base)",
+    )
+    ap.add_argument(
         "--fanout-maint-probe", action="store_true",
         help="takedown fan-out probe: one 200-id batch through "
         "takedown_fanout_batch against all four store families vs each "
@@ -930,6 +1035,32 @@ def main() -> None:
         print(json.dumps({args.nd_maint_leg: neardup_maint_probe(args.base, args.nd_maint_leg)}))
         return
 
+    if args.vec_maint_leg:
+        print(json.dumps({args.vec_maint_leg: vec_maint_probe(args.base, args.vec_maint_leg)}))
+        return
+
+    if args.vec_maint_probe:
+        import subprocess
+
+        out_dir = args.out or f"/tmp/scale{args.factor}x_embeddings"
+        spark = get_spark(app_name=f"vec-maint-build-{args.factor}x")
+        spark.sparkContext.setLogLevel("ERROR")
+        build_replicated_dir(spark, args.base, out_dir, args.factor, ("embeddings",))
+        spark.stop()
+        results = {}
+        for tag, corpus_dir in (("1x", args.base), (f"{args.factor}x", out_dir)):
+            out = subprocess.run(
+                [
+                    sys.executable, os.path.abspath(__file__),
+                    "--vec-maint-leg", tag, "--base", corpus_dir,
+                ],
+                capture_output=True, text=True, check=True,
+            )
+            results.update(json.loads(out.stdout.strip().splitlines()[-1]))
+            print(json.dumps({tag: results[tag]}), flush=True)
+        print(json.dumps({"factor": args.factor, "results": results}))
+        return
+
     if args.fanout_maint_leg:
         print(json.dumps({args.fanout_maint_leg: fanout_maint_probe(args.base, args.fanout_maint_leg)}))
         return
@@ -937,10 +1068,12 @@ def main() -> None:
     if args.fanout_maint_probe:
         import subprocess
 
-        out_dir = args.out or f"/tmp/scale{args.factor}x_documents"
+        out_dir = args.out or f"/tmp/scale{args.factor}x_documents_embeddings"
         spark = get_spark(app_name=f"fanout-maint-build-{args.factor}x")
         spark.sparkContext.setLogLevel("ERROR")
-        build_replicated_dir(spark, args.base, out_dir, args.factor, ("documents",))
+        build_replicated_dir(
+            spark, args.base, out_dir, args.factor, ("documents", "embeddings")
+        )
         spark.stop()
         results = {}
         for tag, corpus_dir in (("1x", args.base), (f"{args.factor}x", out_dir)):
