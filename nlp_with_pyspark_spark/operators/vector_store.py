@@ -58,6 +58,7 @@ __all__ = [
     "load_vector_index",
     "persist_vector_index",
     "remove_from_vector_index",
+    "train_and_persist_vector_index",
     "vacuum_vector_index",
     "vector_index_rerank_topk",
     "vector_index_tombstones",
@@ -165,6 +166,54 @@ def persist_vector_index(
         if path is not None:
             writer = writer.option("path", f"{path}/{name}")
         writer.saveAsTable(f"{table_prefix}_{name}")
+
+
+def train_and_persist_vector_index(
+    corpus: DataFrame,
+    table_prefix: str,
+    n_lists: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    n_buckets: int = 8,
+    path: str | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_fraction: float | None = None,
+    seed: int = 42,
+) -> None:
+    """The PRODUCTION index build: train the coarse quantizer (k-means,
+    similarity.build_ivf_index) and the PQ codebooks (per-subspace
+    k-means, similarity.pq_train) on the corpus — or on a deterministic
+    hash-sample of it via ``train_fraction`` (quantizers converge on
+    ~1e5-1e6 vectors; at 100 TB you never train on the full corpus) —
+    then encode and persist the full corpus through
+    :func:`persist_vector_index`. The trained artifacts land in the
+    store's quantizer tables, so every later append/serve/vacuum uses
+    THEM (the store is self-contained; retraining means rebuilding).
+    The trained-vs-untrained recall gap is pinned in
+    tests/test_dedup_similarity.py (0.25 → 0.70 @ n_probe=3 on
+    clustered data); this helper is the bridge from that tuning loop to
+    the maintained store."""
+    from .similarity import build_ivf_index, pq_train
+
+    train = corpus
+    if train_fraction is not None:
+        from .sampling import hash_sample
+
+        train = hash_sample(corpus, train_fraction, key_col=id_col)
+    _, cent_df = build_ivf_index(train, n_lists, vec_col, id_col, seed)
+    centroids = [
+        (int(r.list_id), [float(x) for x in r.centroid])
+        for r in sorted(cent_df.collect(), key=lambda r: r.list_id)
+    ]
+    codebooks = pq_train(
+        train, m=m, ksub=ksub, dim=dim, vec_col=vec_col, seed=seed
+    )
+    persist_vector_index(
+        corpus, centroids, codebooks, table_prefix,
+        n_buckets=n_buckets, path=path, vec_col=vec_col, id_col=id_col,
+    )
 
 
 def _tombstones_sidecar_path(spark: SparkSession, table_prefix: str) -> str:

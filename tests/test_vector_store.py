@@ -148,6 +148,49 @@ def test_takedown_lifecycle_delete_vacuum_reingest(spark, emb, quantizer, tmp_pa
         _drop(spark, rebuilt)
 
 
+def test_trained_quantizer_store_roundtrip(spark, emb, tmp_path):
+    """The production build path: train_and_persist_vector_index trains
+    k-means centroids + PQ codebooks (on a hash-sample) and persists —
+    the store must then serve row-identically to the inline two-stage
+    retrieval run with the SAME loaded artifacts (the persist/load path
+    handles arbitrary trained quantizers, not just the md5 literals),
+    and the takedown machinery works unchanged on a trained store."""
+    from nlp_with_pyspark_spark.operators.vector_store import (
+        train_and_persist_vector_index,
+    )
+
+    prefix = "t_vstore_trained"
+    queries = emb.where(F.col("vec_id") < 5)
+    try:
+        train_and_persist_vector_index(
+            emb, prefix, n_lists=8, m=8, ksub=4,
+            path=str(tmp_path / "t"), train_fraction=0.5,
+        )
+        idx = load_vector_index(spark, prefix)
+        assert len(idx.centroids) == 8
+        assert len(idx.codebooks) == 8 and len(idx.codebooks[0]) == 4
+        served = _rows(_serve(spark, prefix, queries))
+        assert served == _rows(
+            ivfpq_rerank_topk(
+                emb, queries, idx.centroids, idx.codebooks,
+                k=10, shortlist=50, n_probe=3,
+            )
+        )
+        # takedowns are quantizer-agnostic: delete ≡ rebuild-without
+        dead = emb.where(
+            (F.col("vec_id") >= 5) & (F.col("vec_id") % 5 == 0)
+        ).select("vec_id")
+        remove_from_vector_index(spark, dead, prefix)
+        assert _rows(_serve(spark, prefix, queries)) == _rows(
+            ivfpq_rerank_topk(
+                emb.join(dead, "vec_id", "left_anti"), queries,
+                idx.centroids, idx.codebooks, k=10, shortlist=50, n_probe=3,
+            )
+        )
+    finally:
+        _drop(spark, prefix)
+
+
 def test_tombstones_restart_selfheal(spark, emb, quantizer, tmp_path):
     """A fresh session (catalog entries gone, sidecar data intact) must
     not serve taken-down vectors: dropping the catalog entry and
