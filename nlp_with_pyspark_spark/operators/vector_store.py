@@ -57,6 +57,7 @@ __all__ = [
     "append_to_vector_index",
     "load_vector_index",
     "persist_vector_index",
+    "register_vector_index",
     "remove_from_vector_index",
     "train_and_persist_vector_index",
     "vacuum_vector_index",
@@ -258,6 +259,36 @@ def vector_index_tombstones(
     spark.catalog.refreshTable(tomb_tbl)
     tombs = spark.table(tomb_tbl)
     return None if tombs.isEmpty() else tombs
+
+
+def register_vector_index(
+    spark: SparkSession, table_prefix: str, store_path: str, n_buckets: int = 8
+) -> None:
+    """Re-register the store's catalog entries over surviving on-disk
+    data after a session restart — the full-store restart story the
+    other families get piecemeal: bucketed tables (codes, vecs) from
+    their ``_BUCKET_SPEC`` sidecars (``io.register_bucketed_table`` —
+    the spec comes from the sidecar, never the caller, so a different
+    bucket count can't be silently re-declared over existing files),
+    quantizer tables from their parquet footers, tombstones from the
+    ``__tombstones`` sidecar (:func:`_heal_tombstones`). Also resolves
+    any half-finished compaction swap first. No-op for every entry that
+    is already live; after this, :func:`load_vector_index` serves the
+    committed state exactly — including still-pending takedowns."""
+    import os
+
+    from ..sources.io import recover_compact_swap, register_bucketed_table
+
+    for sub, key in (("codes", "list_id"), ("vecs", "vec_id")):
+        recover_compact_swap(f"{store_path}/{sub}")
+        register_bucketed_table(
+            spark, f"{table_prefix}_{sub}", key, n_buckets, f"{store_path}/{sub}"
+        )
+    for sub in ("centroids", "codebooks"):
+        tbl, p = f"{table_prefix}_{sub}", f"{store_path}/{sub}"
+        if not spark.catalog.tableExists(tbl) and os.path.isdir(p):
+            spark.catalog.createTable(tbl, path=p, source="parquet")
+    _heal_tombstones(spark, table_prefix)
 
 
 def load_vector_index(spark: SparkSession, table_prefix: str) -> VectorIndex:

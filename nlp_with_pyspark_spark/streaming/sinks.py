@@ -988,18 +988,6 @@ def search_index_delete_batch(
     return n_new
 
 
-def _heal_plain_table(spark, table: str, path: str) -> None:
-    """Re-register a plain (non-bucketed) EXTERNAL parquet table over
-    surviving data after a session restart — the quantizer tables' heal
-    (schema inferred from footers; they are never empty by
-    construction). No-op when the table is live or the path is gone."""
-    import os
-
-    if spark.catalog.tableExists(table) or not os.path.isdir(path):
-        return
-    spark.catalog.createTable(table, path=path, source="parquet")
-
-
 def vector_index_upsert_batch(
     batch_df: DataFrame,
     store_path: str,
@@ -1033,21 +1021,12 @@ def vector_index_upsert_batch(
     from ..operators.vector_store import (
         append_to_vector_index,
         persist_vector_index,
+        register_vector_index,
     )
-    from ..sources.io import (
-        compact_bucketed_table,
-        recover_compact_swap,
-        register_bucketed_table,
-    )
+    from ..sources.io import compact_bucketed_table
 
     spark = batch_df.sparkSession
-    for sub, key in (("codes", "list_id"), ("vecs", "vec_id")):
-        recover_compact_swap(f"{store_path}/{sub}")
-        register_bucketed_table(
-            spark, f"{table_prefix}_{sub}", key, n_buckets, f"{store_path}/{sub}"
-        )
-    for sub in ("centroids", "codebooks"):
-        _heal_plain_table(spark, f"{table_prefix}_{sub}", f"{store_path}/{sub}")
+    register_vector_index(spark, table_prefix, store_path, n_buckets=n_buckets)
     if not spark.catalog.tableExists(f"{table_prefix}_vecs"):
         persist_vector_index(
             batch_df.dropDuplicates([id_col]),

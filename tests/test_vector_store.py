@@ -191,24 +191,41 @@ def test_trained_quantizer_store_roundtrip(spark, emb, tmp_path):
         _drop(spark, prefix)
 
 
-def test_tombstones_restart_selfheal(spark, emb, quantizer, tmp_path):
-    """A fresh session (catalog entries gone, sidecar data intact) must
-    not serve taken-down vectors: dropping the catalog entry and
-    re-loading heals the tombstone table from its on-disk sidecar —
-    the posting index's restart story, same mechanism."""
+def test_full_store_restart_selfheal(spark, emb, quantizer, tmp_path):
+    """A fresh session (EVERY catalog entry gone, on-disk store intact)
+    must serve the committed state exactly — including a still-pending
+    takedown: register_vector_index re-registers codes/vecs from their
+    _BUCKET_SPEC sidecars, the quantizer tables from their footers, and
+    the tombstones from the __tombstones sidecar. Also: dropping ONLY
+    the tombstone entry (the partial-restart path) heals through
+    vector_index_tombstones alone."""
+    from nlp_with_pyspark_spark.operators.vector_store import (
+        register_vector_index,
+    )
+
     cent, cbs = quantizer
     prefix = "t_vstore_heal"
+    store = str(tmp_path / "h")
     queries = emb.where(F.col("vec_id") < 5)
     dead = emb.where(
         (F.col("vec_id") >= 5) & (F.col("vec_id") % 7 == 1)
     ).select("vec_id")
     try:
-        persist_vector_index(emb, cent, cbs, prefix, n_buckets=8, path=str(tmp_path / "h"))
+        persist_vector_index(emb, cent, cbs, prefix, n_buckets=8, path=store)
         remove_from_vector_index(spark, dead, prefix)
         served = _rows(_serve(spark, prefix, queries))
-        spark.sql(f"DROP TABLE {prefix}_tombstones")  # the "restart"
+
+        # partial restart: only the tombstone entry is gone
+        spark.sql(f"DROP TABLE {prefix}_tombstones")
         tombs = vector_index_tombstones(spark, prefix)
         assert tombs is not None and tombs.count() == dead.count()
+        assert _rows(_serve(spark, prefix, queries)) == served
+
+        # full restart: every catalog entry gone, disk intact
+        _drop(spark, prefix)
+        register_vector_index(spark, prefix, store, n_buckets=8)
+        idx = load_vector_index(spark, prefix)
+        assert idx.centroids == cent and idx.tombstones is not None
         assert _rows(_serve(spark, prefix, queries)) == served
     finally:
         _drop(spark, prefix)
