@@ -47,38 +47,25 @@ HEADLINE = [
     "tfidf_long",
     "vocab_top100",
     "pricing_summary",
-    "top_parts_by_revenue",
-    "customer_nation_revenue",
-    "revenue_rollup",
-    "events_tumbling_5m",
     "events_gap_filled_hourly",
     "dedup_exact_groups",
     "dedup_minhash_pairs",
     "dedup_components",
-    "quality_lr_filter",
     "token_pack_assignments",
-    "events_asof_click_purchase",
     "customer_rolling_7d_revenue",
-    "dormant_customers",
     "repetition_features",
     "decontamination_overlap",
-    "pii_scrub_stats",
     "dup_ngram_coverage",
     "domain_mixture_weights",
-    "embedding_pq_codes",
-    "ann_recall_at_k",
     "corpus_pipeline_funnel",
     "dedup_delta_pairs",
     "bpe_merge_stats",
     "simhash_delta_pairs",
     "zorder_file_envelopes",
-    "semantic_dedup_pairs",
     "decontam_fuzzy_overlap",
     "vocab_heavy_hitters",
-    "bm25_indexed_topk",
     "doc_token_stats",
     "bm25_batch_topk",
-    "dsir_selection_scores",
     "bm25_maintained_topk",
     "dsir_selected_topk",
     "curation_funnel",
@@ -110,6 +97,19 @@ HEADLINE = [
     "token_budget",
     "ivfpq_rerank_topk",
     "ann_ivfpq_maintained_topk",
+    "order_priority_counts",
+    "events_json_stats",
+    "customer_order_setops",
+    "sql_top_unshipped_orders",
+    "supplier_nation_revenue",
+    "high_balance_inactive",
+    "promo_revenue_share",
+    "semantic_delta_pairs",
+    "semantic_dedup_stats",
+    "doc_lm_scores",
+    "bm25_search_topk",
+    "model_calibration_bins",
+    "ann_ivfpq_topk",
 ]
 
 #: Legs that price a persisted-store LIFECYCLE per call (build +
@@ -226,6 +226,31 @@ LIFECYCLE = {
 # events_distinct_sketch (benched r9-r11; kin events_distinct_users —
 # the exact twin of the same distinct-count question — returns to the
 # bench this round).
+# Round 12 (third swap) — the full r9-benched debt due this round (13
+# queries, unbenched r10-r11) comes IN: order_priority_counts,
+# events_json_stats, customer_order_setops, sql_top_unshipped_orders,
+# supplier_nation_revenue, high_balance_inactive, promo_revenue_share,
+# semantic_delta_pairs, semantic_dedup_stats, doc_lm_scores,
+# bm25_search_topk, model_calibration_bins, ann_ivfpq_topk. OUT (13,
+# all benched r10+r11, kin stays benched r12): revenue_rollup
+# (promo_revenue_share returning + pricing_summary), dormant_customers
+# (high_balance_inactive + customer_order_setops returning),
+# customer_nation_revenue (supplier_nation_revenue returning — the
+# same nation join-agg shape), top_parts_by_revenue
+# (sql_top_unshipped_orders returning), events_tumbling_5m
+# (events_json_stats returning + events_gap_filled_hourly),
+# semantic_dedup_pairs (semantic_delta_pairs + semantic_dedup_stats
+# returning — the same SemDeDup machinery), dsir_selection_scores
+# (doc_lm_scores returning + dsir_selected_topk — the same scoring
+# frame), bm25_indexed_topk (bm25_search_topk returning, pinned
+# bit-identical + bm25_maintained_topk), quality_lr_filter
+# (model_calibration_bins returning + confusion_metrics),
+# ann_recall_at_k (ann_ivfpq_topk returning — its approx side verbatim
+# — + ivfpq_rerank_topk new), embedding_pq_codes (ann_ivfpq_topk +
+# embedding_quantization_stats returning this round), pii_scrub_stats
+# (markup_strip_stats — the same regex-scrub family),
+# events_asof_click_purchase (click_purchase_attribution). The four
+# A/B-flagged legs all keep their r12 rows.
 
 
 def run_one(name: str, sf_dir: str, runs: int) -> None:
