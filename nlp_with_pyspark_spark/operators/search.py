@@ -576,7 +576,15 @@ def vacuum_posting_index(spark: SparkSession, table_prefix: str) -> dict:
     (``recover_compact_swap``); a crash after the rewrites but before
     the tombstone clear leaves tombstones whose rows are already gone —
     the query-time anti-join and the stats derivation then subtract
-    nothing, and re-running the vacuum completes the clear. Returns
+    nothing, and re-running the vacuum completes the clear. Inside that
+    window a RE-INGEST of a folded doc_id is admitted (the docs ledger
+    no longer holds it) while its stale tombstone row still shadows it
+    at query time — and the next vacuum would physically fold the
+    re-ingested rows. Protocol requirement: replay an interrupted
+    vacuum to completion before trusting new appends of previously
+    tombstoned ids (the vector-store family closes this window
+    structurally — its append scrubs stale tombstones for admitted
+    ids, operators/vector_store.append_to_vector_index). Returns
     per-table rewrite reports plus the number of tombstones folded."""
     from ..sources.io import compact_bucketed_table
 

@@ -267,22 +267,29 @@ def register_vector_index(
     """Re-register the store's catalog entries over surviving on-disk
     data after a session restart — the full-store restart story the
     other families get piecemeal: bucketed tables (codes, vecs) from
-    their ``_BUCKET_SPEC`` sidecars (``io.register_bucketed_table`` —
-    the spec comes from the sidecar, never the caller, so a different
-    bucket count can't be silently re-declared over existing files),
-    quantizer tables from their parquet footers, tombstones from the
-    ``__tombstones`` sidecar (:func:`_heal_tombstones`). Also resolves
-    any half-finished compaction swap first. No-op for every entry that
-    is already live; after this, :func:`load_vector_index` serves the
-    committed state exactly — including still-pending takedowns."""
+    their ``_BUCKET_SPEC`` sidecars (read directly, so a store built
+    with a non-default bucket count recovers without the caller
+    remembering the build-time value; ``n_buckets`` is only the
+    fallback for sidecar-less pre-existing stores), quantizer tables
+    from their parquet footers, tombstones from the ``__tombstones``
+    sidecar (:func:`_heal_tombstones`). Also resolves any half-finished
+    compaction swap first. No-op for every entry that is already live;
+    after this, :func:`load_vector_index` serves the committed state
+    exactly — including still-pending takedowns."""
     import os
 
-    from ..sources.io import recover_compact_swap, register_bucketed_table
+    from ..sources.io import (
+        read_bucket_spec_sidecar,
+        recover_compact_swap,
+        register_bucketed_table,
+    )
 
     for sub, key in (("codes", "list_id"), ("vecs", "vec_id")):
         recover_compact_swap(f"{store_path}/{sub}")
+        spec = read_bucket_spec_sidecar(f"{store_path}/{sub}")
+        s_key, s_n = spec if spec is not None else (key, n_buckets)
         register_bucketed_table(
-            spark, f"{table_prefix}_{sub}", key, n_buckets, f"{store_path}/{sub}"
+            spark, f"{table_prefix}_{sub}", s_key, s_n, f"{store_path}/{sub}"
         )
     for sub in ("centroids", "codebooks"):
         tbl, p = f"{table_prefix}_{sub}", f"{store_path}/{sub}"
@@ -336,6 +343,12 @@ def append_to_vector_index(
     pre-vacuum is suppressed — a taken-down vector stays dead until the
     vacuum physically forgets it, after which a re-ingest is admitted
     as a first occurrence (the exact-dedup store's pinned semantics).
+    An admitted id that still HAS a tombstone row can only mean a
+    vacuum crashed between its physical fold and its tombstone clear
+    (live tombstones are in the ledger and never admitted) — such
+    stale rows are scrubbed here before the data appends, so the
+    re-ingested vector serves immediately instead of being invisibly
+    shadowed until the next vacuum.
 
     Scale shape: the encode is the literal projection; both guard
     joins semi-filter store scans by the broadcast batch id list.
@@ -359,6 +372,14 @@ def append_to_vector_index(
     if not n_new:
         return 0
     batch_ids = F.broadcast(fresh.select("vec_id"))
+    if idx.tombstones is not None:
+        stale = idx.tombstones.join(batch_ids, "vec_id", "left_semi")
+        if not stale.isEmpty():
+            _rewrite_tombstones(
+                spark,
+                table_prefix,
+                idx.tombstones.join(batch_ids, "vec_id", "left_anti"),
+            )
     new_codes = _encode(fresh, idx.centroids, idx.codebooks, "embedding", "vec_id")
     stale = spark.table(codes_tbl).join(batch_ids, "vec_id", "left_semi")
     new_codes = new_codes.join(stale.select("vec_id"), "vec_id", "left_anti")
@@ -405,6 +426,23 @@ def remove_from_vector_index(
     return n_new
 
 
+def _rewrite_tombstones(
+    spark: SparkSession, table_prefix: str, live: DataFrame
+) -> None:
+    """Overwrite the tombstone table with ``live``'s rows, preserving
+    its external location. ``live`` may read from the table itself, so
+    it is materialized first (overwriting a path being read from is an
+    error). Bounded: tombstone tables hold takedown id lists."""
+    from .search import _table_path_if_external
+
+    tomb_tbl = f"{table_prefix}_tombstones"
+    writer = live.localCheckpoint().write.mode("overwrite").format("parquet")
+    tpath = _table_path_if_external(spark, tomb_tbl)
+    if tpath is not None:
+        writer = writer.option("path", tpath)
+    writer.saveAsTable(tomb_tbl)
+
+
 def vacuum_vector_index(spark: SparkSession, table_prefix: str) -> dict:
     """Physically fold tombstoned vectors out of ``codes`` and ``vecs``
     (spec-preserving staged rewrite + crash-recoverable swap —
@@ -412,7 +450,17 @@ def vacuum_vector_index(spark: SparkSession, table_prefix: str) -> dict:
     every other store family vacuums through), then clear the tombstone
     table preserving its external location. Serve results are identical
     before and after; the rewrite reclaims space and resets the
-    broadcast list. Returns per-table rewrite reports + fold count."""
+    broadcast list. Returns per-table rewrite reports + fold count.
+
+    Ordering hazard (and its repair): the physical fold MUST precede
+    the tombstone clear — the reverse order would briefly serve
+    taken-down vectors if the process died in between, which a takedown
+    can never tolerate. The residual window (died after the folds,
+    before the clear) leaves stale tombstone rows for ids the ledger no
+    longer holds; a replayed vacuum folds nothing and completes the
+    clear, and ``append_to_vector_index`` scrubs any such stale row for
+    an id it admits, so a re-ingest inside the window is never
+    invisibly shadowed (pinned in tests/test_vector_store.py)."""
     from ..sources.io import compact_bucketed_table
 
     tomb_tbl = f"{table_prefix}_tombstones"
@@ -428,17 +476,7 @@ def vacuum_vector_index(spark: SparkSession, table_prefix: str) -> dict:
             report[t] = compact_bucketed_table(
                 spark, f"{table_prefix}_{t}", transform=drop_dead
             )
-    from ..operators.search import _table_path_if_external
-
-    writer = (
-        spark.createDataFrame([], "vec_id bigint")
-        .write.mode("overwrite")
-        .format("parquet")
-    )
-    tpath = _table_path_if_external(spark, tomb_tbl)
-    if tpath is not None:
-        writer = writer.option("path", tpath)
-    writer.saveAsTable(tomb_tbl)
+    _rewrite_tombstones(spark, table_prefix, spark.createDataFrame([], "vec_id bigint"))
     return report
 
 
@@ -467,7 +505,21 @@ def vector_index_rerank_topk(
       3. ADC fold over codes → shortlist rank window;
       4. exact re-rank: ONLY the Q·shortlist candidates' true vectors
          are fetched from the vecs ledger via a broadcast semi-join.
+
+    Transient during an in-flight append (documented, accepted): a
+    vector half-committed by a crashed ``append_to_vector_index`` —
+    codes row written, vecs ledger row not yet (codes is appended
+    first) — can win a stage-1 shortlist slot and then drop at the
+    stage-2 inner join on the ledger, displacing one next-best live
+    candidate until the batch replays (which completes the ledger row
+    and restores the exact answer). The window is one crashed batch
+    wide; the replay protocol closes it. Filtering it out at serve
+    time would cost a probed-candidates × ledger anti-join on every
+    query — corpus-scale work to mask a bounded, self-healing
+    transient — so serving tolerates it instead.
     """
+    if shortlist < k:
+        raise ValueError("shortlist must be >= k")
     m = len(index.codebooks)
     dsub = len(index.codebooks[0][0])
     vs = f"`{vec_col}`"

@@ -416,6 +416,23 @@ def table_bucket_spec(spark: SparkSession, table: str) -> tuple[str, int, str]:
     return col, int(info["Num Buckets"]), path
 
 
+def read_bucket_spec_sidecar(path: str) -> tuple[str, int] | None:
+    """(bucket_column, n_buckets) from the ``_BUCKET_SPEC`` sidecar at
+    ``path``, or ``None`` when no sidecar exists. For store-recovery
+    helpers that re-register a whole family of tables: the sidecar is
+    the layout contract, so a recovery path should READ the spec from
+    it rather than ask the caller to remember build-time parameters
+    (a wrong guess would hard-fail in ``register_bucketed_table``)."""
+    import os
+
+    sidecar = _bucket_spec_sidecar(path)
+    if not os.path.exists(sidecar):
+        return None
+    with open(sidecar) as fh:
+        s_col, s_n = fh.read().splitlines()[:2]
+    return s_col, int(s_n)
+
+
 def register_bucketed_table(
     spark: SparkSession, table: str, bucket_col: str, n_buckets: int, path: str
 ) -> bool:

@@ -231,6 +231,86 @@ def test_full_store_restart_selfheal(spark, emb, quantizer, tmp_path):
         _drop(spark, prefix)
 
 
+def test_rerank_shortlist_guard(spark, emb, quantizer, tmp_path):
+    """Store serving validates shortlist >= k exactly like the inline
+    similarity.ivfpq_rerank_topk it is pinned row-identical to — a
+    too-small shortlist must raise, not silently truncate results."""
+    cent, cbs = quantizer
+    prefix = "t_vstore_guard"
+    queries = emb.where(F.col("vec_id") < 2)
+    try:
+        persist_vector_index(emb, cent, cbs, prefix, n_buckets=8, path=str(tmp_path / "g"))
+        idx = load_vector_index(spark, prefix)
+        with pytest.raises(ValueError, match="shortlist"):
+            vector_index_rerank_topk(idx, queries, k=10, shortlist=5)
+    finally:
+        _drop(spark, prefix)
+
+
+def test_append_scrubs_stale_tombstone_after_crashed_vacuum(
+    spark, emb, quantizer, tmp_path
+):
+    """The vacuum crash window (died after the physical folds, before
+    the tombstone clear) must not invisibly shadow a re-ingest: the
+    stale tombstone row — an id the ledger no longer holds — is
+    scrubbed by append_to_vector_index when it admits that id, so the
+    re-ingested vector serves immediately and the next vacuum folds
+    nothing."""
+    cent, cbs = quantizer
+    prefix = "t_vstore_crashwin"
+    queries = emb.where(F.col("vec_id") < 5)
+    dead = emb.where(
+        (F.col("vec_id") >= 5) & (F.col("vec_id") % 7 == 1)
+    ).select("vec_id").localCheckpoint()
+    try:
+        persist_vector_index(emb, cent, cbs, prefix, n_buckets=8, path=str(tmp_path / "c"))
+        full = _rows(_serve(spark, prefix, queries))
+        remove_from_vector_index(spark, dead, prefix)
+        vacuum_vector_index(spark, prefix)
+        # simulate the crash: the folds completed, the clear did not —
+        # re-insert the tombstone rows over the already-folded ids
+        dead.write.mode("append").format("parquet").saveAsTable(
+            f"{prefix}_tombstones"
+        )
+        spark.catalog.refreshTable(f"{prefix}_tombstones")
+        assert vector_index_tombstones(spark, prefix) is not None
+
+        resurrect = emb.join(F.broadcast(dead), "vec_id", "left_semi")
+        assert append_to_vector_index(resurrect, prefix) == dead.count()
+        # the stale rows are gone and the re-ingested vectors serve NOW
+        assert vector_index_tombstones(spark, prefix) is None
+        assert _rows(_serve(spark, prefix, queries)) == full
+        # the next vacuum has nothing to fold — the window left no debt
+        assert vacuum_vector_index(spark, prefix)["tombstones_folded"] == 0
+        assert _rows(_serve(spark, prefix, queries)) == full
+    finally:
+        _drop(spark, prefix)
+
+
+def test_register_recovers_nondefault_bucket_count(spark, emb, quantizer, tmp_path):
+    """register_vector_index reads (bucket_col, n_buckets) from each
+    table's _BUCKET_SPEC sidecar, so a store built with a non-default
+    bucket count recovers with the default call — the caller never has
+    to remember the build-time value."""
+    from nlp_with_pyspark_spark.operators.vector_store import register_vector_index
+    from nlp_with_pyspark_spark.sources.io import table_bucket_spec
+
+    cent, cbs = quantizer
+    prefix = "t_vstore_nb"
+    store = str(tmp_path / "nb")
+    queries = emb.where(F.col("vec_id") < 5)
+    try:
+        persist_vector_index(emb, cent, cbs, prefix, n_buckets=4, path=store)
+        served = _rows(_serve(spark, prefix, queries))
+        _drop(spark, prefix)
+        register_vector_index(spark, prefix, store)  # default n_buckets=8
+        assert table_bucket_spec(spark, f"{prefix}_codes")[:2] == ("list_id", 4)
+        assert table_bucket_spec(spark, f"{prefix}_vecs")[:2] == ("vec_id", 4)
+        assert _rows(_serve(spark, prefix, queries)) == served
+    finally:
+        _drop(spark, prefix)
+
+
 def test_streaming_ingest_sink_converges(spark, emb, quantizer, tmp_path):
     """Two micro-batches through vector_index_sink build the same store
     as a one-shot persist of their union (codes AND vecs tables
