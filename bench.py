@@ -52,19 +52,14 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "dedup_components",
     "token_pack_assignments",
-    "customer_rolling_7d_revenue",
-    "repetition_features",
     "decontamination_overlap",
-    "dup_ngram_coverage",
     "domain_mixture_weights",
-    "corpus_pipeline_funnel",
     "dedup_delta_pairs",
     "bpe_merge_stats",
     "simhash_delta_pairs",
     "zorder_file_envelopes",
     "decontam_fuzzy_overlap",
     "vocab_heavy_hitters",
-    "doc_token_stats",
     "bm25_batch_topk",
     "bm25_maintained_topk",
     "dsir_selected_topk",
@@ -72,21 +67,16 @@ HEADLINE = [
     "doc_token_chunks",
     "multimodal_frame_sample",
     "ann_lsh_topk",
-    "confusion_metrics",
     "stratified_sample_by_lang",
     "lang_id_counts",
     "doc_fingerprints",
     "simhash_near_pairs",
-    "session_event_overlap",
-    "click_purchase_attribution",
     "markup_strip_stats",
-    "embedding_rp_project",
     "full_curation_funnel",
     "dedup_maintained_corpus",
     "ann_ivf_topk",
     "corpus_train_split",
     "customer_running_revenue",
-    "doc_length_histogram",
     "embedding_quantization_stats",
     "events_distinct_users",
     "multimodal_asset_stats",
@@ -97,11 +87,9 @@ HEADLINE = [
     "token_budget",
     "ivfpq_rerank_topk",
     "ann_ivfpq_maintained_topk",
-    "order_priority_counts",
     "events_json_stats",
     "customer_order_setops",
     "sql_top_unshipped_orders",
-    "supplier_nation_revenue",
     "high_balance_inactive",
     "promo_revenue_share",
     "semantic_delta_pairs",
@@ -110,6 +98,18 @@ HEADLINE = [
     "bm25_search_topk",
     "model_calibration_bins",
     "ann_ivfpq_topk",
+    "salted_nation_revenue",
+    "top_orders_per_customer",
+    "quality_scores",
+    "events_session_stats",
+    "embedding_centroid_topk",
+    "dedup_canonical_corpus",
+    "corpus_stats_card",
+    "model_auc_eval",
+    "line_dedup_stats",
+    "click_purchase_funnel",
+    "collocations_pmi_top50",
+    "doc_length_quantiles",
 ]
 
 #: Legs that price a persisted-store LIFECYCLE per call (build +
@@ -251,6 +251,53 @@ LIFECYCLE = {
 # (markup_strip_stats — the same regex-scrub family),
 # events_asof_click_purchase (click_purchase_attribution). The four
 # A/B-flagged legs all keep their r12 rows.
+#
+# Round 13 swap — IN (12): the full round-11-OUT set, last benched r10
+# and due this round under the every-3-rounds rule
+# (salted_nation_revenue, top_orders_per_customer, quality_scores,
+# events_session_stats, embedding_centroid_topk,
+# dedup_canonical_corpus, corpus_stats_card, model_auc_eval,
+# line_dedup_stats, click_purchase_funnel, collocations_pmi_top50,
+# doc_length_quantiles). After this swap nothing non-excluded is
+# unbenched since before r11. OUT (12, all benched r12, kin stays
+# benched or returns this round):
+#   repetition_features     (quality_scores returning — the same
+#                            textstats scoring family — +
+#                            markup_strip_stats stays)
+#   confusion_metrics       (model_auc_eval returning — the same
+#                            prediction frame — + model_calibration_bins
+#                            stays)
+#   dup_ngram_coverage      (line_dedup_stats returning — the same
+#                            line/substring dedup stats)
+#   session_event_overlap   (events_session_stats returning — the same
+#                            sessionize machinery)
+#   embedding_rp_project    (embedding_centroid_topk returning +
+#                            embedding_quantization_stats stays)
+#   supplier_nation_revenue (salted_nation_revenue returning — the
+#                            same nation join-agg shape; benched r12,
+#                            an r12-IN leg yielding its slot)
+#   customer_rolling_7d_revenue (top_orders_per_customer returning —
+#                            the window/top-1-per-key family — +
+#                            customer_running_revenue stays)
+#   click_purchase_attribution (click_purchase_funnel returning —
+#                            composes the same click→purchase asof)
+#   order_priority_counts   (order_status_cube + order_priority_melt
+#                            both stay — the same grouped-count
+#                            reshaping family; an r12-IN leg yielding)
+#   doc_length_histogram    (doc_length_quantiles returning — the same
+#                            exact-binning family; an r12-IN leg
+#                            yielding)
+#   doc_token_stats         (corpus_stats_card returning — the same
+#                            textstats composition — + token_budget
+#                            stays)
+#   corpus_pipeline_funnel  (dedup_canonical_corpus returning —
+#                            composes the same canonical drop — +
+#                            curation_funnel / full_curation_funnel
+#                            stay as the LIFECYCLE pipeline reps)
+# zorder_file_envelopes stays IN deliberately: the r12 verdict graded
+# its 4.9 s reading weak-pending-A/B; BENCH_r13 re-measures it after
+# this round's SCALING.md A/B (the same protocol that exonerated the
+# four r11 flags).
 
 
 def run_one(name: str, sf_dir: str, runs: int) -> None:

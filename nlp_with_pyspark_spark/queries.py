@@ -5239,17 +5239,10 @@ _DEMOTED_PAST_CHECK_WINDOW = [
     # driver greens in the registry — returned to the window; the
     # testdata regenerates per round, so r7 rows were 5 regenerations
     # stale. 15 r11-fresh queries demoted, kin below.)
-    # r8-green
-    "tfidf_smoothed_long",
-    "simhash_fingerprints",
-    "order_status_cube",
-    "customer_running_revenue",
-    "token_budget",
-    "quality_scores",
-    "line_dedup_stats",
-    "model_auc_eval",
-    "ann_ivf_topk",
-    "embedding_quantization_stats",
+    # (round 13: the full r8-green block — the 10 oldest driver greens —
+    # returned to the window; 10 r12-fresh queries demoted, each one's
+    # kin being EXACTLY the returning stale query from its own family,
+    # so family coverage is unchanged — see the round-13 block below.)
     # r9-green (the round-10 rotation, kin above)
     "supplier_nation_revenue",
     "order_priority_pivot",
@@ -5366,6 +5359,51 @@ _DEMOTED_PAST_CHECK_WINDOW = [
     "multimodal_asset_stats",
     "dormant_customers",
     "vocab_heavy_hitters",
+    # round 13 (freshness pass, VERDICT r12 ask #2 — oldest first): the
+    # full r8-green block returns. Each demotion's kin IS the returning
+    # r8-stale query from the same family (plus a second staying kin),
+    # so the swap is family-coverage-neutral by construction:
+    #   tfidf_long              — kin tfidf_smoothed_long (returning —
+    #                             the same join-agg TF-IDF machinery,
+    #                             smoothed-IDF variant)
+    #   customer_rolling_7d_revenue — kin customer_running_revenue
+    #                             (returning — the same cumulative
+    #                             window-frame family)
+    #   ann_lsh_topk            — kin ann_ivf_topk (returning — the same
+    #                             bucketed-candidate ANN shape) +
+    #                             ann_recall_at_k (stays)
+    #   doc_fingerprints        — kin simhash_fingerprints (returning —
+    #                             the fingerprinting family) +
+    #                             simhash_delta_pairs (stays)
+    #   repetition_features     — kin quality_scores (returning — the
+    #                             same textstats projection family) +
+    #                             markup_strip_stats (stays)
+    #   token_pack_assignments  — kin token_budget (returning — the same
+    #                             token-counting core) + doc_token_chunks
+    #                             (stays, the packing/chunking rep)
+    #   confusion_metrics       — kin model_auc_eval (returning — the
+    #                             same prediction-frame evaluation
+    #                             family) + quality_lr_filter (stays)
+    #   order_priority_counts   — kin order_status_cube (returning — the
+    #                             same grouped-count family, cube
+    #                             generalization) + pricing_summary
+    #                             (stays)
+    #   embedding_rp_project    — kin embedding_quantization_stats
+    #                             (returning — the embedding-compression
+    #                             family) + embedding_centroid_topk
+    #                             (stays)
+    #   dup_ngram_coverage      — kin line_dedup_stats (returning — the
+    #                             same line/substring dedup stats family)
+    "tfidf_long",
+    "customer_rolling_7d_revenue",
+    "ann_lsh_topk",
+    "doc_fingerprints",
+    "repetition_features",
+    "token_pack_assignments",
+    "confusion_metrics",
+    "order_priority_counts",
+    "embedding_rp_project",
+    "dup_ngram_coverage",
 ]
 
 

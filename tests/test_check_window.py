@@ -15,36 +15,40 @@ from nlp_with_pyspark_spark.queries import (
 #: ≤9) is compressed into queries.py's _DEMOTED_PAST_CHECK_WINDOW
 #: header + git history; this set pins the CURRENT family coverage.
 REQUIRED_IN_WINDOW = {
-    # relational / TPC-H-ish (round 12: the returning SQL/priority reps
-    # replace the demoted melt/rollup/top-parts/dormant kin)
+    # relational / TPC-H-ish (round 13: the returning cube/running reps
+    # replace the demoted counts/rolling kin — same families)
     "customer_nation_revenue", "pricing_summary",
-    "customer_rolling_7d_revenue", "customer_order_setops",
-    "order_priority_counts", "sql_top_unshipped_orders",
+    "customer_running_revenue", "customer_order_setops",
+    "order_status_cube", "sql_top_unshipped_orders",
     # event-time (tumbling/attribution demoted round 12 — gap-fill +
     # asof stay; the session/json reps return)
     "events_gap_filled_hourly", "events_asof_click_purchase",
     "events_distinct_users",
     "events_session_stats", "events_json_stats", "session_event_overlap",
-    # text / NLP
-    "vocab_top100", "tfidf_long", "repetition_features",
+    # text / NLP (round 13: smoothed tfidf, quality_scores and
+    # token_budget replace their demoted family twins)
+    "vocab_top100", "tfidf_smoothed_long", "quality_scores",
     "doc_token_stats", "doc_token_chunks",
-    "lang_id_counts", "markup_strip_stats",
-    # dedup / similarity
+    "lang_id_counts", "markup_strip_stats", "token_budget",
+    # dedup / similarity (round 13: simhash_fingerprints / ann_ivf_topk /
+    # embedding_quantization_stats / line_dedup_stats replace their
+    # demoted family twins)
     "dedup_exact_groups", "dedup_minhash_pairs", "dedup_components",
     "simhash_delta_pairs", "dedup_delta_pairs",
-    "semantic_dedup_pairs", "doc_fingerprints",
-    "ann_recall_at_k", "ann_lsh_topk", "ivfpq_rerank_topk",
-    "embedding_centroid_topk", "embedding_rp_project",
+    "semantic_dedup_pairs", "simhash_fingerprints",
+    "ann_recall_at_k", "ann_ivf_topk", "ivfpq_rerank_topk",
+    "embedding_centroid_topk", "embedding_quantization_stats",
     "dedup_maintained_corpus",
     "ann_ivfpq_maintained_topk",
     # corpus hygiene / curation pipeline
-    "quality_lr_filter", "dup_ngram_coverage",
+    "quality_lr_filter", "line_dedup_stats",
     "decontam_fuzzy_overlap", "decontamination_overlap",
     "corpus_pipeline_funnel", "curation_funnel", "full_curation_funnel",
-    # ml evaluation
-    "confusion_metrics",
+    # ml evaluation (round 13: AUC rep replaces the confusion rep —
+    # the same prediction frame)
+    "model_auc_eval",
     # deterministic sampling / packing / layout
-    "stratified_sample_by_lang", "token_pack_assignments",
+    "stratified_sample_by_lang",
     "zorder_file_envelopes",
     # multimodal plumbing
     "multimodal_frame_sample",
