@@ -792,28 +792,112 @@ def vec_maint_probe(corpus_dir: str, tag: str) -> dict:
     }
 
 
+def vec_sink_probe_leg(
+    corpus_dir: str, tag: str, batch_vecs: int, runs: int
+) -> dict:
+    """Vector-index INGEST decades probe (round 13 — the fifth family's
+    last unmeasured cost surface): seed the persisted IVF-PQ store with
+    the FULL embeddings corpus at ``corpus_dir``, then time ``runs``
+    FIXED-size fresh-id delta batches through
+    streaming/sinks.vector_index_upsert_batch — the sink's batch half
+    (first timed batch is the JIT warm, discarded). Claim under test:
+    per-batch append cost tracks the BATCH, not the store — the append
+    path encodes the batch in one literal projection and both guard
+    joins semi-filter the store scans by the broadcast batch id list
+    (operators/vector_store.append_to_vector_index), so a 100× store
+    should add ~nothing per batch.
+
+    Probe design (the simhash lesson, SCALING.md): the batch is
+    FIXED-size against a GROWN store, never a grown batch against a
+    cold store — a one-batch build over perturbed replicas is the
+    documented quadratic worst case of within-batch work and would
+    measure batch self-cost, not store-side cost. Batch ids start at
+    2e11 + 1M per batch, above every replica id for any factor
+    ≤ 10,000 (replica r spans r·10M + base), so every batch is
+    genuinely fresh and the timing is the typical guard + encode +
+    two-bucketed-appends path, never a mass ledger drop."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nlp_with_pyspark_spark.operators.similarity import pq_fixed_codebooks
+    from nlp_with_pyspark_spark.operators.vector_store import persist_vector_index
+    from nlp_with_pyspark_spark.sources.io import read_table
+    from nlp_with_pyspark_spark.streaming.sinks import vector_index_upsert_batch
+
+    spark = get_spark(app_name=f"vec-sink-probe-{tag}")
+    spark.sparkContext.setLogLevel("ERROR")
+    prefix = f"probe_vecsink_{tag}"
+    store_dir = tempfile.mkdtemp(prefix=f"vecsink_{tag}_")
+    atexit.register(shutil.rmtree, store_dir, ignore_errors=True)
+    for t in ("codes", "vecs", "centroids", "codebooks", "tombstones"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+    emb = read_table(spark, corpus_dir, "embeddings").select("vec_id", "embedding")
+    cent_rows = emb.where(F.col("vec_id") < 8).collect()
+    centroids = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in cent_rows]
+    cbs = pq_fixed_codebooks()
+    t0 = time.perf_counter()
+    persist_vector_index(emb, centroids, cbs, prefix, n_buckets=8, path=store_dir)
+    t_seed = time.perf_counter() - t0
+    store_vecs = spark.table(f"{prefix}_vecs").count()
+
+    base = (
+        emb.where(F.col("vec_id") < 10_000_000)  # base replica only
+        .limit(batch_vecs)
+        .localCheckpoint()
+    )
+    samples = []
+    for b in range(runs + 1):  # +1: first batch is the JIT warm
+        batch = base.withColumn(
+            "vec_id", F.col("vec_id") + F.lit(200_000_000_000 + b * 1_000_000)
+        ).localCheckpoint()
+        t0 = time.perf_counter()
+        n = vector_index_upsert_batch(
+            batch, store_dir, centroids, cbs, prefix, n_buckets=8
+        )
+        dt = round(time.perf_counter() - t0, 2)
+        assert n == batch_vecs, f"batch {b}: ingested {n} != {batch_vecs}"
+        if b > 0:
+            samples.append(dt)
+    return {
+        "store_vecs": store_vecs,
+        "t_seed": round(t_seed, 1),
+        "t_append_med": sorted(samples)[len(samples) // 2],
+        "t_append_all": samples,
+    }
+
+
 def fanout_maint_probe(corpus_dir: str, tag: str) -> dict:
-    """Takedown FAN-OUT cost profile (round 12) — the one takedown
-    surface without a measured decomposition: one pinned 200-id delete
-    batch driven through streaming/sinks.takedown_fanout_batch against
-    FOUR persisted store families at once (posting index, minhash
-    survivor store, exact-dedup store, IVF-PQ vector store), versus
-    the same-size batch hitting each store alone, at 1x and --factor x
-    corpus. The simhash survivor family is deliberately NOT a probe
-    target: its delete path is the SAME neardup_delete_batch code over
-    a different table set (nothing new to price), while its one-batch
-    BUILD at a replicated 100x corpus is the documented worst case of
-    the within-batch verify (perturbed replicas are near-dups by
-    construction, so they pile into shared fingerprint buckets) — a
-    build cost, not a fan-out cost, and it starved the probe. Claims
-    probed: (a) per-batch fan-out cost ≈ the sum of the per-store
-    anti-join bets — fanning out adds no multiplicative interaction,
-    the stores share nothing but the broadcast id list; (b) each bet
-    is ~flat in corpus size (deletes move id lists, never store rows);
-    (c) replaying the SAME batch — the crash-replay convergence path —
-    re-tombstones nothing and costs no more than the first pass. One
-    fresh session per leg (run via subprocess; the leg builds 4 stores
-    in one JVM — run with SPARK_DRIVER_MEMORY=32g at 100x)."""
+    """Takedown FAN-OUT cost profile (round 12; round 13 added the
+    semantic survivor store as a FIFTH target) — one pinned 200-id
+    delete batch driven through streaming/sinks.takedown_fanout_batch
+    against FIVE persisted store families at once (posting index,
+    minhash survivor store, exact-dedup store, IVF-PQ vector store,
+    SemDeDup survivor store), versus the same-size batch hitting each
+    store alone, at 1x and --factor x corpus. The simhash survivor
+    family is deliberately NOT a probe target: its delete path is the
+    SAME neardup_delete_batch code over a different table set (nothing
+    new to price), while its one-batch BUILD at a replicated 100x
+    corpus is the documented worst case of the within-batch verify
+    (perturbed replicas are near-dups by construction, so they pile
+    into shared fingerprint buckets) — a build cost, not a fan-out
+    cost, and it starved the probe. The semantic family does NOT hit
+    that trap — replica embeddings are sign-mask-decorrelated (fresh
+    near-orthogonal vectors), and its store seeds with the scaled
+    quantizer + threshold 0.9 + BLAS assignment exactly like the
+    semantic ingest-decades probe — so its 3-table layout (docs/keys/
+    assigned) can be priced alongside the others. Claims probed: (a)
+    per-batch fan-out cost ≈ the sum of the per-store anti-join bets —
+    fanning out adds no multiplicative interaction, the stores share
+    nothing but the broadcast id list; (b) each bet is ~flat in corpus
+    size (deletes move id lists, never store rows); (c) replaying the
+    SAME batch — the crash-replay convergence path — re-tombstones
+    nothing and costs no more than the first pass. One fresh session
+    per leg (run via subprocess; the leg builds 5 stores in one JVM —
+    run with SPARK_DRIVER_MEMORY=32g at 100x)."""
     import atexit
     import shutil
     import tempfile
@@ -839,6 +923,7 @@ def fanout_maint_probe(corpus_dir: str, tag: str) -> dict:
         "ndm": f"probe_fo_{tag}_ndm",
         "exact": f"probe_fo_{tag}_exact",
         "vec": f"probe_fo_{tag}_vec",
+        "sem": f"probe_fo_{tag}_sem",
     }
     dirs = {}
     for label in names:
@@ -869,12 +954,24 @@ def fanout_maint_probe(corpus_dir: str, tag: str) -> dict:
         emb, centroids, pq_fixed_codebooks(), names["vec"],
         n_buckets=8, path=dirs["vec"],
     )
+    # FIFTH family (round 13): the SemDeDup survivor store, seeded with
+    # the scaled quantizer + threshold 0.9 + BLAS assignment (the same
+    # configuration the semantic ingest-decades probe validated at
+    # 100x). ids aliased to doc_id: one takedown stream, one id space.
+    _, sem_cents = _scaled_quantizer(spark, corpus_dir)
+    neardup_upsert_batch(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+        dirs["sem"], tokens_col="embedding", id_col="doc_id",
+        hash_family="semantic", centroids=sem_cents, threshold=0.9,
+        assign_via="pandas", table_prefix=names["sem"], n_buckets=32,
+    )
     t_build = time.perf_counter() - t0
     targets = [
         {"kind": "posting", "table_prefix": names["pidx"]},
         {"kind": "neardup", "table_prefix": names["ndm"], "hash_family": "minhash"},
         {"kind": "exact", "table": names["exact"], "key_cols": ("doc_id",)},
         {"kind": "vector", "table_prefix": names["vec"]},
+        {"kind": "neardup", "table_prefix": names["sem"], "hash_family": "semantic"},
     ]
     # two disjoint PINNED 200-id waves (the cost claim is about the
     # store side, so the batch never scales): wave A feeds the fan-out
@@ -903,8 +1000,8 @@ def fanout_maint_probe(corpus_dir: str, tag: str) -> dict:
         takedown_fanout_batch(wave_b, [t])
         solo[full.rsplit("_", 1)[-1]] = round(time.perf_counter() - t0, 2)
     return {
-        "t_build_4stores": round(t_build, 2),
-        "t_fanout_200ids_4stores": round(t_fanout, 2),
+        "t_build_5stores": round(t_build, 2),
+        "t_fanout_200ids_5stores": round(t_fanout, 2),
         "t_replay_same_batch": round(t_replay, 2),
         "replay_new_tombstones": sum(n_replay.values()),
         "first_new_tombstones": sum(n_first.values()),
@@ -1009,6 +1106,19 @@ def main() -> None:
         "tag; corpus dir from --base)",
     )
     ap.add_argument(
+        "--vec-sink-probe", action="store_true",
+        help="vector-index ingest probe: per-batch fixed-size append "
+        "cost vs store size (seeds the persisted IVF-PQ store at 1x "
+        "and --factor x embeddings, times fixed-size fresh-id batches "
+        "through vector_index_upsert_batch against each)",
+    )
+    ap.add_argument(
+        "--vec-sink-leg", default=None,
+        help="internal: run one vector-index ingest leg (value = tag; "
+        "corpus dir from --base)",
+    )
+    ap.add_argument("--batch-vecs", type=int, default=200)
+    ap.add_argument(
         "--fanout-maint-probe", action="store_true",
         help="takedown fan-out probe: one 200-id batch through "
         "takedown_fanout_batch against all four store families vs each "
@@ -1059,6 +1169,44 @@ def main() -> None:
             results.update(json.loads(out.stdout.strip().splitlines()[-1]))
             print(json.dumps({tag: results[tag]}), flush=True)
         print(json.dumps({"factor": args.factor, "results": results}))
+        return
+
+    if args.vec_sink_leg:
+        print(json.dumps({
+            args.vec_sink_leg: vec_sink_probe_leg(
+                args.base, args.vec_sink_leg, args.batch_vecs, args.runs
+            )
+        }))
+        return
+
+    if args.vec_sink_probe:
+        import subprocess
+
+        out_dir = args.out or f"/tmp/scale{args.factor}x_embeddings"
+        spark = get_spark(app_name=f"vec-sink-build-{args.factor}x")
+        spark.sparkContext.setLogLevel("ERROR")
+        build_replicated_dir(spark, args.base, out_dir, args.factor, ("embeddings",))
+        spark.stop()
+        results = {}
+        for tag, corpus_dir in (("1x", args.base), (f"{args.factor}x", out_dir)):
+            out = subprocess.run(
+                [
+                    sys.executable, os.path.abspath(__file__),
+                    "--vec-sink-leg", tag, "--base", corpus_dir,
+                    "--batch-vecs", str(args.batch_vecs),
+                    "--runs", str(args.runs),
+                ],
+                capture_output=True, text=True, check=True,
+            )
+            results.update(json.loads(out.stdout.strip().splitlines()[-1]))
+            print(json.dumps({tag: results[tag]}), flush=True)
+        small, big = results["1x"], results[f"{args.factor}x"]
+        print(json.dumps({
+            "factor": args.factor,
+            "batch_vecs": args.batch_vecs,
+            "results": results,
+            "append_ratio": round(big["t_append_med"] / small["t_append_med"], 2),
+        }))
         return
 
     if args.fanout_maint_leg:
