@@ -1813,6 +1813,26 @@ def remove_from_neardup_store(
     return n_new
 
 
+def _rewrite_neardup_tombstones(
+    spark, table_prefix: str, live, id_col: str = "doc_id"
+) -> None:
+    """Overwrite the survivor store's tombstone table with ``live``'s
+    rows, keeping an EXTERNAL table at its sidecar location (a bare
+    saveAsTable would recreate it MANAGED, orphaning the old ids for
+    the next session's self-heal to resurrect as live tombstones — the
+    search.py lesson). ``live`` may read from the table itself, so it
+    is materialized first. Bounded: tombstone tables hold takedown id
+    lists."""
+    from .search import _table_path_if_external
+
+    tomb_tbl = f"{table_prefix}_tombstones"
+    writer = live.localCheckpoint().write.mode("overwrite").format("parquet")
+    tpath = _table_path_if_external(spark, tomb_tbl)
+    if tpath is not None:
+        writer = writer.option("path", tpath)
+    writer.saveAsTable(tomb_tbl)
+
+
 def vacuum_neardup_store(
     spark, table_prefix: str, hash_family: str, id_col: str = "doc_id"
 ) -> dict:
@@ -1830,10 +1850,14 @@ def vacuum_neardup_store(
     and resets the broadcast tombstone list. A crash after the
     rewrites but before the clear leaves tombstones whose rows are
     already gone — the anti-joins then subtract nothing and re-running
-    the vacuum completes the clear. Returns per-table rewrite reports
+    the vacuum completes the clear; the residual hazard (a re-ingest
+    of a folded id admitted while its stale tombstone row still
+    shadows it) is closed structurally by the ingest sink, which
+    scrubs stale tombstone rows for the ids it admits
+    (streaming/sinks.neardup_upsert_batch — the vector store's
+    protocol, pinned in tests). Returns per-table rewrite reports
     plus the number of tombstones folded."""
     from ..sources.io import compact_bucketed_table
-    from .search import _table_path_if_external
 
     if hash_family not in NEARDUP_STORE_TABLES:
         raise ValueError(
@@ -1866,20 +1890,10 @@ def vacuum_neardup_store(
                 report[sfx] = compact_bucketed_table(
                     spark, tbl, transform=drop_dead_index
                 )
-    # clear: overwrite with an empty frame, keeping an EXTERNAL table at
-    # its sidecar location (a bare saveAsTable would recreate it MANAGED,
-    # orphaning the pre-vacuum ids for the next session's self-heal to
-    # resurrect as live tombstones — the search.py lesson)
     id_type = _neardup_id_type(spark, table_prefix, id_col)
-    writer = (
-        spark.createDataFrame([], f"doc_id {id_type}")
-        .write.mode("overwrite")
-        .format("parquet")
+    _rewrite_neardup_tombstones(
+        spark, table_prefix, spark.createDataFrame([], f"doc_id {id_type}"), id_col
     )
-    tpath = _table_path_if_external(spark, tomb_tbl)
-    if tpath is not None:
-        writer = writer.option("path", tpath)
-    writer.saveAsTable(tomb_tbl)
     return report
 
 
@@ -2019,6 +2033,21 @@ def remove_from_exact_dedup_store(
     return n_new
 
 
+def _rewrite_exact_store_tombstones(spark, table: str, live) -> None:
+    """Overwrite the exact store's tombstone table with ``live``'s
+    rows, keeping an EXTERNAL table at its sidecar location (the
+    search.py lesson). ``live`` may read from the table itself, so it
+    is materialized first. Bounded: takedown key lists."""
+    from .search import _table_path_if_external
+
+    tomb_tbl = f"{table}_tombstones"
+    writer = live.localCheckpoint().write.mode("overwrite").format("parquet")
+    tpath = _table_path_if_external(spark, tomb_tbl)
+    if tpath is not None:
+        writer = writer.option("path", tpath)
+    writer.saveAsTable(tomb_tbl)
+
+
 def vacuum_exact_dedup_store(
     spark, table: str, key_cols: tuple = ("event_id",)
 ) -> dict:
@@ -2028,9 +2057,11 @@ def vacuum_exact_dedup_store(
     location — :func:`vacuum_neardup_store` for the single-table exact
     store. After the vacuum the store genuinely forgets the keys: the
     sink's append guard no longer sees them, so identical future
-    content is admitted as a first occurrence again."""
+    content is admitted as a first occurrence again (and the residual
+    crash window — stale tombstone rows for already-folded keys — is
+    scrubbed by the ingest sink when it admits those keys,
+    streaming/sinks.incremental_dedup_sink)."""
     from ..sources.io import compact_bucketed_table
-    from .search import _table_path_if_external
 
     tomb_tbl = f"{table}_tombstones"
     if not _heal_exact_store_tombstones(spark, table, key_cols):
@@ -2048,13 +2079,5 @@ def vacuum_exact_dedup_store(
             ),
         )
     schema = _exact_store_key_schema(spark, table, key_cols)
-    writer = (
-        spark.createDataFrame([], schema)
-        .write.mode("overwrite")
-        .format("parquet")
-    )
-    tpath = _table_path_if_external(spark, tomb_tbl)
-    if tpath is not None:
-        writer = writer.option("path", tpath)
-    writer.saveAsTable(tomb_tbl)
+    _rewrite_exact_store_tombstones(spark, table, spark.createDataFrame([], schema))
     return report

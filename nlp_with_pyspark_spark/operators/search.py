@@ -443,6 +443,22 @@ def append_to_posting_index(index_delta: PostingIndex, table_prefix: str) -> Non
     # list, the postings anti-join and the docs append — pin it once
     fresh_docs = fresh_docs.localCheckpoint()
     batch_ids = F.broadcast(fresh_docs.select("doc_id"))
+    # vacuum-crash-window scrub (the vector store's protocol,
+    # operators/vector_store.append_to_vector_index): an ADMITTED id —
+    # absent from the ledger — that still has a tombstone row can only
+    # be a vacuum that died between its physical fold and its tombstone
+    # clear (live tombstones are in the ledger and never admitted).
+    # Scrub those rows before the data appends, or the re-ingested doc
+    # would be invisibly suppressed at query time, excluded from the
+    # derived stats, and physically folded by the next vacuum.
+    if _heal_tombstones(spark, table_prefix):
+        tomb_tbl = f"{table_prefix}_tombstones"
+        spark.catalog.refreshTable(tomb_tbl)
+        tombs = spark.table(tomb_tbl)
+        if not tombs.join(batch_ids, "doc_id", "left_semi").isEmpty():
+            _rewrite_tombstones(
+                spark, table_prefix, tombs.join(batch_ids, "doc_id", "left_anti")
+            )
     to_append = index_delta.postings.join(batch_ids, "doc_id", "left_semi")
     stale = spark.table(postings_tbl).join(batch_ids, "doc_id", "left_semi")
     to_append = to_append.join(stale, ["word", "doc_id"], "left_anti")
@@ -495,6 +511,26 @@ def _refresh_stats(spark: SparkSession, table_prefix: str) -> None:
     if spath is not None:
         writer = writer.option("path", spath)
     writer.saveAsTable(stats_tbl)
+
+
+def _rewrite_tombstones(
+    spark: SparkSession, table_prefix: str, live: DataFrame
+) -> None:
+    """Overwrite the tombstone table with ``live``'s rows, preserving
+    its external location (an EXTERNAL tombstone table — the normal
+    case, created at ``<postings>__tombstones`` — must keep its
+    location through the overwrite: a bare saveAsTable would drop it
+    and recreate MANAGED at the warehouse, leaving the old ids orphaned
+    on disk for the next session's self-heal to resurrect as live
+    tombstones). ``live`` may read from the table itself, so it is
+    materialized first. Bounded: tombstone tables hold takedown id
+    lists."""
+    tomb_tbl = f"{table_prefix}_tombstones"
+    writer = live.localCheckpoint().write.mode("overwrite").format("parquet")
+    tpath = _table_path_if_external(spark, tomb_tbl)
+    if tpath is not None:
+        writer = writer.option("path", tpath)
+    writer.saveAsTable(tomb_tbl)
 
 
 def remove_from_posting_index(
@@ -576,16 +612,14 @@ def vacuum_posting_index(spark: SparkSession, table_prefix: str) -> dict:
     (``recover_compact_swap``); a crash after the rewrites but before
     the tombstone clear leaves tombstones whose rows are already gone —
     the query-time anti-join and the stats derivation then subtract
-    nothing, and re-running the vacuum completes the clear. Inside that
-    window a RE-INGEST of a folded doc_id is admitted (the docs ledger
-    no longer holds it) while its stale tombstone row still shadows it
-    at query time — and the next vacuum would physically fold the
-    re-ingested rows. Protocol requirement: replay an interrupted
-    vacuum to completion before trusting new appends of previously
-    tombstoned ids (the vector-store family closes this window
-    structurally — its append scrubs stale tombstones for admitted
-    ids, operators/vector_store.append_to_vector_index). Returns
-    per-table rewrite reports plus the number of tombstones folded."""
+    nothing, and re-running the vacuum completes the clear. The
+    residual hazard inside that window — a RE-INGEST of a folded
+    doc_id admitted by the ledger guard while its stale tombstone row
+    still shadows it — is closed structurally by
+    :func:`append_to_posting_index`, which scrubs stale tombstone rows
+    for the ids it admits (the vector store's protocol, pinned in
+    tests). Returns per-table rewrite reports plus the number of
+    tombstones folded."""
     from ..sources.io import compact_bucketed_table
 
     tomb_tbl = f"{table_prefix}_tombstones"
@@ -601,21 +635,7 @@ def vacuum_posting_index(spark: SparkSession, table_prefix: str) -> dict:
             report[t] = compact_bucketed_table(
                 spark, f"{table_prefix}_{t}", transform=drop_dead
             )
-    # clear: overwrite with an empty frame. An EXTERNAL tombstone table
-    # (the normal case — created at <postings>__tombstones) must keep
-    # its location through the overwrite: a bare saveAsTable would drop
-    # it and recreate MANAGED at the warehouse, leaving the pre-vacuum
-    # ids orphaned on disk for the next session's self-heal to
-    # resurrect as live tombstones.
-    writer = (
-        spark.createDataFrame([], "doc_id bigint")
-        .write.mode("overwrite")
-        .format("parquet")
-    )
-    tpath = _table_path_if_external(spark, tomb_tbl)
-    if tpath is not None:
-        writer = writer.option("path", tpath)
-    writer.saveAsTable(tomb_tbl)
+    _rewrite_tombstones(spark, table_prefix, spark.createDataFrame([], "doc_id bigint"))
     _refresh_stats(spark, table_prefix)
     return report
 

@@ -74,6 +74,26 @@ def incremental_dedup_sink(
             if spark.catalog.tableExists(table):
                 spark.catalog.refreshTable(table)
                 fresh = fresh.join(spark.table(table).select(*keys), keys, "left_anti")
+                from ..operators.dedup import (
+                    _rewrite_exact_store_tombstones,
+                    exact_dedup_store_tombstones,
+                )
+
+                tombs = exact_dedup_store_tombstones(spark, table, key_cols)
+                if tombs is not None:
+                    # vacuum-crash-window scrub (the vector store's
+                    # protocol): an ADMITTED key — absent from the store
+                    # table — that still has a tombstone row can only be
+                    # a vacuum that died between its physical fold and
+                    # its tombstone clear. Scrub it, or the re-ingested
+                    # row would be invisibly excluded by every consumer
+                    # that anti-joins the tombstone list.
+                    fresh = fresh.localCheckpoint()
+                    b_keys = F.broadcast(fresh.select(*keys))
+                    if not tombs.join(b_keys, keys, "left_semi").isEmpty():
+                        _rewrite_exact_store_tombstones(
+                            spark, table, tombs.join(b_keys, keys, "left_anti")
+                        )
                 append_to_bucketed_table(fresh, table)
             else:
                 write_bucketed(fresh, table, keys[0], n_buckets, path=path)
@@ -428,24 +448,6 @@ def neardup_upsert_batch(
             ):
                 keys_raw = spark.table(keys_tbl)
                 feats_raw = spark.table(feats_tbl)
-                # takedown exclusion (operators/dedup.remove_from_
-                # neardup_store): tombstoned docs leave candidate
-                # generation AND the verify, so deleted content stops
-                # suppressing its future near-duplicates the moment the
-                # delete commits. The broadcast list stays small because
-                # vacuum_neardup_store periodically folds it into the
-                # tables (the LSM cadence); checked once per batch so a
-                # never-deleted-into store adds no join at all. The
-                # docs-guard anti-join above still sees tombstoned ids
-                # in the ledger — re-ingesting one requires a vacuum
-                # first, the posting-index rule.
-                from ..operators.dedup import neardup_store_tombstones
-
-                tombs = neardup_store_tombstones(spark, table_prefix, id_col)
-                if tombs is not None:
-                    tombs = F.broadcast(tombs.select("doc_id"))
-                    keys_raw = keys_raw.join(tombs, "doc_id", "left_anti")
-                    feats_raw = feats_raw.join(tombs, "doc_id", "left_anti")
     else:
         try:
             existing = spark.read.parquet(docs_path).select(id_col)
@@ -462,6 +464,41 @@ def neardup_upsert_batch(
     if fresh.limit(1).count() == 0:
         return
     fresh_ids = fresh.select(F.col(id_col).alias("doc_id"))
+    if bucketed and docs_existed:
+        # takedown exclusion (operators/dedup.remove_from_neardup_
+        # store): tombstoned docs leave candidate generation AND the
+        # verify, so deleted content stops suppressing its future
+        # near-duplicates the moment the delete commits. The broadcast
+        # list stays small because vacuum_neardup_store periodically
+        # folds it into the tables (the LSM cadence); checked once per
+        # batch so a never-deleted-into store adds no join at all. The
+        # docs-guard anti-join above still sees tombstoned ids in the
+        # ledger — re-ingesting one requires a vacuum first, the
+        # posting-index rule. Before the views load: an ADMITTED id
+        # (absent from the ledger) that still has a tombstone row can
+        # only be a vacuum that died between its physical fold and its
+        # tombstone clear — scrub those stale rows now (the vector
+        # store's protocol) or the re-ingested doc would be invisibly
+        # excluded from every future delta check's index views.
+        from ..operators.dedup import (
+            _rewrite_neardup_tombstones,
+            neardup_store_tombstones,
+        )
+
+        tombs = neardup_store_tombstones(spark, table_prefix, id_col)
+        if tombs is not None:
+            b_ids = F.broadcast(fresh_ids)
+            if not tombs.join(b_ids, "doc_id", "left_semi").isEmpty():
+                _rewrite_neardup_tombstones(
+                    spark,
+                    table_prefix,
+                    tombs.join(b_ids, "doc_id", "left_anti"),
+                )
+                tombs = neardup_store_tombstones(spark, table_prefix, id_col)
+        if tombs is not None and keys_raw is not None:
+            t_ids = F.broadcast(tombs.select("doc_id"))
+            keys_raw = keys_raw.join(t_ids, "doc_id", "left_anti")
+            feats_raw = feats_raw.join(t_ids, "doc_id", "left_anti")
 
     delta_feats = fam.feats(fresh, tokens_col, id_col).localCheckpoint()
     # checkpointed: consumed by BOTH the index append and the delta

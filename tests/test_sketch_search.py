@@ -625,6 +625,69 @@ def test_posting_index_vacuum_preserves_answers_and_layout(
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
 
 
+def test_posting_append_scrubs_stale_tombstone_after_crashed_vacuum(
+    spark, tokenized_docs, tmp_path
+):
+    """The vacuum crash window (died after the physical folds, before
+    the tombstone clear) must not invisibly shadow a re-ingest: a stale
+    tombstone row — a doc_id the ledger no longer holds — is scrubbed
+    by append_to_posting_index when it admits that id, so the
+    re-ingested doc serves and counts in the derived stats immediately
+    (the vector store's protocol, operators/vector_store)."""
+    from pyspark.sql import functions as F  # noqa: F811
+    from nlp_with_pyspark_spark.operators.search import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_posting_index,
+        load_posting_index,
+        persist_posting_index,
+        remove_from_posting_index,
+        vacuum_posting_index,
+    )
+
+    prefix = "t_bm25_crashwin"
+    persist_posting_index(
+        build_posting_index(tokenized_docs), prefix, n_buckets=8,
+        path=str(tmp_path / "pidx"),
+    )
+    try:
+        full = _topk_rows(bm25_topk(tokenized_docs, TERMS, k=15))
+        dead = tokenized_docs.where(F.col("doc_id") % 5 == 0).select(
+            "doc_id"
+        ).localCheckpoint()
+        remove_from_posting_index(spark, dead, prefix)
+        vacuum_posting_index(spark, prefix)
+        # simulate the crash: the folds completed, the clear did not —
+        # re-insert the tombstone rows over the already-folded ids
+        dead.write.mode("append").format("parquet").saveAsTable(
+            f"{prefix}_tombstones"
+        )
+        spark.catalog.refreshTable(f"{prefix}_tombstones")
+
+        resurrect = tokenized_docs.join(F.broadcast(dead), "doc_id", "left_semi")
+        append_to = build_posting_index(resurrect)
+        from nlp_with_pyspark_spark.operators.search import (
+            append_to_posting_index,
+        )
+
+        append_to_posting_index(append_to, prefix)
+        idx = load_posting_index(spark, prefix)
+        # the stale rows are gone, the re-ingested docs serve NOW, and
+        # the stats equal the full rebuild's exact integers
+        assert idx.tombstones is None
+        assert _topk_rows(bm25_topk_indexed(idx, TERMS, k=15)) == full
+        stats = idx.stats.collect()[0]
+        ref = build_posting_index(tokenized_docs).stats.collect()[0]
+        assert (stats["n_docs"], stats["total_dl"]) == (
+            ref["n_docs"], ref["total_dl"],
+        )
+        # the next vacuum has nothing to fold — the window left no debt
+        assert vacuum_posting_index(spark, prefix)["tombstones_folded"] == 0
+    finally:
+        for t in ("postings", "docs", "stats", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
 def test_posting_index_tombstones_survive_restart(spark, tokenized_docs, tmp_path):
     """A session restart must not resurrect takedowns: the catalog is
     per-session but the ``<postings>__tombstones`` data dir is not, and

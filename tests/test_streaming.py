@@ -2469,6 +2469,128 @@ def test_dedup_store_delete_sink_stream_equals_batch(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_neardup_upsert_scrubs_stale_tombstone_after_crashed_vacuum(
+    spark, sf_dir, tmp_path
+):
+    """The vacuum crash window (died after the physical folds, before
+    the tombstone clear) must not invisibly shadow a re-ingest: a stale
+    tombstone row — an id the docs ledger no longer holds — is scrubbed
+    by neardup_upsert_batch when it admits that id (the vector store's
+    protocol), so the re-ingested survivors are visible to every future
+    delta check and the store returns to its exact pre-takedown state."""
+    from nlp_with_pyspark_spark.operators.dedup import (
+        neardup_store_tombstones,
+        remove_from_neardup_store,
+        vacuum_neardup_store,
+    )
+    from nlp_with_pyspark_spark.streaming.sinks import neardup_upsert_batch
+
+    kw, corpus, id_col = _takedown_setup(spark, sf_dir, "minhash")
+    prefix = "t_takedown_crashwin"
+    store = str(tmp_path / "store")
+    try:
+        neardup_upsert_batch(corpus, store, table_prefix=prefix, n_buckets=8, **kw)
+        snap_docs = _table_rows(spark, f"{prefix}_docs")
+        stored = sorted(
+            r[0] for r in spark.table(f"{prefix}_docs").select(id_col).collect()
+        )
+        dead = stored[::5][:10]
+        remove_from_neardup_store(spark, dead, prefix, id_col=id_col)
+        vacuum_neardup_store(spark, prefix, "minhash", id_col=id_col)
+        # simulate the crash: the folds completed, the clear did not —
+        # re-insert the tombstone rows over the already-folded ids
+        spark.createDataFrame(
+            [(int(d),) for d in dead], "doc_id long"
+        ).write.mode("append").format("parquet").saveAsTable(
+            f"{prefix}_tombstones"
+        )
+        spark.catalog.refreshTable(f"{prefix}_tombstones")
+        assert neardup_store_tombstones(spark, prefix, id_col) is not None
+
+        # re-ingest the folded docs: survivors never near-dup each other
+        # (the store invariant), so the whole batch is admitted — and
+        # admitting an id with a stale tombstone row scrubs that row
+        batch = corpus.where(F.col(id_col).isin([int(d) for d in dead]))
+        neardup_upsert_batch(batch, store, table_prefix=prefix, n_buckets=8, **kw)
+        assert neardup_store_tombstones(spark, prefix, id_col) is None
+        assert _table_rows(spark, f"{prefix}_docs") == snap_docs
+        # the next vacuum has nothing to fold — the window left no debt
+        assert (
+            vacuum_neardup_store(spark, prefix, "minhash", id_col=id_col)[
+                "tombstones_folded"
+            ]
+            == 0
+        )
+        assert _table_rows(spark, f"{prefix}_docs") == snap_docs
+    finally:
+        for s in ("docs", "buckets", "shingles", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{s}")
+
+
+def test_exact_store_upsert_scrubs_stale_tombstone_after_crashed_vacuum(
+    spark, tmp_path
+):
+    """Exact-store twin of the crash-window scrub: a stale tombstone
+    row for a key the store table no longer holds is scrubbed by the
+    ingest sink when it re-admits that key, so the re-ingested row
+    serves immediately instead of being anti-joined away by every
+    consumer until the next vacuum deletes it."""
+    from nlp_with_pyspark_spark.operators.dedup import (
+        exact_dedup_store_tombstones,
+        load_exact_dedup_store,
+        remove_from_exact_dedup_store,
+        vacuum_exact_dedup_store,
+    )
+    from nlp_with_pyspark_spark.streaming.sinks import incremental_dedup_sink
+    from nlp_with_pyspark_spark.streaming.windows import events_stream_from_dir
+
+    base = 1_700_000_000_000_000
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        (i, base + i * 1_000_000, 10 + i, "click", float(i), "{}")
+        for i in range(1, 7)
+    ]
+    _write_events_file(spark, src / "f1", rows)
+    store = str(tmp_path / "store")
+    tbl = "t_exact_crashwin"
+    try:
+        stream = events_stream_from_dir(spark, str(src / "f*"), max_files_per_trigger=1)
+        incremental_dedup_sink(
+            stream, store, str(tmp_path / "ck1"), table=tbl, n_buckets=4
+        )
+        snap = _exact_store_rows(spark, tbl)
+        dead = [2, 4]
+        remove_from_exact_dedup_store(spark, dead, tbl)
+        vacuum_exact_dedup_store(spark, tbl)
+        # simulate the crash: folds done, clear not
+        spark.createDataFrame(
+            [(int(d),) for d in dead], "event_id long"
+        ).write.mode("append").format("parquet").saveAsTable(f"{tbl}_tombstones")
+        spark.catalog.refreshTable(f"{tbl}_tombstones")
+        assert exact_dedup_store_tombstones(spark, tbl) is not None
+
+        # fresh-checkpoint replay re-ingests the folded keys — admitted
+        # (the table lacks them) and their stale tombstone rows scrubbed
+        stream2 = events_stream_from_dir(spark, str(src / "f*"), max_files_per_trigger=1)
+        incremental_dedup_sink(
+            stream2, store, str(tmp_path / "ck2"), table=tbl, n_buckets=4
+        )
+        assert exact_dedup_store_tombstones(spark, tbl) is None
+        # refresh: the outer session's file-listing cache predates the
+        # sink's append (production readers go through
+        # load_exact_dedup_store, which refreshes)
+        spark.catalog.refreshTable(tbl)
+        assert _exact_store_rows(spark, tbl) == snap
+        assert sorted(
+            r.event_id for r in load_exact_dedup_store(spark, tbl).collect()
+        ) == [1, 2, 3, 4, 5, 6]
+        assert vacuum_exact_dedup_store(spark, tbl)["tombstones_folded"] == 0
+    finally:
+        for t in (tbl, f"{tbl}_tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_neardup_takedown_random_lifecycle_invariants(spark, sf_dir, tmp_path):
     """Seeded random interleavings of the survivor-store lifecycle —
     upsert / delete-wave / vacuum / replay — must preserve the store's
