@@ -350,9 +350,16 @@ def append_to_vector_index(
     re-ingested vector serves immediately instead of being invisibly
     shadowed until the next vacuum.
 
-    Scale shape: the encode is the literal projection; both guard
-    joins semi-filter store scans by the broadcast batch id list.
-    Returns the number of newly ingested vectors."""
+    Scale shape: the encode is the literal projection; the ledger
+    guard semi-filters a bucketed key-only scan by the broadcast batch
+    id list, and the stale-row guard scans ONLY the batch's own lists —
+    the encode is deterministic, so a crashed append's orphan codes
+    rows can live nowhere else — via a literal IN-filter on list_id
+    (bounded by n_lists values) that prunes unprobed lists' row groups
+    at the parquet footer of the bucketed-sorted-by-list_id layout:
+    per-batch append cost tracks the batch's lists, not the store
+    (measured flat-decade in SCALING.md "Vector-index ingest cost vs
+    store size"). Returns the number of newly ingested vectors."""
     from ..sources.io import append_to_bucketed_table
 
     spark = new_vectors.sparkSession
@@ -380,8 +387,17 @@ def append_to_vector_index(
                 table_prefix,
                 idx.tombstones.join(batch_ids, "vec_id", "left_anti"),
             )
-    new_codes = _encode(fresh, idx.centroids, idx.codebooks, "embedding", "vec_id")
-    stale = spark.table(codes_tbl).join(batch_ids, "vec_id", "left_semi")
+    new_codes = _encode(
+        fresh, idx.centroids, idx.codebooks, "embedding", "vec_id"
+    ).localCheckpoint()  # consumed by the list collect, the guard, the append
+    batch_lists = sorted(
+        r.list_id for r in new_codes.select("list_id").distinct().collect()
+    )  # bounded by n_lists — the quantizer's size, never the batch's
+    stale = (
+        spark.table(codes_tbl)
+        .where(F.col("list_id").isin([int(i) for i in batch_lists]))
+        .join(batch_ids, "vec_id", "left_semi")
+    )
     new_codes = new_codes.join(stale.select("vec_id"), "vec_id", "left_anti")
     append_to_bucketed_table(new_codes, codes_tbl)
     append_to_bucketed_table(fresh, vecs_tbl)  # commit point
