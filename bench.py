@@ -80,7 +80,7 @@ HEADLINE = [
     "embedding_quantization_stats",
     "events_distinct_users",
     "multimodal_asset_stats",
-    "multimodal_resize",
+    "ann_ivfpq_filtered_topk",
     "order_priority_melt",
     "order_status_cube",
     "simhash_fingerprints",
@@ -97,7 +97,7 @@ HEADLINE = [
     "doc_lm_scores",
     "bm25_search_topk",
     "model_calibration_bins",
-    "ann_ivfpq_topk",
+    "vector_index_rebalance_stats",
     "salted_nation_revenue",
     "top_orders_per_customer",
     "quality_scores",
@@ -120,6 +120,8 @@ HEADLINE = [
 #: round-10 verdict's ask; per-leg stage decompositions in SCALING.md).
 LIFECYCLE = {
     "ann_ivfpq_maintained_topk",
+    "ann_ivfpq_filtered_topk",
+    "vector_index_rebalance_stats",
     "bm25_indexed_topk",
     "bm25_maintained_topk",
     "dedup_maintained_corpus",
@@ -298,6 +300,22 @@ LIFECYCLE = {
 # its 4.9 s reading weak-pending-A/B; BENCH_r13 re-measures it after
 # this round's SCALING.md A/B (the same protocol that exonerated the
 # four r11 flags).
+#
+# Round 13 (third swap) — IN: ann_ivfpq_filtered_topk (new
+# registration: multi-tenant/policy-scoped serve from the persisted
+# store — build + allowed-semi-join two-stage serve per call, a
+# LIFECYCLE leg). OUT: multimodal_resize (benched r12; kin
+# multimodal_asset_stats and multimodal_frame_sample both stay — the
+# same binary-column mapInArrow plumbing; due again r15).
+#
+# Round 13 (second swap) — IN: vector_index_rebalance_stats (new
+# registration, the vector store's drift-maintenance stage — build +
+# occupancy stats + hot-list hyperplane split + compact rewrite per
+# call, a LIFECYCLE leg). OUT: ann_ivfpq_topk (benched r12; kin
+# ivfpq_rerank_topk stays — it composes the identical ADC stage
+# verbatim at k=50 as its shortlist — and ann_ivfpq_maintained_topk
+# stays as the store-side serve of the same configuration; due again
+# r15 under the every-3-rounds rule).
 
 
 def run_one(name: str, sf_dir: str, runs: int) -> None:

@@ -50,17 +50,25 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .similarity import _d2_sql, centroid_assign_col, centroid_entries_sql
+from .similarity import (
+    _d2_sql,
+    _dot_sql,
+    _hyperplane,
+    centroid_assign_col,
+    centroid_entries_sql,
+)
 
 __all__ = [
     "VectorIndex",
     "append_to_vector_index",
     "load_vector_index",
     "persist_vector_index",
+    "rebalance_vector_index",
     "register_vector_index",
     "remove_from_vector_index",
     "train_and_persist_vector_index",
     "vacuum_vector_index",
+    "vector_index_list_stats",
     "vector_index_rerank_topk",
     "vector_index_tombstones",
 ]
@@ -504,6 +512,7 @@ def vector_index_rerank_topk(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Serve the production two-stage retrieval FROM THE STORE —
     row-identical to similarity.ivfpq_rerank_topk over the live corpus
@@ -517,7 +526,14 @@ def vector_index_rerank_topk(
          prunes unprobed lists' row groups at the parquet footer;
       2. tombstoned vectors leave the candidate frame BEFORE the
          shortlist rank (broadcast anti-join — freed slots fill with
-         next-best, the rebuild-without semantics);
+         next-best, the rebuild-without semantics); the same seam
+         serves FILTERED retrieval: ``allowed`` (an id frame — a
+         policy allowlist, a metadata predicate's id projection, a
+         tenant scope) semi-joins the candidate frame at the same
+         point, so the answer equals an index holding ONLY the allowed
+         vectors (filter ≡ rebuild-with-only, pinned in tests; no
+         broadcast hint — a filter can be corpus-scale where a
+         tombstone list never is, so AQE picks the join side);
       3. ADC fold over codes → shortlist rank window;
       4. exact re-rank: ONLY the Q·shortlist candidates' true vectors
          are fetched from the vecs ledger via a broadcast semi-join.
@@ -569,6 +585,12 @@ def vector_index_rerank_topk(
         cand_codes = cand_codes.join(
             F.broadcast(index.tombstones.select("vec_id")), "vec_id", "left_anti"
         )
+    if allowed is not None:
+        cand_codes = cand_codes.join(
+            allowed.select(F.col(allowed.columns[0]).cast("long").alias("vec_id")),
+            "vec_id",
+            "left_semi",
+        )
     dist = F.aggregate(
         F.zip_with(
             F.col("codes"),
@@ -615,3 +637,232 @@ def vector_index_rerank_topk(
     return rescored.withColumn("rank", F.row_number().over(w2)).where(
         F.col("rank") <= k
     )
+
+
+def vector_index_list_stats(
+    spark: SparkSession, table_prefix: str
+) -> DataFrame:
+    """Per-inverted-list occupancy — ``(list_id, n_vecs, n_live)`` —
+    the balance dashboard every IVF deployment watches (a hot list is
+    the store's probe-cost ceiling: serve reads whole lists, so one
+    list at 10× the mean makes every query probing it pay 10×), and
+    :func:`rebalance_vector_index`'s detection input.
+
+    Scale shape: a KEY-ONLY columnar aggregate — the scan reads the
+    (vec_id, list_id) columns and prunes the codes blob at the parquet
+    footer; ``n_live`` nets out tombstones via the broadcast flag join
+    (tombstone lists are takedown-sized). No corpus-sized shuffle: the
+    agg output is bounded by the quantizer's cell count."""
+    codes_tbl = f"{table_prefix}_codes"
+    spark.catalog.refreshTable(codes_tbl)
+    rows = spark.table(codes_tbl).select("vec_id", "list_id")
+    tombs = vector_index_tombstones(spark, table_prefix)
+    if tombs is None:
+        return rows.groupBy("list_id").agg(
+            F.count("*").alias("n_vecs"), F.count("*").alias("n_live")
+        )
+    flagged = rows.join(
+        F.broadcast(tombs.select("vec_id").withColumn("_dead", F.lit(1))),
+        "vec_id",
+        "left",
+    )
+    return flagged.groupBy("list_id").agg(
+        F.count("*").alias("n_vecs"),
+        F.count(F.when(F.col("_dead").isNull(), F.lit(1))).alias("n_live"),
+    )
+
+
+def _overwrite_centroids(
+    spark: SparkSession, table_prefix: str, rows: list[tuple[int, list[float]]]
+) -> None:
+    """Overwrite the (tiny) centroid table preserving its external
+    location — the ``_rewrite_tombstones`` idiom for the quantizer."""
+    from .search import _table_path_if_external
+
+    tbl = f"{table_prefix}_centroids"
+    df = spark.createDataFrame(rows, "list_id int, centroid array<double>")
+    writer = df.write.mode("overwrite").format("parquet")
+    tpath = _table_path_if_external(spark, tbl)
+    if tpath is not None:
+        writer = writer.option("path", tpath)
+    writer.saveAsTable(tbl)
+    spark.catalog.refreshTable(tbl)
+
+
+def rebalance_vector_index(
+    spark: SparkSession,
+    table_prefix: str,
+    max_list_factor: float = 1.5,
+    direction: list[float] | None = None,
+) -> dict:
+    """Split HOT inverted lists — the IVF store's answer to data drift.
+
+    Streaming appends assign every new vector through the quantizer
+    that was trained at build time; when the data distribution drifts,
+    vectors pile into a few lists and the store's serve cost becomes
+    the hottest list's size (probing a list reads the whole list).
+    Production IVF systems re-balance instead of re-training: a list
+    whose LIVE occupancy exceeds ``max_list_factor ×`` the per-cell
+    mean is split in two by a deterministic hyperplane — rows are
+    ordered by their projection onto ``direction`` (rounded to 6
+    decimals, the engine's cross-engine-replay idiom) with vec_id as
+    the tiebreak, the low half keeps the parent list id, the high half
+    moves to a freshly allocated child id — and each half's centroid
+    becomes its own mean (components rounded to 6, same idiom). The
+    Annoy-style hyperplane split (random-projection median cut;
+    Bernhardsson's annoy, public) is chosen over 2-means because it is
+    deterministic, guarantees a balanced cut, and its membership rule
+    is replayable in plain SQL — the registered
+    ``vector_index_rebalance_stats`` query oracle-checks it end to end.
+
+    PQ codes are computed from the raw vector subspaces, NOT from
+    list-relative residuals (see :func:`_encode`), so a split moves a
+    row's ``list_id`` and nothing else — no re-encode, the codes blob
+    column is untouched.
+
+    Membership semantics (the standard IVF property): after a split, a
+    row's list is its SPLIT-RULE membership — not the global argmin
+    under the updated quantizer, which only a full rebuild re-derives
+    (exactly as a streamed append's membership is the argmin at INGEST
+    time, never revisited). Serving is unchanged and exact w.r.t. its
+    shortlist (stage 2 re-ranks true vectors); with ``n_probe`` = all
+    lists the store's answer is pinned row-identical to the inline
+    ``similarity.ivfpq_rerank_topk`` under the post-split quantizer —
+    membership-independent, the correctness anchor
+    (tests/test_vector_store.py).
+
+    Semantics and protocol:
+
+      * detection uses LIVE counts (:func:`vector_index_list_stats`);
+        the split rule then partitions a hot list's PHYSICAL rows
+        (tombstoned rows move with their list and stay tombstoned) —
+        rebalance after big takedowns belongs AFTER the vacuum in the
+        epoch order;
+      * child ids are allocated ABOVE every id either the codes table
+        or the centroid table has ever seen — a list id is never
+        reused, so an in-flight append can never collide with a child;
+      * commit order is centroids FIRST, then the codes rewrite
+        (through ``io.compact_bucketed_table``'s crash-recoverable
+        spec-preserving swap). At every intermediate state each
+        ``list_id`` present in codes has a centroid row — rows stay
+        reachable — and serving stays correct: a crash between the two
+        commits leaves child cells that are merely EMPTY (a probe slot
+        wasted on them until the replay completes, never a wrong row).
+        A replay re-detects the same hot lists (codes are unchanged)
+        and converges; it allocates fresh child ids above the crashed
+        attempt's, leaving at most one benign empty quantizer cell per
+        interrupted attempt (documented, like the vacuum's stale-
+        tombstone window).
+
+    Scale shape: detection is the key-only stats agg; the split plan
+    touches ONLY hot lists' rows — the codes scan carries a literal
+    IN-filter on the hot list ids that prunes at the parquet footer of
+    the bucketed-sorted-by-list_id layout (the serve path's pruning),
+    and the ledger join is Exchange-free on the bucketed store side;
+    the one store-sized cost is the codes rewrite itself, which rides
+    the SAME compact seam the vacuum pays (once-per-epoch maintenance,
+    measured 2.6× at 100× on the bigger text stores). Returns a report
+    dict: hot lists, per-split child ids and sizes, rewrite stats."""
+    stats = vector_index_list_stats(spark, table_prefix).collect()
+    cent_rows = spark.table(f"{table_prefix}_centroids").collect()
+    n_cells = len(cent_rows)
+    total_live = sum(int(r.n_live) for r in stats)
+    hot = sorted(
+        int(r.list_id)
+        for r in stats
+        if int(r.n_live) * n_cells > max_list_factor * total_live
+    )
+    report: dict = {"hot_lists": hot, "splits": {}, "total_live": total_live}
+    if not hot:
+        return report
+    dim = len(cent_rows[0].centroid)
+    if direction is None:
+        direction = _hyperplane(dim, 0, seed="vec-rebalance")
+    max_id = max(
+        [int(r.list_id) for r in cent_rows] + [int(r.list_id) for r in stats]
+    )
+    children = {h: max_id + 1 + i for i, h in enumerate(hot)}
+    codes_tbl, vecs_tbl = f"{table_prefix}_codes", f"{table_prefix}_vecs"
+    hot_rows = (
+        spark.table(codes_tbl)
+        .where(F.col("list_id").isin(hot))
+        .select("vec_id", "list_id")
+        .join(spark.table(vecs_tbl), "vec_id")
+    )
+    w = Window.partitionBy("list_id").orderBy(F.asc("proj"), F.asc("vec_id"))
+    wn = Window.partitionBy("list_id")
+    child_col = F.col("list_id")  # fallback never hit: every row's list is hot
+    for h in hot:
+        child_col = F.when(
+            F.col("list_id") == h, F.lit(children[h])
+        ).otherwise(child_col)
+    planned = (
+        hot_rows.withColumn(
+            "proj", F.round(F.expr(_dot_sql("`embedding`", direction)), 6)
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("nn", F.count("*").over(wn))
+        .select(
+            "vec_id",
+            "list_id",
+            "embedding",
+            F.when(2 * F.col("rn") <= F.col("nn") + 1, F.col("list_id"))
+            .otherwise(child_col)
+            .cast("int")
+            .alias("tgt_list"),
+        )
+        .localCheckpoint()  # snapshot: both commits rewrite what this reads
+    )
+    moves = planned.where(F.col("tgt_list") != F.col("list_id")).select(
+        "vec_id", F.col("tgt_list").alias("_new_list")
+    )
+    cent_new = (
+        planned.select("tgt_list", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("tgt_list", "pos")
+        .agg(F.avg("x").alias("av"))
+        .groupBy("tgt_list")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "av"))).alias("pa"))
+        .select(
+            F.col("tgt_list").cast("int").alias("list_id"),
+            F.expr("transform(pa, s -> round(s.av, 6))").alias("centroid"),
+        )
+        .collect()  # bounded: ≤ 2 × |hot lists| rows
+    )
+    sizes = {
+        int(r.tgt_list): int(r.n)
+        for r in planned.groupBy("tgt_list").agg(F.count("*").alias("n")).collect()
+    }
+    replaced = {int(r.list_id) for r in cent_new}
+    rows_out = [
+        (int(r.list_id), [float(x) for x in r.centroid])
+        for r in cent_rows
+        if int(r.list_id) not in replaced
+    ] + [(int(r.list_id), [float(x) for x in r.centroid]) for r in cent_new]
+    _overwrite_centroids(spark, table_prefix, sorted(rows_out))  # commit A
+    compact_report = None
+    if sizes.keys() - set(hot):  # any row actually moved
+        from ..sources.io import compact_bucketed_table
+
+        def remap(df: DataFrame) -> DataFrame:
+            return (
+                df.join(moves, "vec_id", "left")
+                .withColumn(
+                    "list_id",
+                    F.coalesce(F.col("_new_list"), F.col("list_id")),
+                )
+                .drop("_new_list")
+            )
+
+        compact_report = compact_bucketed_table(
+            spark, codes_tbl, transform=remap
+        )  # commit B
+    report["splits"] = {
+        h: {
+            "child": children[h],
+            "kept": sizes.get(h, 0),
+            "moved": sizes.get(children[h], 0),
+        }
+        for h in hot
+    }
+    report["codes_rewrite"] = compact_report
+    return report

@@ -516,9 +516,13 @@ def compact_bucketed_table(
 
     ``transform``: optional ``DataFrame -> DataFrame`` applied to the
     staged scan before the rewrite — the seam a FILTERED rewrite rides
-    (``vacuum_posting_index`` drops tombstoned rows through it). It
-    must be row-subsetting only (no schema or bucket-column changes:
-    the swap re-uses the existing spec and sidecar verbatim).
+    (``vacuum_posting_index`` drops tombstoned rows through it). It may
+    subset rows and may REMAP the bucket column's VALUES (the staged
+    write re-hashes via ``repartition(n, col)`` + ``bucketBy`` over the
+    transformed values, so the new layout is consistent —
+    ``rebalance_vector_index`` moves rows between inverted lists through
+    exactly this), but must not change the schema or the bucket COLUMN:
+    the swap re-uses the existing spec and sidecar verbatim.
 
     The catalog entry never changes: the rewrite goes to a staging
     table at ``<path>.__compact_tmp`` (then its staging catalog entry is

@@ -792,6 +792,87 @@ def vec_maint_probe(corpus_dir: str, tag: str) -> dict:
     }
 
 
+def vec_rebalance_probe(corpus_dir: str, tag: str) -> dict:
+    """Hot-list REBALANCE cost profile (round 13 — the vector store's
+    drift-maintenance stage, operators/vector_store.
+    rebalance_vector_index): build the persisted IVF-PQ store from the
+    full embeddings corpus, then time the three cost surfaces the
+    operator's scale story separates: (1) DETECTION —
+    vector_index_list_stats, a key-only columnar agg cheap enough to
+    run per-batch; (2) the REBALANCE itself at max_list_factor=1.0
+    (every above-mean list splits — planning ∝ hot lists' rows, rewrite
+    through the compact seam); (3) a plain no-transform
+    compact_bucketed_table of the post-rebalance codes table — the
+    vacuum-class REWRITE BASELINE the rebalance total is decomposed
+    against (rebalance ≈ detection + hot-row planning + this rewrite +
+    the bounded centroid overwrite). A post-rebalance full-probe serve
+    closes the leg (correctness priced in the same JVM). Expect:
+    detection ~flat (two-int-column scan), rebalance tracking its
+    rewrite baseline plus hot-row planning, neither exceeding
+    vacuum-class cost. One fresh session per leg (subprocess)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from nlp_with_pyspark_spark.operators.similarity import pq_fixed_codebooks
+    from nlp_with_pyspark_spark.operators.vector_store import (
+        load_vector_index,
+        persist_vector_index,
+        rebalance_vector_index,
+        vector_index_list_stats,
+        vector_index_rerank_topk,
+    )
+    from nlp_with_pyspark_spark.sources.io import (
+        compact_bucketed_table,
+        read_table,
+    )
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name=f"vec-rebal-{tag}")
+    spark.sparkContext.setLogLevel("ERROR")
+    prefix = f"probe_vecrebal_{tag}"
+    store_dir = tempfile.mkdtemp(prefix=f"vecrebal_{tag}_")
+    atexit.register(shutil.rmtree, store_dir, ignore_errors=True)
+    emb = read_table(spark, corpus_dir, "embeddings").select("vec_id", "embedding")
+    cent_rows = emb.where(F.col("vec_id") < 8).collect()
+    centroids = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in cent_rows]
+    queries = emb.where(F.col("vec_id") < 5).localCheckpoint()
+    t0 = time.perf_counter()
+    persist_vector_index(
+        emb, centroids, pq_fixed_codebooks(), prefix, n_buckets=8, path=store_dir
+    )
+    t_build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    stats = vector_index_list_stats(spark, prefix).collect()
+    t_detect = time.perf_counter() - t0
+    n_rows = sum(int(r.n_vecs) for r in stats)
+    t0 = time.perf_counter()
+    rep = rebalance_vector_index(spark, prefix, max_list_factor=1.0)
+    t_rebalance = time.perf_counter() - t0
+    moved = sum(s["moved"] for s in rep["splits"].values())
+    t0 = time.perf_counter()
+    compact_bucketed_table(spark, f"{prefix}_codes")
+    t_rewrite_baseline = time.perf_counter() - t0
+    idx = load_vector_index(spark, prefix)
+    t0 = time.perf_counter()
+    materialize(
+        vector_index_rerank_topk(
+            idx, queries, k=10, shortlist=50, n_probe=len(idx.centroids)
+        )
+    )
+    t_serve_fullprobe = time.perf_counter() - t0
+    return {
+        "rows": n_rows,
+        "n_hot": len(rep["hot_lists"]),
+        "rows_moved": moved,
+        "t_build": round(t_build, 2),
+        "t_detect": round(t_detect, 2),
+        "t_rebalance": round(t_rebalance, 2),
+        "t_rewrite_baseline": round(t_rewrite_baseline, 2),
+        "t_serve_fullprobe": round(t_serve_fullprobe, 2),
+    }
+
+
 def vec_sink_probe_leg(
     corpus_dir: str, tag: str, batch_vecs: int, runs: int
 ) -> dict:
@@ -1106,6 +1187,18 @@ def main() -> None:
         "tag; corpus dir from --base)",
     )
     ap.add_argument(
+        "--vec-rebalance-probe", action="store_true",
+        help="hot-list rebalance probe: detection / rebalance / plain-"
+        "rewrite-baseline / full-probe-serve timings on the persisted "
+        "IVF-PQ store at 1x and --factor x embeddings (one fresh "
+        "session per leg)",
+    )
+    ap.add_argument(
+        "--vec-rebal-leg", default=None,
+        help="internal: run one rebalance probe leg (value = tag; "
+        "corpus dir from --base)",
+    )
+    ap.add_argument(
         "--vec-sink-probe", action="store_true",
         help="vector-index ingest probe: per-batch fixed-size append "
         "cost vs store size (seeds the persisted IVF-PQ store at 1x "
@@ -1163,6 +1256,34 @@ def main() -> None:
                 [
                     sys.executable, os.path.abspath(__file__),
                     "--vec-maint-leg", tag, "--base", corpus_dir,
+                ],
+                capture_output=True, text=True, check=True,
+            )
+            results.update(json.loads(out.stdout.strip().splitlines()[-1]))
+            print(json.dumps({tag: results[tag]}), flush=True)
+        print(json.dumps({"factor": args.factor, "results": results}))
+        return
+
+    if args.vec_rebal_leg:
+        print(json.dumps({
+            args.vec_rebal_leg: vec_rebalance_probe(args.base, args.vec_rebal_leg)
+        }))
+        return
+
+    if args.vec_rebalance_probe:
+        import subprocess
+
+        out_dir = args.out or f"/tmp/scale{args.factor}x_embeddings"
+        spark = get_spark(app_name=f"vec-rebal-build-{args.factor}x")
+        spark.sparkContext.setLogLevel("ERROR")
+        build_replicated_dir(spark, args.base, out_dir, args.factor, ("embeddings",))
+        spark.stop()
+        results = {}
+        for tag, corpus_dir in (("1x", args.base), (f"{args.factor}x", out_dir)):
+            out = subprocess.run(
+                [
+                    sys.executable, os.path.abspath(__file__),
+                    "--vec-rebal-leg", tag, "--base", corpus_dir,
                 ],
                 capture_output=True, text=True, check=True,
             )

@@ -32,12 +32,15 @@ REQUIRED_IN_WINDOW = {
     "lang_id_counts", "markup_strip_stats", "token_budget",
     # dedup / similarity (round 13: simhash_fingerprints / ann_ivf_topk /
     # embedding_quantization_stats / line_dedup_stats replace their
-    # demoted family twins)
+    # demoted family twins; second entry: vector_index_rebalance_stats —
+    # the store's drift-maintenance stage — replaces the
+    # embedding_centroid_topk rep, whose centroid-assign core both
+    # ann_ivf_topk and the rebalance query keep in window)
     "dedup_exact_groups", "dedup_minhash_pairs", "dedup_components",
     "simhash_delta_pairs", "dedup_delta_pairs",
     "semantic_dedup_pairs", "simhash_fingerprints",
-    "ann_recall_at_k", "ann_ivf_topk", "ivfpq_rerank_topk",
-    "embedding_centroid_topk", "embedding_quantization_stats",
+    "ann_recall_at_k", "ann_ivf_topk", "ann_ivfpq_filtered_topk",
+    "vector_index_rebalance_stats", "embedding_quantization_stats",
     "dedup_maintained_corpus",
     "ann_ivfpq_maintained_topk",
     # corpus hygiene / curation pipeline

@@ -436,3 +436,399 @@ def test_fanout_drives_vector_store(spark, sf_dir, emb, quantizer, tmp_path):
         _drop(spark, vprefix)
         for t in ("docs", "buckets", "shingles", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {ndx}_{t}")
+
+
+def test_filtered_serve_equals_rebuild_with_only_allowed(
+    spark, emb, quantizer, tmp_path
+):
+    """The ``allowed`` seam (multi-tenant / policy-scoped retrieval):
+    restricting candidates through the pre-shortlist semi-join answers
+    exactly like an index holding ONLY the allowed vectors — freed
+    slots fill with next-best allowed (the tombstone mechanism's
+    positive twin) — and composes with tombstones: a dead id is
+    excluded even when allowed. A full-coverage filter is a no-op."""
+    cent, cbs = quantizer
+    prefix = "t_vstore_filt"
+    queries = emb.where(F.col("vec_id") < 5)
+    try:
+        persist_vector_index(emb, cent, cbs, prefix, n_buckets=8, path=str(tmp_path / "f"))
+        allowed = emb.where(F.col("vec_id") % 3 != 0).select("vec_id")
+        idx = load_vector_index(spark, prefix)
+        filtered = _rows(
+            vector_index_rerank_topk(
+                idx, queries, k=10, shortlist=50, n_probe=3, allowed=allowed
+            )
+        )
+        assert filtered == _rows(
+            ivfpq_rerank_topk(
+                emb.where(F.col("vec_id") % 3 != 0), queries, cent, cbs,
+                k=10, shortlist=50, n_probe=3,
+            )
+        )
+        assert filtered != _rows(_serve(spark, prefix, queries))
+        # full-coverage filter ⇒ identical to the unfiltered serve
+        assert _rows(
+            vector_index_rerank_topk(
+                idx, queries, k=10, shortlist=50, n_probe=3,
+                allowed=emb.select("vec_id"),
+            )
+        ) == _rows(_serve(spark, prefix, queries))
+        # composes with takedowns: dead ∧ allowed is still dead
+        dead = emb.where(
+            (F.col("vec_id") >= 5) & (F.col("vec_id") % 3 == 1) & (F.col("vec_id") % 5 == 0)
+        ).select("vec_id").localCheckpoint()
+        assert dead.count() > 0
+        remove_from_vector_index(spark, dead, prefix)
+        both = _rows(
+            vector_index_rerank_topk(
+                load_vector_index(spark, prefix), queries,
+                k=10, shortlist=50, n_probe=3, allowed=allowed,
+            )
+        )
+        assert both == _rows(
+            ivfpq_rerank_topk(
+                emb.where(F.col("vec_id") % 3 != 0).join(dead, "vec_id", "left_anti"),
+                queries, cent, cbs, k=10, shortlist=50, n_probe=3,
+            )
+        )
+    finally:
+        _drop(spark, prefix)
+
+
+# --- hot-list rebalance (drift maintenance) --------------------------------
+
+
+def _dirv(emb):
+    return [float(x) for x in emb.where(F.col("vec_id") == 11).head().embedding]
+
+
+def _pairs(spark, prefix):
+    return {
+        (int(r.vec_id), int(r.list_id))
+        for r in spark.table(f"{prefix}_codes").select("vec_id", "list_id").collect()
+    }
+
+
+def test_rebalance_splits_hot_lists_and_conserves(spark, emb, quantizer, tmp_path):
+    """The hyperplane split's structural invariants: a hot list's rows
+    partition EXACTLY into kept (parent id, ⌈n/2⌉) and moved (child id,
+    ⌊n/2⌋); untouched lists keep their membership bit-for-bit; the vecs
+    ledger and the codes blobs never change (PQ codes encode raw
+    subspaces — a split moves list ids only); the centroid table gains
+    the children and re-means the parents. Membership cross-engine
+    parity is gated separately: the registered
+    vector_index_rebalance_stats query replays detection + cut +
+    allocation in DuckDB SQL (tests/test_oracle_parity)."""
+    from nlp_with_pyspark_spark.operators.vector_store import (
+        rebalance_vector_index,
+    )
+
+    cent, cbs = quantizer
+    prefix = "t_vstore_rebal"
+    try:
+        persist_vector_index(emb, cent, cbs, prefix, n_buckets=8, path=str(tmp_path / "r"))
+        before = _pairs(spark, prefix)
+        vecs_before = _rows(spark.table(f"{prefix}_vecs"))
+        codes_before = _rows(spark.table(f"{prefix}_codes"))
+        # factor 1.0: hot ⇔ a list strictly above the per-cell mean —
+        # guaranteed non-empty unless all 8 counts are exactly equal
+        rep = rebalance_vector_index(
+            spark, prefix, max_list_factor=1.0, direction=_dirv(emb)
+        )
+        hot = rep["hot_lists"]
+        assert hot, "no list above the mean — degenerate corpus"
+        after = _pairs(spark, prefix)
+        assert len(after) == len(before)
+        assert {v for v, _ in after} == {v for v, _ in before}
+        for h in hot:
+            members = {v for v, l in before if l == h}
+            kept = {v for v, l in after if l == h}
+            child = rep["splits"][h]["child"]
+            moved = {v for v, l in after if l == child}
+            assert kept | moved == members and not (kept & moved)
+            assert len(kept) == (len(members) + 1) // 2
+            assert rep["splits"][h] == {
+                "child": child, "kept": len(kept), "moved": len(moved)
+            }
+        untouched = {l for _, l in before} - set(hot)
+        for l in untouched:
+            assert {v for v, l2 in before if l2 == l} == {
+                v for v, l2 in after if l2 == l
+            }
+        # ledger untouched; codes blobs unchanged row-for-row (list ids
+        # are the only moved column)
+        assert _rows(spark.table(f"{prefix}_vecs")) == vecs_before
+        blob = {r[0]: r[2] for r in codes_before}
+        for r in _rows(spark.table(f"{prefix}_codes")):
+            assert r[2] == blob[r[0]]
+        # quantizer: children added, parents re-meaned over their kept half
+        import math
+
+        cent_after = {
+            int(r.list_id): [float(x) for x in r.centroid]
+            for r in spark.table(f"{prefix}_centroids").collect()
+        }
+        assert set(cent_after) == {c for c, _ in cent} | {
+            rep["splits"][h]["child"] for h in hot
+        }
+        led = {
+            int(r.vec_id): [float(x) for x in r.embedding]
+            for r in spark.table(f"{prefix}_vecs").collect()
+        }
+        h0 = hot[0]
+        child0 = rep["splits"][h0]["child"]
+        moved0 = sorted(v for v, l in after if l == child0)
+        dim = len(led[moved0[0]])
+        for d in range(dim):
+            want = sum(led[v][d] for v in moved0) / len(moved0)
+            assert math.isclose(cent_after[child0][d], want, abs_tol=2e-6)
+    finally:
+        _drop(spark, prefix)
+
+
+def test_rebalance_noop_when_balanced(spark, emb, quantizer, tmp_path):
+    """No list over the threshold ⇒ the rebalance is a strict no-op:
+    empty report, codes untouched, quantizer untouched."""
+    from nlp_with_pyspark_spark.operators.vector_store import (
+        rebalance_vector_index,
+    )
+
+    cent, cbs = quantizer
+    prefix = "t_vstore_rebal_noop"
+    try:
+        persist_vector_index(emb, cent, cbs, prefix, n_buckets=8, path=str(tmp_path / "n"))
+        before = _pairs(spark, prefix)
+        rep = rebalance_vector_index(
+            spark, prefix, max_list_factor=10.0, direction=_dirv(emb)
+        )
+        assert rep["hot_lists"] == [] and rep["splits"] == {}
+        assert _pairs(spark, prefix) == before
+        assert sorted(
+            (int(r.list_id), [float(x) for x in r.centroid])
+            for r in spark.table(f"{prefix}_centroids").collect()
+        ) == sorted((c, v) for c, v in cent)
+    finally:
+        _drop(spark, prefix)
+
+
+def test_rebalance_serve_anchor_and_lifecycle_interop(
+    spark, emb, quantizer, tmp_path
+):
+    """The correctness anchor: membership after a split is split-rule
+    membership (NOT global argmin under the new quantizer — the
+    standard IVF insert-time property), so with n_probe = ALL lists the
+    store's answer is row-identical to the inline two-stage retrieval
+    under the post-split quantizer — membership-independent. And the
+    rebalanced store keeps the full LSM contract: appends encode
+    against the new quantizer (children are live assignment targets),
+    takedowns + vacuum work unchanged, and a catalog-less restart
+    recovers the rebalanced store exactly."""
+    from nlp_with_pyspark_spark.operators.vector_store import (
+        rebalance_vector_index,
+        register_vector_index,
+        vector_index_list_stats,
+    )
+
+    cent, cbs = quantizer
+    prefix = "t_vstore_rebal_serve"
+    store = str(tmp_path / "rs")
+    queries = emb.where(F.col("vec_id") < 5)
+    try:
+        persist_vector_index(emb, cent, cbs, prefix, n_buckets=8, path=store)
+        rep = rebalance_vector_index(
+            spark, prefix, max_list_factor=1.0, direction=_dirv(emb)
+        )
+        assert rep["hot_lists"]
+        idx = load_vector_index(spark, prefix)
+        n_all = len(idx.centroids)
+        assert n_all == 8 + len(rep["hot_lists"])
+        anchor = _rows(
+            vector_index_rerank_topk(idx, queries, k=10, shortlist=50, n_probe=n_all)
+        )
+        assert anchor == _rows(
+            ivfpq_rerank_topk(
+                emb, queries, idx.centroids, idx.codebooks,
+                k=10, shortlist=50, n_probe=n_all,
+            )
+        )
+
+        # restart: registration recovers the post-rebalance quantizer
+        stats = _rows(vector_index_list_stats(spark, prefix))
+        _drop(spark, prefix)
+        register_vector_index(spark, prefix, store)
+        assert _rows(vector_index_list_stats(spark, prefix)) == stats
+        assert sorted(load_vector_index(spark, prefix).centroids) == sorted(
+            idx.centroids
+        )
+
+        # lifecycle interop: delete → serve excludes; append lands in a
+        # child list when nearest; vacuum folds and preserves answers
+        dead = emb.where(
+            (F.col("vec_id") >= 5) & (F.col("vec_id") % 7 == 1)
+        ).select("vec_id").localCheckpoint()
+        remove_from_vector_index(spark, dead, prefix)
+        live = emb.join(dead, "vec_id", "left_anti")
+        served = _rows(
+            vector_index_rerank_topk(
+                load_vector_index(spark, prefix), queries,
+                k=10, shortlist=50, n_probe=n_all,
+            )
+        )
+        assert served == _rows(
+            ivfpq_rerank_topk(
+                live, queries, idx.centroids, idx.codebooks,
+                k=10, shortlist=50, n_probe=n_all,
+            )
+        )
+        vacuum_vector_index(spark, prefix)
+        assert served == _rows(
+            vector_index_rerank_topk(
+                load_vector_index(spark, prefix), queries,
+                k=10, shortlist=50, n_probe=n_all,
+            )
+        )
+        # the forgotten vectors re-ingest against the NEW quantizer
+        assert append_to_vector_index(
+            emb.join(F.broadcast(dead), "vec_id", "left_semi"), prefix
+        ) == dead.count()
+        back = _rows(
+            vector_index_rerank_topk(
+                load_vector_index(spark, prefix), queries,
+                k=10, shortlist=50, n_probe=n_all,
+            )
+        )
+        assert back == _rows(
+            ivfpq_rerank_topk(
+                emb, queries, idx.centroids, idx.codebooks,
+                k=10, shortlist=50, n_probe=n_all,
+            )
+        )
+    finally:
+        _drop(spark, prefix)
+
+
+def test_rebalance_detection_uses_live_counts(spark, emb, quantizer, tmp_path):
+    """A list that is physically hot but has taken its takedowns is NOT
+    split: detection reads live occupancy (vector_index_list_stats'
+    n_live), so rebalance never reorganizes around rows the next vacuum
+    will fold anyway."""
+    from nlp_with_pyspark_spark.operators.vector_store import (
+        rebalance_vector_index,
+        vector_index_list_stats,
+    )
+
+    cent, cbs = quantizer
+    prefix = "t_vstore_rebal_live"
+    try:
+        persist_vector_index(emb, cent, cbs, prefix, n_buckets=8, path=str(tmp_path / "lv"))
+        stats = {
+            int(r.list_id): int(r.n_vecs)
+            for r in vector_index_list_stats(spark, prefix).collect()
+        }
+        h = max(stats, key=lambda l: (stats[l], l))  # the physically hottest
+        # tombstone most of the hot list so its LIVE count drops under
+        # the mean while its physical count still sits above it
+        members = sorted(
+            r.vec_id
+            for r in spark.table(f"{prefix}_codes")
+            .where(F.col("list_id") == h)
+            .select("vec_id")
+            .collect()
+        )
+        keep_live = max(1, len(members) // 4)
+        remove_from_vector_index(spark, members[keep_live:], prefix)
+        st = {
+            int(r.list_id): (int(r.n_vecs), int(r.n_live))
+            for r in vector_index_list_stats(spark, prefix).collect()
+        }
+        total_live = sum(l for _, l in st.values())
+        assert st[h][0] == len(members) and st[h][1] == keep_live
+        # factor chosen between h's live ratio (below ⇒ not hot) and its
+        # physical ratio (above ⇒ a physical-count detector WOULD split)
+        assert st[h][1] * 8 <= 1.0 * total_live, "tombstoning left it live-hot"
+        rep = rebalance_vector_index(
+            spark, prefix, max_list_factor=1.0, direction=_dirv(emb)
+        )
+        assert h not in rep["hot_lists"]
+    finally:
+        _drop(spark, prefix)
+
+
+def test_rebalance_crash_between_commits_replays_convergently(
+    spark, emb, quantizer, tmp_path, monkeypatch
+):
+    """Commit order is centroids FIRST, codes rewrite second. A crash
+    between them leaves child cells that are merely EMPTY — every list
+    in codes still has a centroid row (reachability), and serving stays
+    correct (full-probe ≡ inline under the committed quantizer, since
+    membership never enters at full probe). The replay converges: it
+    re-detects the same hot lists, allocates fresh children above the
+    crashed attempt's, and completes the rewrite — the crashed
+    attempt's cells persist only as benign empty quantizer cells (the
+    documented analogue of the vacuum's stale-tombstone window)."""
+    import nlp_with_pyspark_spark.sources.io as io_mod
+    from nlp_with_pyspark_spark.operators.vector_store import (
+        rebalance_vector_index,
+    )
+
+    cent, cbs = quantizer
+    prefix = "t_vstore_rebal_crash"
+    queries = emb.where(F.col("vec_id") < 5)
+    try:
+        persist_vector_index(emb, cent, cbs, prefix, n_buckets=8, path=str(tmp_path / "cr"))
+        real = io_mod.compact_bucketed_table
+
+        def boom(*a, **k):
+            raise RuntimeError("simulated crash before the codes rewrite")
+
+        monkeypatch.setattr(io_mod, "compact_bucketed_table", boom)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            rebalance_vector_index(
+                spark, prefix, max_list_factor=1.0, direction=_dirv(emb)
+            )
+        monkeypatch.setattr(io_mod, "compact_bucketed_table", real)
+
+        # intermediate state: codes unchanged, children present but empty
+        cent_ids = {
+            int(r.list_id) for r in spark.table(f"{prefix}_centroids").collect()
+        }
+        code_lists = {l for _, l in _pairs(spark, prefix)}
+        assert code_lists <= cent_ids  # reachability at every state
+        orphans_mid = cent_ids - code_lists
+        assert orphans_mid  # the crashed attempt's empty children
+        idx_mid = load_vector_index(spark, prefix)
+        n_mid = len(idx_mid.centroids)
+        assert _rows(
+            vector_index_rerank_topk(idx_mid, queries, k=10, shortlist=50, n_probe=n_mid)
+        ) == _rows(
+            ivfpq_rerank_topk(
+                emb, queries, idx_mid.centroids, idx_mid.codebooks,
+                k=10, shortlist=50, n_probe=n_mid,
+            )
+        )
+
+        rep = rebalance_vector_index(
+            spark, prefix, max_list_factor=1.0, direction=_dirv(emb)
+        )
+        assert rep["hot_lists"]  # same detection — codes were unchanged
+        cent_ids2 = {
+            int(r.list_id) for r in spark.table(f"{prefix}_centroids").collect()
+        }
+        code_lists2 = {l for _, l in _pairs(spark, prefix)}
+        assert code_lists2 <= cent_ids2
+        # the completed children are fresh ids above the crashed attempt's
+        done_children = {rep["splits"][h]["child"] for h in rep["hot_lists"]}
+        assert done_children <= code_lists2
+        assert done_children.isdisjoint(orphans_mid)
+        idx2 = load_vector_index(spark, prefix)
+        n2 = len(idx2.centroids)
+        assert _rows(
+            vector_index_rerank_topk(idx2, queries, k=10, shortlist=50, n_probe=n2)
+        ) == _rows(
+            ivfpq_rerank_topk(
+                emb, queries, idx2.centroids, idx2.codebooks,
+                k=10, shortlist=50, n_probe=n2,
+            )
+        )
+    finally:
+        _drop(spark, prefix)
