@@ -70,7 +70,7 @@ HEADLINE = [
     "stratified_sample_by_lang",
     "lang_id_counts",
     "doc_fingerprints",
-    "simhash_near_pairs",
+    "ann_ivfpq_retrained_topk",
     "markup_strip_stats",
     "full_curation_funnel",
     "dedup_maintained_corpus",
@@ -121,6 +121,7 @@ HEADLINE = [
 LIFECYCLE = {
     "ann_ivfpq_maintained_topk",
     "ann_ivfpq_filtered_topk",
+    "ann_ivfpq_retrained_topk",
     "vector_index_rebalance_stats",
     "bm25_indexed_topk",
     "bm25_maintained_topk",
@@ -300,6 +301,13 @@ LIFECYCLE = {
 # its 4.9 s reading weak-pending-A/B; BENCH_r13 re-measures it after
 # this round's SCALING.md A/B (the same protocol that exonerated the
 # four r11 flags).
+#
+# Round 13 (fourth swap) — IN: ann_ivfpq_retrained_topk (new
+# registration: epoch maintenance — build + pinned coarse-quantizer
+# retrain through the compact seam + two-stage serve per call, a
+# LIFECYCLE leg). OUT: simhash_near_pairs (benched r12; kin
+# simhash_delta_pairs stays — the same banding/verify core over the
+# persisted index — and simhash_fingerprints stays benched; due r15).
 #
 # Round 13 (third swap) — IN: ann_ivfpq_filtered_topk (new
 # registration: multi-tenant/policy-scoped serve from the persisted

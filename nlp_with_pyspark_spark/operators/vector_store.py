@@ -65,6 +65,7 @@ __all__ = [
     "persist_vector_index",
     "rebalance_vector_index",
     "register_vector_index",
+    "retrain_vector_index",
     "remove_from_vector_index",
     "train_and_persist_vector_index",
     "vacuum_vector_index",
@@ -502,6 +503,112 @@ def vacuum_vector_index(spark: SparkSession, table_prefix: str) -> dict:
             )
     _rewrite_tombstones(spark, table_prefix, spark.createDataFrame([], "vec_id bigint"))
     return report
+
+
+def retrain_vector_index(
+    spark: SparkSession,
+    table_prefix: str,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    n_lists: int = 16,
+    seed: int = 42,
+    train_fraction: float | None = None,
+) -> dict:
+    """EPOCH-level coarse-quantizer refresh — the global complement to
+    :func:`rebalance_vector_index`'s local splits. When drift has
+    reshaped the whole distribution (not just overfilled a few lists),
+    the right move is a fresh coarse quantizer and a global
+    re-assignment. Because PQ codes encode RAW subspaces (never
+    list-relative residuals, :func:`_encode`), a coarse retrain — like
+    a split — moves ``list_id`` values ONLY: the codes blobs, the vecs
+    ledger, and the PQ codebooks are all untouched, and the rewrite is
+    one pass through the vacuum's compact seam.
+
+    ``centroids`` supplies an externally trained quantizer (cell ids
+    are REASSIGNED — only the order matters, it fixes argmin
+    tie-breaks); ``None`` trains k-means on the ledger (or a
+    deterministic ``train_fraction`` hash-sample — at 100 TB you never
+    train on the full corpus), exactly
+    :func:`train_and_persist_vector_index`'s path minus the rebuild.
+
+    Crash protocol — the rebalance doctrine, epoch-shifted: the new
+    cells take ids ABOVE every id either table has seen (``base``), and
+    the commits are ordered so every codes row is reachable at every
+    intermediate state:
+
+      A. centroids := old cells ∪ new epoch cells  (new cells empty —
+         at most wasted probe slots until B);
+      B. codes rewritten through ``compact_bucketed_table``: each row
+         re-assigned to its argmin cell among the NEW centroids via the
+         literal projection, codes blob carried through (the one
+         corpus-sized pass — the epoch's price, same class as vacuum);
+         a codes row whose id is missing from the ledger (a
+         half-committed crashed append) is dropped here — the append's
+         replay re-delivers it cleanly against the new quantizer;
+      C. centroids := new epoch cells only (prunes the old cells AND
+         any earlier interrupted epoch's orphans in one stroke).
+
+    A replay after a crash at any point re-derives a HIGHER base (the
+    epoch ids are now visible) and converges; between B and C the old
+    cells are merely empty. Tombstones are vec_id-keyed and unaffected;
+    delete/vacuum/append/serve run unchanged against the new epoch.
+    Unlike a split, retrain membership IS the global argmin — so the
+    serve pin holds at ANY probe depth: store serve ≡ the inline
+    two-stage retrieval under the new quantizer, row-identical
+    (tests/test_vector_store.py; the registered
+    ``ann_ivfpq_retrained_topk`` gates the full composition through the
+    rerank SQL with the retrained centroid set)."""
+    from ..sources.io import compact_bucketed_table
+
+    vecs_tbl = f"{table_prefix}_vecs"
+    codes_tbl = f"{table_prefix}_codes"
+    spark.catalog.refreshTable(vecs_tbl)
+    spark.catalog.refreshTable(codes_tbl)
+    ledger = spark.table(vecs_tbl)
+    if centroids is None:
+        from .similarity import build_ivf_index
+
+        train = ledger
+        if train_fraction is not None:
+            from .sampling import hash_sample
+
+            train = hash_sample(ledger, train_fraction, key_col="vec_id")
+        _, cent_df = build_ivf_index(train, n_lists, "embedding", "vec_id", seed)
+        new_vecs = [
+            [float(x) for x in r.centroid]
+            for r in sorted(cent_df.collect(), key=lambda r: r.list_id)
+        ]
+    else:
+        new_vecs = [[float(x) for x in c] for _, c in centroids]
+    old_rows = sorted(
+        (int(r.list_id), [float(x) for x in r.centroid])
+        for r in spark.table(f"{table_prefix}_centroids").collect()
+    )
+    code_lists = [
+        int(r.list_id)
+        for r in spark.table(codes_tbl).select("list_id").distinct().collect()
+    ]  # bounded by the quantizer's cell count
+    base = 1 + max([i for i, _ in old_rows] + code_lists)
+    shifted = [(base + i, v) for i, v in enumerate(new_vecs)]
+    _overwrite_centroids(spark, table_prefix, old_rows + shifted)  # commit A
+
+    def reassign(df: DataFrame) -> DataFrame:
+        return (
+            df.select("vec_id", "codes")
+            .join(spark.table(vecs_tbl), "vec_id")
+            .select(
+                "vec_id",
+                centroid_assign_col("`embedding`", shifted).alias("list_id"),
+                "codes",
+            )
+        )
+
+    rep = compact_bucketed_table(spark, codes_tbl, transform=reassign)  # commit B
+    _overwrite_centroids(spark, table_prefix, shifted)  # commit C
+    return {
+        "epoch_base": base,
+        "n_lists": len(shifted),
+        "codes_rewrite": rep,
+    }
 
 
 def vector_index_rerank_topk(

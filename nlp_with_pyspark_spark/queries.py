@@ -2118,6 +2118,79 @@ def ann_ivfpq_maintained_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: pinned retrained coarse quantizer for ann_ivfpq_retrained_topk — a
+#: disjoint id range from the build quantizer (vec_id < 8), so the
+#: retrain demonstrably changes every assignment input
+_VEC_RETRAIN_CENT = "vec_id >= 100 AND vec_id < 108"
+
+
+@query(
+    "ann_ivfpq_retrained_topk",
+    _ivfpq_rerank_sql(cent_where=_VEC_RETRAIN_CENT),
+)
+def ann_ivfpq_retrained_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector store's EPOCH maintenance under the external gate:
+    build and persist the IVF-PQ store with the standard pinned
+    quantizer (vec_id < 8), RETRAIN its coarse quantizer to a disjoint
+    pinned centroid set (vec_id 100..107 — standing in for the k-means
+    output, so the oracle can replay it; the operator takes externally
+    trained quantizers through the same parameter), and serve the
+    two-stage retrieval from the retrained store. Retrain is
+    operators/vector_store.retrain_vector_index: epoch-shifted cell
+    ids, centroids-first/prune-last commit order (every codes row
+    reachable at every crash state), and ONE compact-seam pass that
+    re-assigns each row to its argmin cell — PQ codes encode raw
+    subspaces, so the blobs never change. Because retrain membership
+    IS the global argmin, the serve pin holds at any probe depth; the
+    oracle is the rerank SQL with the retrained centroid CTE.
+
+    Scale shape: the re-assignment is one literal-projection pass over
+    a codes-ledger join inside the once-per-epoch compact rewrite —
+    the same cost class as the vacuum; quantizer training (elided here
+    for oracle replay) runs on a bounded hash-sample. At 100 TB this
+    is how the store follows distribution drift without a from-scratch
+    rebuild: ledger and codes blobs stay put, only list ids move."""
+    from .operators.similarity import pq_fixed_codebooks
+    from .operators.vector_store import (
+        load_vector_index,
+        persist_vector_index,
+        retrain_vector_index,
+        vector_index_rerank_topk,
+    )
+
+    prefix = "q_vec_retrain"
+    path = _claim_serving_store(
+        spark,
+        prefix,
+        ("codes", "vecs", "centroids", "codebooks", "tombstones"),
+        "vec_retrain_store_",
+    )
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent_rows = emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    centroids = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in cent_rows]
+    persist_vector_index(
+        emb, centroids, pq_fixed_codebooks(), prefix, n_buckets=8, path=path
+    )
+    new_rows = (
+        emb.where(F.expr(_VEC_RETRAIN_CENT)).select("vec_id", "embedding").collect()
+    )
+    retrain_vector_index(
+        spark,
+        prefix,
+        centroids=[
+            (int(r.vec_id), [float(x) for x in r.embedding])
+            for r in sorted(new_rows, key=lambda r: r.vec_id)
+        ],
+    )
+    return vector_index_rerank_topk(
+        load_vector_index(spark, prefix),
+        emb.where(F.col("vec_id") < 5),
+        k=10,
+        shortlist=50,
+        n_probe=3,
+    )
+
+
 @query(
     "ann_ivfpq_filtered_topk",
     _ivfpq_rerank_sql(corpus_where="e.vec_id % 3 <> 0"),
@@ -5635,6 +5708,15 @@ _DEMOTED_PAST_CHECK_WINDOW = [
     #                             ann_ivfpq_maintained_topk (stays —
     #                             the same serve under maintenance)
     "ivfpq_rerank_topk",
+    # round 13 (fourth entry): ann_ivfpq_retrained_topk registers
+    # inside the window (epoch maintenance — the coarse-quantizer
+    # refresh's first external gate). Demotion, kin staying in window:
+    #   session_event_overlap   — kin events_session_stats (returned
+    #                             this round — the same sessionize
+    #                             machinery the overlap composes) +
+    #                             events_asof_click_purchase (stays —
+    #                             the event-time join family)
+    "session_event_overlap",
 ]
 
 

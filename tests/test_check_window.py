@@ -24,7 +24,7 @@ REQUIRED_IN_WINDOW = {
     # asof stay; the session/json reps return)
     "events_gap_filled_hourly", "events_asof_click_purchase",
     "events_distinct_users",
-    "events_session_stats", "events_json_stats", "session_event_overlap",
+    "events_session_stats", "events_json_stats",
     # text / NLP (round 13: smoothed tfidf, quality_scores and
     # token_budget replace their demoted family twins)
     "vocab_top100", "tfidf_smoothed_long", "quality_scores",
@@ -40,6 +40,7 @@ REQUIRED_IN_WINDOW = {
     "simhash_delta_pairs", "dedup_delta_pairs",
     "semantic_dedup_pairs", "simhash_fingerprints",
     "ann_recall_at_k", "ann_ivf_topk", "ann_ivfpq_filtered_topk",
+    "ann_ivfpq_retrained_topk",
     "vector_index_rebalance_stats", "embedding_quantization_stats",
     "dedup_maintained_corpus",
     "ann_ivfpq_maintained_topk",

@@ -495,6 +495,201 @@ def test_filtered_serve_equals_rebuild_with_only_allowed(
         _drop(spark, prefix)
 
 
+# --- epoch retrain (coarse-quantizer refresh) ------------------------------
+
+
+def _retrain_cents(emb, lo=100, hi=108):
+    return [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in sorted(
+            emb.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+            .select("vec_id", "embedding")
+            .collect(),
+            key=lambda r: r.vec_id,
+        )
+    ]
+
+
+def test_retrain_global_reassignment_and_serve_pin(
+    spark, emb, quantizer, tmp_path
+):
+    """Retrain moves ONLY list ids: codes blobs and ledger are
+    untouched, every row's new list is the global argmin under the new
+    centroid set (recomputed independently), the old cells are pruned
+    (cell ids are exactly the new epoch range), and — because retrain
+    membership IS the global argmin, unlike a split's local rule — the
+    serve pin holds at the PARTIAL probe depth: store serve ≡ inline
+    two-stage retrieval under the retrained quantizer. Takedowns and
+    vacuum run unchanged against the new epoch."""
+    from nlp_with_pyspark_spark.operators.vector_store import (
+        _encode,
+        retrain_vector_index,
+    )
+
+    cent, cbs = quantizer
+    prefix = "t_vstore_retrain"
+    queries = emb.where(F.col("vec_id") < 5)
+    try:
+        persist_vector_index(emb, cent, cbs, prefix, n_buckets=8, path=str(tmp_path / "rt"))
+        vecs_before = _rows(spark.table(f"{prefix}_vecs"))
+        blobs_before = {
+            r[0]: r[2] for r in _rows(spark.table(f"{prefix}_codes"))
+        }
+        new_cents = _retrain_cents(emb)
+        rep = retrain_vector_index(spark, prefix, centroids=new_cents)
+        base = rep["epoch_base"]
+        assert base > 7 and rep["n_lists"] == 8
+        # cells are exactly the epoch range — old cells pruned
+        cent_ids = sorted(
+            int(r.list_id) for r in spark.table(f"{prefix}_centroids").collect()
+        )
+        assert cent_ids == list(range(base, base + 8))
+        # ledger + codes blobs untouched; membership = global argmin
+        assert _rows(spark.table(f"{prefix}_vecs")) == vecs_before
+        shifted = [(base + i, c) for i, (_, c) in enumerate(new_cents)]
+        want = {
+            (int(r.vec_id), int(r.list_id))
+            for r in _encode(emb, shifted, cbs, "embedding", "vec_id").collect()
+        }
+        got = _pairs(spark, prefix)
+        assert got == want
+        assert {
+            r[0]: r[2] for r in _rows(spark.table(f"{prefix}_codes"))
+        } == blobs_before
+        # the partial-probe serve pin (global-argmin membership)
+        idx = load_vector_index(spark, prefix)
+        served = _rows(
+            vector_index_rerank_topk(idx, queries, k=10, shortlist=50, n_probe=3)
+        )
+        assert served == _rows(
+            ivfpq_rerank_topk(
+                emb, queries, shifted, cbs, k=10, shortlist=50, n_probe=3
+            )
+        )
+        # lifecycle interop on the new epoch
+        dead = emb.where(
+            (F.col("vec_id") >= 5) & (F.col("vec_id") % 7 == 1)
+        ).select("vec_id").localCheckpoint()
+        remove_from_vector_index(spark, dead, prefix)
+        assert _rows(
+            vector_index_rerank_topk(
+                load_vector_index(spark, prefix), queries,
+                k=10, shortlist=50, n_probe=3,
+            )
+        ) == _rows(
+            ivfpq_rerank_topk(
+                emb.join(dead, "vec_id", "left_anti"), queries, shifted, cbs,
+                k=10, shortlist=50, n_probe=3,
+            )
+        )
+        vacuum_vector_index(spark, prefix)
+        assert sorted(
+            int(r.list_id) for r in spark.table(f"{prefix}_centroids").collect()
+        ) == cent_ids
+    finally:
+        _drop(spark, prefix)
+
+
+def test_retrain_crash_replay_converges(
+    spark, emb, quantizer, tmp_path, monkeypatch
+):
+    """A crash between the centroid union (commit A) and the codes
+    rewrite (commit B) leaves the new epoch's cells EMPTY and every
+    codes row reachable under its old cell — serving stays correct at
+    full probe. The replay re-derives a HIGHER epoch base, completes,
+    and its prune (commit C) sweeps the crashed epoch's orphan cells
+    away with the old cells — the final centroid set is exactly the
+    replay's epoch range."""
+    import nlp_with_pyspark_spark.sources.io as io_mod
+    from nlp_with_pyspark_spark.operators.vector_store import (
+        retrain_vector_index,
+    )
+
+    cent, cbs = quantizer
+    prefix = "t_vstore_retrain_crash"
+    queries = emb.where(F.col("vec_id") < 5)
+    new_cents = _retrain_cents(emb)
+    try:
+        persist_vector_index(emb, cent, cbs, prefix, n_buckets=8, path=str(tmp_path / "rc"))
+        real = io_mod.compact_bucketed_table
+
+        def boom(*a, **k):
+            raise RuntimeError("simulated crash before the codes rewrite")
+
+        monkeypatch.setattr(io_mod, "compact_bucketed_table", boom)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            retrain_vector_index(spark, prefix, centroids=new_cents)
+        monkeypatch.setattr(io_mod, "compact_bucketed_table", real)
+
+        cent_ids_mid = {
+            int(r.list_id) for r in spark.table(f"{prefix}_centroids").collect()
+        }
+        assert {c for c, _ in cent} < cent_ids_mid  # old ∪ crashed epoch
+        code_lists = {l for _, l in _pairs(spark, prefix)}
+        assert code_lists <= cent_ids_mid  # reachable mid-crash
+        idx_mid = load_vector_index(spark, prefix)
+        n_mid = len(idx_mid.centroids)
+        assert _rows(
+            vector_index_rerank_topk(idx_mid, queries, k=10, shortlist=50, n_probe=n_mid)
+        ) == _rows(
+            ivfpq_rerank_topk(
+                emb, queries, idx_mid.centroids, idx_mid.codebooks,
+                k=10, shortlist=50, n_probe=n_mid,
+            )
+        )
+
+        rep = retrain_vector_index(spark, prefix, centroids=new_cents)
+        base2 = rep["epoch_base"]
+        assert base2 > max(cent_ids_mid)  # above the crashed epoch
+        cent_ids = sorted(
+            int(r.list_id) for r in spark.table(f"{prefix}_centroids").collect()
+        )
+        assert cent_ids == list(range(base2, base2 + 8))  # orphans swept
+        assert {l for _, l in _pairs(spark, prefix)} <= set(cent_ids)
+        shifted = [(base2 + i, c) for i, (_, c) in enumerate(new_cents)]
+        assert _rows(
+            vector_index_rerank_topk(
+                load_vector_index(spark, prefix), queries,
+                k=10, shortlist=50, n_probe=3,
+            )
+        ) == _rows(
+            ivfpq_rerank_topk(
+                emb, queries, shifted, cbs, k=10, shortlist=50, n_probe=3
+            )
+        )
+    finally:
+        _drop(spark, prefix)
+
+
+def test_retrain_trained_path(spark, emb, quantizer, tmp_path):
+    """centroids=None trains k-means on the ledger (the production
+    path): the store serves row-identically to the inline retrieval
+    under the trained-and-loaded centroid set, at partial probe."""
+    from nlp_with_pyspark_spark.operators.vector_store import (
+        retrain_vector_index,
+    )
+
+    cent, cbs = quantizer
+    prefix = "t_vstore_retrain_km"
+    queries = emb.where(F.col("vec_id") < 5)
+    try:
+        persist_vector_index(emb, cent, cbs, prefix, n_buckets=8, path=str(tmp_path / "rk"))
+        rep = retrain_vector_index(spark, prefix, n_lists=4, train_fraction=0.5)
+        assert rep["n_lists"] == 4
+        idx = load_vector_index(spark, prefix)
+        assert len(idx.centroids) == 4
+        assert _rows(
+            vector_index_rerank_topk(idx, queries, k=10, shortlist=50, n_probe=2)
+        ) == _rows(
+            ivfpq_rerank_topk(
+                emb, queries, idx.centroids, idx.codebooks,
+                k=10, shortlist=50, n_probe=2,
+            )
+        )
+    finally:
+        _drop(spark, prefix)
+
+
 # --- hot-list rebalance (drift maintenance) --------------------------------
 
 
