@@ -310,7 +310,17 @@ def register_vector_index(
 def load_vector_index(spark: SparkSession, table_prefix: str) -> VectorIndex:
     """Load the store for serving. The quantizer tables are collected
     into literals here — bounded by construction (n_lists rows and
-    m·ksub rows, the artifact's size, independent of corpus size)."""
+    m·ksub rows, the artifact's size, independent of corpus size).
+
+    Every table is refreshed first — the family-wide read-entry idiom
+    (operators/search.append_to_posting_index): a streaming sink's
+    foreachBatch writes through a CLONED SparkSession, so the clone's
+    cache invalidation never reaches this session's cached file
+    listing, and a serve after a streamed append would silently miss
+    the new rows without the refresh (caught by the drift-cycle test
+    in tests/test_vector_store.py)."""
+    for sub in ("codes", "vecs", "centroids", "codebooks"):
+        spark.catalog.refreshTable(f"{table_prefix}_{sub}")
     cent_rows = spark.table(f"{table_prefix}_centroids").collect()
     centroids = sorted(
         (int(r.list_id), [float(x) for x in r.centroid]) for r in cent_rows
@@ -885,11 +895,18 @@ def rebalance_vector_index(
     dim = len(cent_rows[0].centroid)
     if direction is None:
         direction = _hyperplane(dim, 0, seed="vec-rebalance")
+    elif len(direction) != dim:
+        # zip_with would silently truncate the projection to the
+        # shorter operand — a wrong-dim direction must fail loud
+        raise ValueError(
+            f"direction has dim {len(direction)}, store has dim {dim}"
+        )
     max_id = max(
         [int(r.list_id) for r in cent_rows] + [int(r.list_id) for r in stats]
     )
     children = {h: max_id + 1 + i for i, h in enumerate(hot)}
     codes_tbl, vecs_tbl = f"{table_prefix}_codes", f"{table_prefix}_vecs"
+    spark.catalog.refreshTable(vecs_tbl)  # read-entry idiom (see load)
     hot_rows = (
         spark.table(codes_tbl)
         .where(F.col("list_id").isin(hot))

@@ -495,6 +495,120 @@ def test_filtered_serve_equals_rebuild_with_only_allowed(
         _drop(spark, prefix)
 
 
+def test_streaming_ingest_drift_rebalance_cycle(spark, emb, quantizer, tmp_path):
+    """The drift story END TO END: skewed micro-batches stream into the
+    store through vector_index_sink and pile into one list (ingest-time
+    membership is the argmin under the build quantizer — drift is
+    invisible to the writer), vector_index_list_stats surfaces the
+    skew, rebalance_vector_index splits the hot list, and the NEXT
+    streamed batch assigns against the post-split quantizer — its
+    vectors land in the parent/child halves, never re-inflating a
+    single cell. Serving stays pinned (full-probe ≡ inline) across the
+    whole cycle."""
+    from nlp_with_pyspark_spark.operators.vector_store import (
+        rebalance_vector_index,
+        vector_index_list_stats,
+    )
+    from nlp_with_pyspark_spark.streaming.sinks import vector_index_sink
+
+    cent, cbs = quantizer
+    prefix = "t_vstore_drift"
+    store = str(tmp_path / "d")
+    queries = emb.where(F.col("vec_id") < 5)
+    try:
+        persist_vector_index(emb, cent, cbs, prefix, n_buckets=8, path=store)
+        stats0 = {
+            int(r.list_id): int(r.n_live)
+            for r in vector_index_list_stats(spark, prefix).collect()
+        }
+        h = max(stats0, key=lambda l: (stats0[l], l))
+        # drift: two micro-batches of fresh ids whose vectors REUSE the
+        # hot list's members — every one assigns back into list h
+        members = emb.join(
+            spark.table(f"{prefix}_codes")
+            .where(F.col("list_id") == h)
+            .select("vec_id"),
+            "vec_id",
+            "left_semi",
+        ).localCheckpoint()
+        src = tmp_path / "drift_in"
+        src.mkdir()
+        for i in (1, 2):
+            members.select(
+                (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                "embedding",
+            ).coalesce(1).write.parquet(str(src / f"b{i}"))
+
+        def run(ck, pattern):
+            stream = (
+                spark.readStream.schema("vec_id long, embedding array<float>")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src / pattern))
+            )
+            vector_index_sink(
+                stream, store, str(tmp_path / ck), cent, cbs, prefix, n_buckets=8
+            )
+
+        run("ck1", "b[12]")
+        stats1 = {
+            int(r.list_id): int(r.n_live)
+            for r in vector_index_list_stats(spark, prefix).collect()
+        }
+        assert stats1[h] == 3 * stats0[h]  # the drift piled into h
+        for l, n in stats0.items():
+            if l != h:
+                assert stats1[l] == n
+
+        rep = rebalance_vector_index(
+            spark, prefix, max_list_factor=1.5, direction=_dirv(emb)
+        )
+        assert h in rep["hot_lists"]
+        child = rep["splits"][h]["child"]
+
+        # the next drifted batch assigns against the POST-SPLIT quantizer:
+        # its vectors spread over the parent/child halves
+        members.select(
+            (F.col("vec_id") + F.lit(3 * 10_000_000)).alias("vec_id"),
+            "embedding",
+        ).coalesce(1).write.parquet(str(src / "b3"))
+        run("ck2", "b3")
+        # the sink's foreachBatch wrote through a CLONED session — this
+        # session's cached file listing must be refreshed before raw
+        # table reads (the engine's read entry points do this; see
+        # load_vector_index)
+        spark.catalog.refreshTable(f"{prefix}_codes")
+        batch3_lists = {
+            int(r.list_id)
+            for r in spark.table(f"{prefix}_codes")
+            .where(F.col("vec_id") >= 3 * 10_000_000)
+            .select("list_id")
+            .distinct()
+            .collect()
+        }
+        # the child is a live assignment target and the batch no longer
+        # piles into a single cell (a marginal member may legitimately
+        # prefer a third cell once its old centroid moved to a half-mean)
+        assert child in batch3_lists and batch3_lists != {h}
+        live_cells = {
+            int(r.list_id) for r in spark.table(f"{prefix}_centroids").collect()
+        }
+        assert batch3_lists <= live_cells
+
+        idx = load_vector_index(spark, prefix)
+        n_all = len(idx.centroids)
+        ledger = spark.table(f"{prefix}_vecs")
+        assert _rows(
+            vector_index_rerank_topk(idx, queries, k=10, shortlist=50, n_probe=n_all)
+        ) == _rows(
+            ivfpq_rerank_topk(
+                ledger, queries, idx.centroids, idx.codebooks,
+                k=10, shortlist=50, n_probe=n_all,
+            )
+        )
+    finally:
+        _drop(spark, prefix)
+
+
 # --- epoch retrain (coarse-quantizer refresh) ------------------------------
 
 
