@@ -60,7 +60,7 @@ HEADLINE = [
     "zorder_file_envelopes",
     "decontam_fuzzy_overlap",
     "vocab_heavy_hitters",
-    "bm25_batch_topk",
+    "ann_ivfpq_merged_topk",
     "bm25_maintained_topk",
     "dsir_selected_topk",
     "curation_funnel",
@@ -121,6 +121,7 @@ HEADLINE = [
 LIFECYCLE = {
     "ann_ivfpq_maintained_topk",
     "ann_ivfpq_filtered_topk",
+    "ann_ivfpq_merged_topk",
     "ann_ivfpq_retrained_topk",
     "vector_index_rebalance_stats",
     "bm25_indexed_topk",
@@ -301,6 +302,13 @@ LIFECYCLE = {
 # its 4.9 s reading weak-pending-A/B; BENCH_r13 re-measures it after
 # this round's SCALING.md A/B (the same protocol that exonerated the
 # four r11 flags).
+#
+# Round 13 (fifth swap) — IN: ann_ivfpq_merged_topk (new
+# registration: parallel shard builds folded into one serving store —
+# two builds + merge + two-stage serve per call, a LIFECYCLE leg).
+# OUT: bm25_batch_topk (benched r12; kin bm25_search_topk returned
+# this round's swap and bm25_maintained_topk stays — all three share
+# the scoring core, pinned bit-identical; due again r15).
 #
 # Round 13 (fourth swap) — IN: ann_ivfpq_retrained_topk (new
 # registration: epoch maintenance — build + pinned coarse-quantizer

@@ -62,6 +62,7 @@ __all__ = [
     "VectorIndex",
     "append_to_vector_index",
     "load_vector_index",
+    "merge_vector_indexes",
     "persist_vector_index",
     "rebalance_vector_index",
     "register_vector_index",
@@ -513,6 +514,51 @@ def vacuum_vector_index(spark: SparkSession, table_prefix: str) -> dict:
             )
     _rewrite_tombstones(spark, table_prefix, spark.createDataFrame([], "vec_id bigint"))
     return report
+
+
+def merge_vector_indexes(
+    spark: SparkSession, dst_prefix: str, src_prefix: str
+) -> int:
+    """Merge ``src``'s store into ``dst`` — the parallel-build pattern
+    (shard-local indexes built independently, then folded into one
+    serving store; FAISS's ``merge_from`` is the public analog, and on
+    Spark the shards are e.g. per-date partition builds).
+
+    Both stores must share ONE quantizer (centroids and codebooks
+    compared value-for-value; a mismatch raises — merging across
+    quantizers is a rebuild, use :func:`retrain_vector_index`). Given
+    that, the merge needs NO new machinery: the encode is a
+    deterministic function of the quantizer, so re-encoding ``src``'s
+    ledger through :func:`append_to_vector_index` reproduces its codes
+    bit-for-bit while inheriting the whole replay protocol — ids
+    already in ``dst`` are skipped (first-writer-wins, the append
+    semantics), a crashed merge replays to convergence, and the encode
+    is the scan-speed literal projection.
+
+    ``src``'s PENDING takedowns are folded, not copied: tombstoned src
+    rows are excluded from the admitted set (the merged store equals
+    src-live ∪ dst — the same answer as vacuum-then-merge), so a
+    taken-down vector can never resurface through a merge. ``src`` is
+    left untouched. Returns the number of vectors admitted into
+    ``dst``."""
+    for sub in ("centroids", "codebooks"):
+        a = sorted(map(tuple, spark.table(f"{dst_prefix}_{sub}").collect()))
+        b = sorted(map(tuple, spark.table(f"{src_prefix}_{sub}").collect()))
+        if a != b:
+            raise ValueError(
+                f"{sub} differ between {dst_prefix} and {src_prefix}: "
+                "stores were built with different quantizers — merging "
+                "across quantizers is a rebuild (retrain_vector_index)"
+            )
+    src_vecs = f"{src_prefix}_vecs"
+    spark.catalog.refreshTable(src_vecs)
+    live = spark.table(src_vecs)
+    src_tombs = vector_index_tombstones(spark, src_prefix)
+    if src_tombs is not None:
+        live = live.join(
+            F.broadcast(src_tombs.select("vec_id")), "vec_id", "left_anti"
+        )
+    return append_to_vector_index(live, dst_prefix)
 
 
 def retrain_vector_index(

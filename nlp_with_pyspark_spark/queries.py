@@ -2118,6 +2118,68 @@ def ann_ivfpq_maintained_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_ivfpq_merged_topk", _ivfpq_rerank_sql())
+def ann_ivfpq_merged_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PARALLEL-BUILD pattern under the external gate: two shard
+    indexes built independently over disjoint corpus halves (even /
+    odd vec_ids, one shared pinned quantizer — at 100 TB the shards
+    are per-date or per-partition builds running concurrently), then
+    folded into one serving store with
+    operators/vector_store.merge_vector_indexes and served as a single
+    two-stage retrieval. The encode is a deterministic function of the
+    quantizer, so the merge re-encodes the source ledger through the
+    replay-safe append protocol and reproduces its codes bit-for-bit —
+    merged store ≡ one-shot build over the union (pinned per table in
+    tests/test_vector_store.py), which is exactly what the oracle
+    replays: the rerank SQL over the FULL corpus.
+
+    Scale shape: shard builds parallelize the one encode scan; the
+    merge moves the source ledger once through the scan-speed literal
+    projection plus the bucketed appends — no shuffle of the
+    destination store, no quantizer work (equality is asserted, not
+    retrained). First-writer-wins id semantics and source-tombstone
+    folding are the append protocol's, unchanged."""
+    from .operators.similarity import pq_fixed_codebooks
+    from .operators.vector_store import (
+        load_vector_index,
+        merge_vector_indexes,
+        persist_vector_index,
+        vector_index_rerank_topk,
+    )
+
+    prefix = "q_vec_mrg"
+    path = _claim_serving_store(
+        spark,
+        prefix,
+        (
+            "codes", "vecs", "centroids", "codebooks", "tombstones",
+            "src_codes", "src_vecs", "src_centroids", "src_codebooks",
+            "src_tombstones",
+        ),
+        "vec_mrg_store_",
+    )
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent_rows = emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    centroids = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in cent_rows]
+    cbs = pq_fixed_codebooks()
+    persist_vector_index(
+        emb.where(F.col("vec_id") % 2 == 0), centroids, cbs, prefix,
+        n_buckets=8, path=f"{path}/a",
+    )
+    persist_vector_index(
+        emb.where(F.col("vec_id") % 2 == 1), centroids, cbs, f"{prefix}_src",
+        n_buckets=8, path=f"{path}/b",
+    )
+    merge_vector_indexes(spark, prefix, f"{prefix}_src")
+    return vector_index_rerank_topk(
+        load_vector_index(spark, prefix),
+        emb.where(F.col("vec_id") < 5),
+        k=10,
+        shortlist=50,
+        n_probe=3,
+    )
+
+
 #: pinned retrained coarse quantizer for ann_ivfpq_retrained_topk — a
 #: disjoint id range from the build quantizer (vec_id < 8), so the
 #: retrain demonstrably changes every assignment input
@@ -5717,6 +5779,15 @@ _DEMOTED_PAST_CHECK_WINDOW = [
     #                             events_asof_click_purchase (stays —
     #                             the event-time join family)
     "session_event_overlap",
+    # round 13 (fifth entry): ann_ivfpq_merged_topk registers inside
+    # the window (the parallel-build/merge pattern's first external
+    # gate). Demotion, kin staying in window:
+    #   decontamination_overlap — kin decontam_fuzzy_overlap (stays —
+    #                             the same benchmark-broadcast
+    #                             decontamination family; the fuzzy
+    #                             path is the superset machinery, the
+    #                             exact path is its n=1 special case)
+    "decontamination_overlap",
 ]
 
 

@@ -40,13 +40,13 @@ REQUIRED_IN_WINDOW = {
     "simhash_delta_pairs", "dedup_delta_pairs",
     "semantic_dedup_pairs", "simhash_fingerprints",
     "ann_recall_at_k", "ann_ivf_topk", "ann_ivfpq_filtered_topk",
-    "ann_ivfpq_retrained_topk",
+    "ann_ivfpq_retrained_topk", "ann_ivfpq_merged_topk",
     "vector_index_rebalance_stats", "embedding_quantization_stats",
     "dedup_maintained_corpus",
     "ann_ivfpq_maintained_topk",
     # corpus hygiene / curation pipeline
     "quality_lr_filter", "line_dedup_stats",
-    "decontam_fuzzy_overlap", "decontamination_overlap",
+    "decontam_fuzzy_overlap",
     "corpus_pipeline_funnel", "curation_funnel", "full_curation_funnel",
     # ml evaluation (round 13: AUC rep replaces the confusion rep —
     # the same prediction frame)

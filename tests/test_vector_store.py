@@ -609,6 +609,141 @@ def test_streaming_ingest_drift_rebalance_cycle(spark, emb, quantizer, tmp_path)
         _drop(spark, prefix)
 
 
+# --- shard merge (parallel-build fold) -------------------------------------
+
+
+def test_merge_equals_union_build_and_replays(spark, emb, quantizer, tmp_path):
+    """Merging shard B into shard A (disjoint halves, one quantizer)
+    produces codes and vecs tables row-identical to a one-shot build
+    over the union — the deterministic-encode argument — and serving
+    the merged store matches the inline retrieval over the full
+    corpus. A replay of the merge admits nothing and changes nothing
+    (the append protocol's convergence, inherited)."""
+    from nlp_with_pyspark_spark.operators.vector_store import (
+        merge_vector_indexes,
+    )
+
+    cent, cbs = quantizer
+    a, b, full = "t_vstore_mrg_a", "t_vstore_mrg_b", "t_vstore_mrg_full"
+    queries = emb.where(F.col("vec_id") < 5)
+    try:
+        persist_vector_index(
+            emb.where(F.col("vec_id") % 2 == 0), cent, cbs, a,
+            n_buckets=8, path=str(tmp_path / "a"),
+        )
+        persist_vector_index(
+            emb.where(F.col("vec_id") % 2 == 1), cent, cbs, b,
+            n_buckets=8, path=str(tmp_path / "b"),
+        )
+        n = merge_vector_indexes(spark, a, b)
+        assert n == emb.where(F.col("vec_id") % 2 == 1).count()
+        persist_vector_index(
+            emb, cent, cbs, full, n_buckets=8, path=str(tmp_path / "f")
+        )
+        for t in ("codes", "vecs"):
+            assert _rows(spark.table(f"{a}_{t}")) == _rows(
+                spark.table(f"{full}_{t}")
+            ), t
+        assert _rows(_serve(spark, a, queries)) == _rows(
+            ivfpq_rerank_topk(emb, queries, cent, cbs, k=10, shortlist=50, n_probe=3)
+        )
+        # replay: nothing admitted, nothing changed; src untouched
+        snap = _rows(spark.table(f"{a}_vecs"))
+        assert merge_vector_indexes(spark, a, b) == 0
+        assert _rows(spark.table(f"{a}_vecs")) == snap
+        assert spark.table(f"{b}_vecs").count() == n
+    finally:
+        for p in (a, b, full):
+            _drop(spark, p)
+
+
+def test_merge_folds_src_tombstones_and_keeps_first_writer(
+    spark, emb, quantizer, tmp_path
+):
+    """A source vector with a pending takedown never enters the
+    destination (merged ≡ vacuum-then-merge), and an id present in
+    BOTH stores keeps the destination's row (first-writer-wins — the
+    append protocol's ledger guard)."""
+    from nlp_with_pyspark_spark.operators.vector_store import (
+        merge_vector_indexes,
+    )
+
+    cent, cbs = quantizer
+    a, b = "t_vstore_mrgt_a", "t_vstore_mrgt_b"
+    queries = emb.where(F.col("vec_id") < 5)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    try:
+        persist_vector_index(
+            emb.where(F.col("vec_id") % 2 == 0), cent, cbs, a,
+            n_buckets=8, path=str(tmp_path / "a"),
+        )
+        # B holds the odds PLUS a clashing copy of some evens with
+        # negated embeddings — the clash must lose to A's originals
+        clash = emb.where(
+            (F.col("vec_id") % 2 == 0) & (F.col("vec_id") % 10 == 4)
+        ).select(
+            "vec_id", F.expr("transform(embedding, x -> -x)").alias("embedding")
+        )
+        persist_vector_index(
+            odd.select("vec_id", "embedding").unionByName(clash), cent, cbs, b,
+            n_buckets=8, path=str(tmp_path / "b"),
+        )
+        dead = odd.where(F.col("vec_id") % 9 == 2).select("vec_id").localCheckpoint()
+        assert dead.count() > 0
+        remove_from_vector_index(spark, dead, b)
+        merge_vector_indexes(spark, a, b)
+        # src-dead ids never arrived; clashing ids kept A's embeddings
+        a_vecs = spark.table(f"{a}_vecs")
+        assert a_vecs.join(dead, "vec_id", "left_semi").count() == 0
+        orig = {
+            int(r.vec_id): [float(x) for x in r.embedding]
+            for r in emb.join(clash.select("vec_id"), "vec_id", "left_semi").collect()
+        }
+        got = {
+            int(r.vec_id): [float(x) for x in r.embedding]
+            for r in a_vecs.join(clash.select("vec_id"), "vec_id", "left_semi").collect()
+        }
+        assert got == orig
+        live = emb.join(dead, "vec_id", "left_anti")
+        assert _rows(_serve(spark, a, queries)) == _rows(
+            ivfpq_rerank_topk(live, queries, cent, cbs, k=10, shortlist=50, n_probe=3)
+        )
+    finally:
+        for p in (a, b):
+            _drop(spark, p)
+
+
+def test_merge_quantizer_mismatch_raises(spark, emb, quantizer, tmp_path):
+    """Stores built under different quantizers must refuse to merge —
+    their code spaces are incompatible; the right tool is a retrain."""
+    from nlp_with_pyspark_spark.operators.vector_store import (
+        merge_vector_indexes,
+    )
+
+    cent, cbs = quantizer
+    a, b = "t_vstore_mrgq_a", "t_vstore_mrgq_b"
+    other = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(
+            (F.col("vec_id") >= 100) & (F.col("vec_id") < 108)
+        ).collect()
+    ]
+    try:
+        persist_vector_index(
+            emb.where(F.col("vec_id") % 2 == 0), cent, cbs, a,
+            n_buckets=8, path=str(tmp_path / "a"),
+        )
+        persist_vector_index(
+            emb.where(F.col("vec_id") % 2 == 1), other, cbs, b,
+            n_buckets=8, path=str(tmp_path / "b"),
+        )
+        with pytest.raises(ValueError, match="different quantizers"):
+            merge_vector_indexes(spark, a, b)
+    finally:
+        for p in (a, b):
+            _drop(spark, p)
+
+
 # --- epoch retrain (coarse-quantizer refresh) ------------------------------
 
 
