@@ -67,17 +67,17 @@ QUALITY_LR_RECIPE = {"lr": 1e-3, "iterations": 2000, "l2": 1e-3, "label_min_scor
 #: gradient is identically zero — kept in the vector because real
 #: corpora are not so polite.
 QUALITY_LR_WEIGHTS: tuple[float, ...] = (
-    # re-pinned round 10: the driver regenerates /root/testdata each
-    # round, and this round's sf0.001 documents table shifted the
-    # trained vector ~1.5% — the rederive-from-scratch test exists to
+    # re-pinned rounds 10 and 13: the driver regenerates /root/testdata
+    # each round, and this round's sf0.001 documents table shifted the
+    # trained vector ~1.4% — the rederive-from-scratch test exists to
     # catch exactly this (the serving oracle stays consistent either
     # way, because the SQL oracle embeds the same literals)
-    1.6676199116393091,
-    -3.2025666845536858,
+    1.6604242499399189,
+    -3.224364462120039,
     0.0,
-    69.96146277757484,
-    -13.971806867969574,
-    -1.5902532671856566,
+    70.42221379249085,
+    -14.027437556649689,
+    -1.5674618292445048,
 )
 
 FEATURE_NAMES = (
