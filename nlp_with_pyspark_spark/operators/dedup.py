@@ -1801,16 +1801,19 @@ def remove_from_neardup_store(
         fresh = fresh.join(
             F.broadcast(spark.table(tomb_tbl)), "doc_id", "left_anti"
         )
-    fresh = fresh.localCheckpoint()  # consumed by the count and the append
-    n_new = fresh.count()
-    if n_new:
-        if has_tombs:
-            fresh.write.mode("append").format("parquet").saveAsTable(tomb_tbl)
-        else:
-            fresh.write.mode("overwrite").format("parquet").option(
-                "path", _neardup_tombstones_sidecar_path(spark, table_prefix)
-            ).saveAsTable(tomb_tbl)
-    return n_new
+    # takedown lists are broadcast-sized by the store contract, so the
+    # newly dead ids are collected (ONE job) and appended driver-side —
+    # replacing localCheckpoint + count + a Spark write job
+    # (io.append_small_table)
+    from ..sources.io import append_small_table
+
+    rows = [(r.doc_id,) for r in fresh.collect()]
+    if rows:
+        append_small_table(
+            spark, rows, f"doc_id {id_type}", tomb_tbl,
+            _neardup_tombstones_sidecar_path(spark, table_prefix),
+        )
+    return len(rows)
 
 
 def _rewrite_neardup_tombstones(
@@ -1857,7 +1860,7 @@ def vacuum_neardup_store(
     (streaming/sinks.neardup_upsert_batch — the vector store's
     protocol, pinned in tests). Returns per-table rewrite reports
     plus the number of tombstones folded."""
-    from ..sources.io import compact_bucketed_table
+    from ..sources.io import compact_bucketed_tables
 
     if hash_family not in NEARDUP_STORE_TABLES:
         raise ValueError(
@@ -1868,7 +1871,9 @@ def vacuum_neardup_store(
     if not _heal_neardup_tombstones(spark, table_prefix, id_col):
         return {"tombstones_folded": 0}
     spark.catalog.refreshTable(tomb_tbl)
-    dead = spark.table(tomb_tbl).localCheckpoint()
+    # no checkpoint: `dead` is only consumed by the folds below, all of
+    # which commit BEFORE the clear rewrites the table it reads
+    dead = spark.table(tomb_tbl)
     n_dead = dead.count()
     report: dict = {"tombstones_folded": n_dead}
     if n_dead:
@@ -1881,18 +1886,22 @@ def vacuum_neardup_store(
         def drop_dead_index(df):
             return df.join(F.broadcast(dead), "doc_id", "left_anti")
 
-        report["docs"] = compact_bucketed_table(
-            spark, f"{table_prefix}_docs", transform=drop_dead_docs
-        )
+        # the three table rewrites are independent — overlapped (§2.6)
+        jobs = {f"{table_prefix}_docs": drop_dead_docs}
         for sfx in (keys_sfx, feats_sfx):
             tbl = f"{table_prefix}_{sfx}"
             if spark.catalog.tableExists(tbl):
-                report[sfx] = compact_bucketed_table(
-                    spark, tbl, transform=drop_dead_index
-                )
+                jobs[tbl] = drop_dead_index
+        for tbl, rep in compact_bucketed_tables(spark, jobs).items():
+            report[tbl.removeprefix(f"{table_prefix}_")] = rep
+    # the clear writes a 0-row artifact — driver-side, no Spark job
+    from ..sources.io import write_small_table
+    from .search import _table_path_if_external
+
     id_type = _neardup_id_type(spark, table_prefix, id_col)
-    _rewrite_neardup_tombstones(
-        spark, table_prefix, spark.createDataFrame([], f"doc_id {id_type}"), id_col
+    write_small_table(
+        spark, [], f"doc_id {id_type}", tomb_tbl,
+        _table_path_if_external(spark, tomb_tbl),
     )
     return report
 
@@ -2021,16 +2030,18 @@ def remove_from_exact_dedup_store(
         fresh = fresh.join(
             F.broadcast(spark.table(tomb_tbl)), list(key_cols), "left_anti"
         )
-    fresh = fresh.localCheckpoint()
-    n_new = fresh.count()
-    if n_new:
-        if has_tombs:
-            fresh.write.mode("append").format("parquet").saveAsTable(tomb_tbl)
-        else:
-            fresh.write.mode("overwrite").format("parquet").option(
-                "path", _exact_store_tombstones_sidecar_path(spark, table)
-            ).saveAsTable(tomb_tbl)
-    return n_new
+    # takedown key lists are broadcast-sized by the store contract —
+    # collected (ONE job) and appended driver-side (io.append_small_table;
+    # falls back to a Spark append for key types outside its DDL subset)
+    from ..sources.io import append_small_table
+
+    rows = [tuple(r) for r in fresh.collect()]
+    if rows:
+        append_small_table(
+            spark, rows, schema, tomb_tbl,
+            _exact_store_tombstones_sidecar_path(spark, table),
+        )
+    return len(rows)
 
 
 def _rewrite_exact_store_tombstones(spark, table: str, live) -> None:
@@ -2067,7 +2078,9 @@ def vacuum_exact_dedup_store(
     if not _heal_exact_store_tombstones(spark, table, key_cols):
         return {"tombstones_folded": 0}
     spark.catalog.refreshTable(tomb_tbl)
-    dead = spark.table(tomb_tbl).localCheckpoint()
+    # no checkpoint: `dead` is only consumed by the fold below, which
+    # commits BEFORE the clear rewrites the table it reads
+    dead = spark.table(tomb_tbl)
     n_dead = dead.count()
     report: dict = {"tombstones_folded": n_dead}
     if n_dead:
@@ -2078,6 +2091,12 @@ def vacuum_exact_dedup_store(
                 F.broadcast(dead), list(key_cols), "left_anti"
             ),
         )
+    # the clear writes a 0-row artifact — driver-side, no Spark job
+    from ..sources.io import write_small_table
+    from .search import _table_path_if_external
+
     schema = _exact_store_key_schema(spark, table, key_cols)
-    _rewrite_exact_store_tombstones(spark, table, spark.createDataFrame([], schema))
+    write_small_table(
+        spark, [], schema, tomb_tbl, _table_path_if_external(spark, tomb_tbl)
+    )
     return report

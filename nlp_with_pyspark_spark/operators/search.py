@@ -288,27 +288,66 @@ def persist_posting_index(
     ledger: the replay guard's anti-join reads it already partitioned
     on the join key, zero store-side Exchange), and ``{prefix}_stats``
     as a one-row table."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..sources.io import write_bucketed
 
-    write_bucketed(
-        index.postings,
-        f"{table_prefix}_postings",
-        "word",
-        n_buckets,
-        path=None if path is None else f"{path}/postings",
-    )
+    # the postings and docs writes are independent — overlapped from a
+    # 2-thread pool (guide §2.6), same as persist_vector_index
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(
+                write_bucketed,
+                index.postings,
+                f"{table_prefix}_postings",
+                "word",
+                n_buckets,
+                path=None if path is None else f"{path}/postings",
+            )
+        ]
+        if index.docs is not None:
+            futs.append(
+                pool.submit(
+                    write_bucketed,
+                    index.docs,
+                    f"{table_prefix}_docs",
+                    "doc_id",
+                    n_buckets,
+                    path=None if path is None else f"{path}/docs",
+                )
+            )
+        for f in futs:
+            f.result()
+    from ..sources.io import write_small_table
+
+    spark = index.postings.sparkSession
     if index.docs is not None:
-        write_bucketed(
-            index.docs,
-            f"{table_prefix}_docs",
-            "doc_id",
-            n_buckets,
-            path=None if path is None else f"{path}/docs",
+        # stats derived from the COMMITTED docs ledger — a keys-only
+        # columnar scan of the just-written bucketed table — instead of
+        # collecting index.stats, whose plan is a third full pass over
+        # the corpus-sized build lineage (tokenize + agg); same exact
+        # BIGINTs by construction (the ledger holds one (doc_id, dl)
+        # row per doc, token-less docs included)
+        docs_tbl = f"{table_prefix}_docs"
+        spark.catalog.refreshTable(docs_tbl)
+        srow = (
+            spark.table(docs_tbl)
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("dl").cast("long").alias("total_dl"),
+            )
+            .collect()[0]
         )
-    writer = index.stats.write.mode("overwrite").format("parquet")
-    if path is not None:
-        writer = writer.option("path", f"{path}/stats")
-    writer.saveAsTable(f"{table_prefix}_stats")
+    else:
+        srow = index.stats.collect()[0]
+    # one-row artifact: written without a Spark job (io.write_small_table)
+    write_small_table(
+        spark,
+        [(srow["n_docs"], srow["total_dl"] or 0)],
+        "n_docs bigint, total_dl bigint",
+        f"{table_prefix}_stats",
+        None if path is None else f"{path}/stats",
+    )
 
 
 def _table_path_if_external(spark: SparkSession, table: str) -> str | None:
@@ -370,8 +409,19 @@ def _heal_tombstones(spark: SparkSession, table_prefix: str) -> bool:
 
 
 def load_posting_index(spark: SparkSession, table_prefix: str) -> PostingIndex:
+    """Load the store for querying. Every table is refreshed first —
+    the family-wide read-entry idiom (vector_store.load_vector_index):
+    a streaming sink's foreachBatch writes through a CLONED
+    SparkSession, so the clone's cache invalidation never reaches this
+    session's cached file listing, and a query after a streamed
+    append/delete would read dropped files (or miss new ones) without
+    the refresh."""
     docs_tbl = f"{table_prefix}_docs"
     tomb_tbl = f"{table_prefix}_tombstones"
+    for sub in ("postings", "stats"):
+        spark.catalog.refreshTable(f"{table_prefix}_{sub}")
+    if spark.catalog.tableExists(docs_tbl):
+        spark.catalog.refreshTable(docs_tbl)
     tombs = None
     if _heal_tombstones(spark, table_prefix):
         spark.catalog.refreshTable(tomb_tbl)
@@ -491,6 +541,8 @@ def _refresh_stats(spark: SparkSession, table_prefix: str) -> None:
     overwrite (``_table_path_if_external``): dropping it to a managed
     warehouse table would leave the store's on-disk ``stats/`` dir
     stale — a path-addressed reader would see pre-delete counts."""
+    from ..sources.io import write_small_table
+
     stats_tbl = f"{table_prefix}_stats"
     row = (
         _live_docs(spark, table_prefix)
@@ -500,17 +552,18 @@ def _refresh_stats(spark: SparkSession, table_prefix: str) -> None:
         )
         .collect()[0]
     )
-    writer = spark.createDataFrame(
-        [(row["n_docs"], row["total_dl"] or 0)], "n_docs bigint, total_dl bigint"
-    ).write.mode("overwrite").format("parquet")
     spath = (
         _table_path_if_external(spark, stats_tbl)
         if spark.catalog.tableExists(stats_tbl)
         else None
     )
-    if spath is not None:
-        writer = writer.option("path", spath)
-    writer.saveAsTable(stats_tbl)
+    write_small_table(
+        spark,
+        [(row["n_docs"], row["total_dl"] or 0)],
+        "n_docs bigint, total_dl bigint",
+        stats_tbl,
+        spath,
+    )
 
 
 def _rewrite_tombstones(
@@ -581,20 +634,21 @@ def remove_from_posting_index(
     if has_tombs:
         spark.catalog.refreshTable(tomb_tbl)
         fresh = fresh.join(F.broadcast(spark.table(tomb_tbl)), "doc_id", "left_anti")
-    fresh = fresh.localCheckpoint()  # consumed by the count and the append
-    n_new = fresh.count()
-    if n_new:
-        if has_tombs:
-            fresh.write.mode("append").format("parquet").saveAsTable(tomb_tbl)
-        else:
-            # place the tombstones as a sibling of the postings data dir
-            # (`<postings>__tombstones`) so they share the store's
-            # lifecycle whether the store is external or warehouse-managed
-            fresh.write.mode("overwrite").format("parquet").option(
-                "path", _tombstones_sidecar_path(spark, table_prefix)
-            ).saveAsTable(tomb_tbl)
+    # takedown lists are broadcast-sized by the store contract, so the
+    # newly dead ids are collected (ONE job) and appended driver-side —
+    # replacing localCheckpoint + count + a Spark write job; the
+    # tombstone home is the `<postings>__tombstones` sidecar either way
+    # (io.append_small_table)
+    from ..sources.io import append_small_table
+
+    rows = [(int(r.doc_id),) for r in fresh.collect()]
+    if rows:
+        append_small_table(
+            spark, rows, "doc_id bigint", tomb_tbl,
+            _tombstones_sidecar_path(spark, table_prefix),
+        )
         _refresh_stats(spark, table_prefix)
-    return n_new
+    return len(rows)
 
 
 def vacuum_posting_index(spark: SparkSession, table_prefix: str) -> dict:
@@ -620,22 +674,38 @@ def vacuum_posting_index(spark: SparkSession, table_prefix: str) -> dict:
     for the ids it admits (the vector store's protocol, pinned in
     tests). Returns per-table rewrite reports plus the number of
     tombstones folded."""
-    from ..sources.io import compact_bucketed_table
+    from ..sources.io import compact_bucketed_tables
 
     tomb_tbl = f"{table_prefix}_tombstones"
     if not _heal_tombstones(spark, table_prefix):
         return {"tombstones_folded": 0}
     spark.catalog.refreshTable(tomb_tbl)
-    dead = spark.table(tomb_tbl).localCheckpoint()
+    # no checkpoint: `dead` is only consumed by the folds below, all of
+    # which commit BEFORE the clear rewrites the table it reads
+    dead = spark.table(tomb_tbl)
     n_dead = dead.count()
     report: dict = {"tombstones_folded": n_dead}
     if n_dead:
         drop_dead = lambda df: df.join(F.broadcast(dead), "doc_id", "left_anti")  # noqa: E731
-        for t in ("postings", "docs"):
-            report[t] = compact_bucketed_table(
-                spark, f"{table_prefix}_{t}", transform=drop_dead
+        # the two table rewrites are independent — overlapped (§2.6)
+        report.update(
+            compact_bucketed_tables(
+                spark,
+                {
+                    f"{table_prefix}_postings": drop_dead,
+                    f"{table_prefix}_docs": drop_dead,
+                },
             )
-    _rewrite_tombstones(spark, table_prefix, spark.createDataFrame([], "doc_id bigint"))
+        )
+        report["postings"] = report.pop(f"{table_prefix}_postings")
+        report["docs"] = report.pop(f"{table_prefix}_docs")
+    # the clear writes a 0-row artifact — driver-side, no Spark job
+    from ..sources.io import write_small_table
+
+    write_small_table(
+        spark, [], "doc_id bigint", tomb_tbl,
+        _table_path_if_external(spark, tomb_tbl),
+    )
     _refresh_stats(spark, table_prefix)
     return report
 

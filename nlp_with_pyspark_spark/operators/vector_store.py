@@ -135,48 +135,60 @@ def persist_vector_index(
     (ledger joins); quantizer tables are tiny plain parquet."""
     from ..sources.io import write_bucketed
 
+    from concurrent.futures import ThreadPoolExecutor
+
     spark = corpus.sparkSession
-    write_bucketed(
-        _encode(corpus, centroids, codebooks, vec_col, id_col),
-        f"{table_prefix}_codes",
-        "list_id",
-        n_buckets,
-        path=None if path is None else f"{path}/codes",
-    )
-    write_bucketed(
-        corpus.select(
-            F.col(id_col).cast("long").alias("vec_id"),
-            F.col(vec_col).alias("embedding"),
-        ),
-        f"{table_prefix}_vecs",
-        "vec_id",
-        n_buckets,
-        path=None if path is None else f"{path}/vecs",
-    )
-    for name, df in (
+    # the two data writes are independent single-source jobs — run them
+    # from a 2-thread pool so the vecs scan back-fills executors freed
+    # by the codes write's tail (guide §2.6: overlap independent jobs)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_codes = pool.submit(
+            write_bucketed,
+            _encode(corpus, centroids, codebooks, vec_col, id_col),
+            f"{table_prefix}_codes",
+            "list_id",
+            n_buckets,
+            path=None if path is None else f"{path}/codes",
+        )
+        f_vecs = pool.submit(
+            write_bucketed,
+            corpus.select(
+                F.col(id_col).cast("long").alias("vec_id"),
+                F.col(vec_col).alias("embedding"),
+            ),
+            f"{table_prefix}_vecs",
+            "vec_id",
+            n_buckets,
+            path=None if path is None else f"{path}/vecs",
+        )
+        f_codes.result()
+        f_vecs.result()
+    from ..sources.io import write_small_table
+
+    # quantizer tables: bounded by construction (n_lists rows; m·ksub
+    # rows), rows already on the driver — written without a Spark job
+    # (io.write_small_table; two saveAsTable jobs here cost as much as
+    # the corpus-sized bucketed writes above at local scale)
+    for name, ddl, rows in (
         (
             "centroids",
-            spark.createDataFrame(
-                [(int(i), [float(x) for x in c]) for i, c in centroids],
-                "list_id int, centroid array<double>",
-            ),
+            "list_id int, centroid array<double>",
+            [(int(i), [float(x) for x in c]) for i, c in centroids],
         ),
         (
             "codebooks",
-            spark.createDataFrame(
-                [
-                    (s, c, [float(x) for x in codebooks[s][c]])
-                    for s in range(len(codebooks))
-                    for c in range(len(codebooks[s]))
-                ],
-                "subspace int, code int, centroid array<double>",
-            ),
+            "subspace int, code int, centroid array<double>",
+            [
+                (s, c, [float(x) for x in codebooks[s][c]])
+                for s in range(len(codebooks))
+                for c in range(len(codebooks[s]))
+            ],
         ),
     ):
-        writer = df.write.mode("overwrite").format("parquet")
-        if path is not None:
-            writer = writer.option("path", f"{path}/{name}")
-        writer.saveAsTable(f"{table_prefix}_{name}")
+        write_small_table(
+            spark, rows, ddl, f"{table_prefix}_{name}",
+            None if path is None else f"{path}/{name}",
+        )
 
 
 def train_and_persist_vector_index(
@@ -450,16 +462,19 @@ def remove_from_vector_index(
     if has_tombs:
         spark.catalog.refreshTable(tomb_tbl)
         fresh = fresh.join(F.broadcast(spark.table(tomb_tbl)), "vec_id", "left_anti")
-    fresh = fresh.localCheckpoint()
-    n_new = fresh.count()
-    if n_new:
-        if has_tombs:
-            fresh.write.mode("append").format("parquet").saveAsTable(tomb_tbl)
-        else:
-            fresh.write.mode("overwrite").format("parquet").option(
-                "path", _tombstones_sidecar_path(spark, table_prefix)
-            ).saveAsTable(tomb_tbl)
-    return n_new
+    # takedown lists are broadcast-sized by the store contract, so the
+    # newly dead ids are collected (ONE job) and appended driver-side —
+    # replacing localCheckpoint + count + a Spark write job
+    # (io.append_small_table)
+    from ..sources.io import append_small_table
+
+    rows = [(int(r.vec_id),) for r in fresh.collect()]
+    if rows:
+        append_small_table(
+            spark, rows, "vec_id bigint", tomb_tbl,
+            _tombstones_sidecar_path(spark, table_prefix),
+        )
+    return len(rows)
 
 
 def _rewrite_tombstones(
@@ -497,22 +512,36 @@ def vacuum_vector_index(spark: SparkSession, table_prefix: str) -> dict:
     clear, and ``append_to_vector_index`` scrubs any such stale row for
     an id it admits, so a re-ingest inside the window is never
     invisibly shadowed (pinned in tests/test_vector_store.py)."""
-    from ..sources.io import compact_bucketed_table
+    from ..sources.io import compact_bucketed_tables
 
     tomb_tbl = f"{table_prefix}_tombstones"
     if not _heal_tombstones(spark, table_prefix):
         return {"tombstones_folded": 0}
     spark.catalog.refreshTable(tomb_tbl)
-    dead = spark.table(tomb_tbl).localCheckpoint()
+    # no checkpoint: `dead` is only consumed by the folds below, all of
+    # which commit BEFORE the clear rewrites the table it reads
+    dead = spark.table(tomb_tbl)
     n_dead = dead.count()
     report: dict = {"tombstones_folded": n_dead}
     if n_dead:
         drop_dead = lambda df: df.join(F.broadcast(dead), "vec_id", "left_anti")  # noqa: E731
-        for t in ("codes", "vecs"):
-            report[t] = compact_bucketed_table(
-                spark, f"{table_prefix}_{t}", transform=drop_dead
+        # the two table rewrites are independent — overlapped (§2.6)
+        report.update(
+            compact_bucketed_tables(
+                spark,
+                {f"{table_prefix}_codes": drop_dead, f"{table_prefix}_vecs": drop_dead},
             )
-    _rewrite_tombstones(spark, table_prefix, spark.createDataFrame([], "vec_id bigint"))
+        )
+        report["codes"] = report.pop(f"{table_prefix}_codes")
+        report["vecs"] = report.pop(f"{table_prefix}_vecs")
+    # the clear writes a 0-row artifact — driver-side, no Spark job
+    from ..sources.io import write_small_table
+    from .search import _table_path_if_external
+
+    write_small_table(
+        spark, [], "vec_id bigint", tomb_tbl,
+        _table_path_if_external(spark, tomb_tbl),
+    )
     return report
 
 
@@ -730,18 +759,25 @@ def vector_index_rerank_topk(
             + ")"
         )
 
+    probes_expr = F.expr(
+        f"transform(slice(array_sort({centroid_entries_sql(vs, index.centroids)}),"
+        f" 1, {n_probe}), s -> s.list_id)"
+    )
     q = queries.select(
         F.col(id_col).cast("long").alias("query_id"),
-        F.explode(
-            F.expr(
-                f"transform(slice(array_sort({centroid_entries_sql(vs, index.centroids)}),"
-                f" 1, {n_probe}), s -> s.list_id)"
-            )
-        ).alias("list_id"),
+        F.explode(probes_expr).alias("list_id"),
         F.expr(f"array({', '.join(lut_sql(s) for s in range(m))})").alias("lut"),
-    ).localCheckpoint()  # consumed by the probe-id collect AND the join
+    )
+    # probe ids from a NARROW twin plan (probe column only, no LUT
+    # evaluation) instead of localCheckpoint-ing q for double
+    # consumption: one job fewer per serve, and the only recompute is
+    # the n_lists-fold coarse assign over the query BATCH — bounded by
+    # the batch, never the corpus
     probe_ids = sorted(
-        r.list_id for r in q.select("list_id").distinct().collect()
+        r.list_id
+        for r in queries.select(F.explode(probes_expr).alias("list_id"))
+        .distinct()
+        .collect()
     )
     cand_codes = index.codes.where(F.col("list_id").isin([int(i) for i in probe_ids]))
     if index.tombstones is not None:
@@ -842,13 +878,16 @@ def _overwrite_centroids(
     location — the ``_rewrite_tombstones`` idiom for the quantizer."""
     from .search import _table_path_if_external
 
+    from ..sources.io import write_small_table
+
     tbl = f"{table_prefix}_centroids"
-    df = spark.createDataFrame(rows, "list_id int, centroid array<double>")
-    writer = df.write.mode("overwrite").format("parquet")
-    tpath = _table_path_if_external(spark, tbl)
-    if tpath is not None:
-        writer = writer.option("path", tpath)
-    writer.saveAsTable(tbl)
+    write_small_table(
+        spark,
+        [(int(i), [float(x) for x in c]) for i, c in rows],
+        "list_id int, centroid array<double>",
+        tbl,
+        _table_path_if_external(spark, tbl),
+    )
     spark.catalog.refreshTable(tbl)
 
 

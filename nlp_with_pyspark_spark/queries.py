@@ -2162,14 +2162,25 @@ def ann_ivfpq_merged_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_rows = emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
     centroids = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in cent_rows]
     cbs = pq_fixed_codebooks()
-    persist_vector_index(
-        emb.where(F.col("vec_id") % 2 == 0), centroids, cbs, prefix,
-        n_buckets=8, path=f"{path}/a",
-    )
-    persist_vector_index(
-        emb.where(F.col("vec_id") % 2 == 1), centroids, cbs, f"{prefix}_src",
-        n_buckets=8, path=f"{path}/b",
-    )
+    # the two shard builds are independent by construction (disjoint
+    # corpus halves, separate stores) — that IS the parallel-build
+    # pattern this query registers, so run them concurrently from a
+    # driver thread pool (guide §2.6: overlap independent jobs)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(
+            persist_vector_index,
+            emb.where(F.col("vec_id") % 2 == 0), centroids, cbs, prefix,
+            n_buckets=8, path=f"{path}/a",
+        )
+        fb = pool.submit(
+            persist_vector_index,
+            emb.where(F.col("vec_id") % 2 == 1), centroids, cbs,
+            f"{prefix}_src", n_buckets=8, path=f"{path}/b",
+        )
+        fa.result()
+        fb.result()
     merge_vector_indexes(spark, prefix, f"{prefix}_src")
     return vector_index_rerank_topk(
         load_vector_index(spark, prefix),

@@ -42,6 +42,18 @@ def get_spark(
     master = master or os.environ.get("SPARK_MASTER", f"local[{DEFAULT_SHUFFLE_PARTITIONS}]")
     nshuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
 
+    # deployment-tuning seam: `SPARK_GRAFT_CONF="k=v;k2=v2"` lays extra
+    # Spark confs under (below `extra_conf`, above the engine defaults)
+    # without code changes — the knob a cluster deployment uses to set
+    # shuffle/broadcast/codec values for its hardware, and what the
+    # optimization-round A/B harness drives (guide §9: configs are
+    # cluster-level; the engine ships scale-safe defaults, not pins)
+    env_conf: dict[str, str] = {}
+    for pair in os.environ.get("SPARK_GRAFT_CONF", "").split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            env_conf[k.strip()] = v.strip()
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -63,6 +75,6 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    for k, v in (extra_conf or {}).items():
+    for k, v in {**env_conf, **(extra_conf or {})}.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -553,17 +553,32 @@ def neardup_upsert_batch(
         F.broadcast(stale_feats.select("doc_id")), "doc_id", "left_anti"
     )
 
+    # the two INDEX writes are order-independent (the idempotent-append
+    # anti-joins above cancel either table's stale rows on replay), so
+    # they run overlapped from a 2-thread pool (guide §2.6); the docs
+    # ledger is the COMMIT POINT and must stay strictly AFTER both —
+    # a store with docs committed but index rows missing would silently
+    # stop detecting those docs' near-duplicates
+    from concurrent.futures import ThreadPoolExecutor
+
     if bucketed:
-        if keys_raw is None:
-            # first batch for the INDEX: CREATE its bucketed tables
-            # (overwrite clobbers any partial first-batch crash state)
-            write_bucketed(new_keys, keys_tbl, fam.keys_bucket_col, n_buckets,
-                           path=keys_path)
-            write_bucketed(new_feats, feats_tbl, fam.feats_bucket_col, n_buckets,
-                           path=feats_path)
-        else:
-            append_to_bucketed_table(new_keys, keys_tbl)
-            append_to_bucketed_table(new_feats, feats_tbl)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            if keys_raw is None:
+                # first batch for the INDEX: CREATE its bucketed tables
+                # (overwrite clobbers any partial first-batch crash state)
+                fk = pool.submit(
+                    write_bucketed, new_keys, keys_tbl, fam.keys_bucket_col,
+                    n_buckets, path=keys_path,
+                )
+                ff = pool.submit(
+                    write_bucketed, new_feats, feats_tbl, fam.feats_bucket_col,
+                    n_buckets, path=feats_path,
+                )
+            else:
+                fk = pool.submit(append_to_bucketed_table, new_keys, keys_tbl)
+                ff = pool.submit(append_to_bucketed_table, new_feats, feats_tbl)
+            fk.result()
+            ff.result()
         # docs existence is tracked SEPARATELY from the index's: a
         # legacy store can hold docs while its index tables are absent
         # (empty-index fallback above) — overwriting docs there would
@@ -574,8 +589,15 @@ def neardup_upsert_batch(
             write_bucketed(survivors, docs_tbl, id_col, n_buckets, path=docs_path)
     else:
         mode = "append" if keys_raw is not None else "overwrite"
-        new_keys.write.mode(mode).parquet(keys_path)
-        new_feats.write.mode(mode).parquet(feats_path)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fk = pool.submit(
+                lambda: new_keys.write.mode(mode).parquet(keys_path)
+            )
+            ff = pool.submit(
+                lambda: new_feats.write.mode(mode).parquet(feats_path)
+            )
+            fk.result()
+            ff.result()
         survivors.write.mode("append").parquet(docs_path)
 
     if compact_threshold_files is not None:
