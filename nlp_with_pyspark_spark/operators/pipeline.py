@@ -205,7 +205,7 @@ def curation_funnel(
     map-side 1-row aggs. Nothing corpus-sized is ever collected — the
     driver sees one cutoff value and ≤``n_buckets`` histogram rows.
     """
-    from .selection import dsir_scores
+    from .selection import dsir_scores, features_expr
     from .sketch import exact_quantiles
 
     flagged = corpus.select(
@@ -216,19 +216,23 @@ def curation_funnel(
     # checkpointed: the survivor set feeds the DSIR source-model pass
     # AND the scoring pass — without the pin each would re-run the
     # tokenize + quality projection over the raw corpus (measured 12.2 s
-    # → 6.9 s warm at sf0.1). At extreme scale the same seam writes to a
-    # staging table instead of executor disk; re-tokenizing twice costs
-    # more than one (doc_id, tokens) materialization either way.
+    # → 6.9 s warm at sf0.1). The materialized payload is the HASHED
+    # FEATURE ARRAY (selection.features_expr), not tokens: both DSIR
+    # passes consume the same bucket ints, so the gram+md5 chain runs
+    # once per survivor instead of once per pass — and the checkpoint
+    # stores int arrays, not token strings. At extreme scale the same
+    # seam writes to a staging table instead of executor disk either
+    # way. Scores are bit-identical (same buckets, same fold order).
     survivors = flagged.where(F.col("__qs") >= quality_min).select(
-        "doc_id", tokens_col
+        "doc_id", features_expr(tokens_col, ns, n_buckets).alias("__feats")
     ).localCheckpoint()
     scored = dsir_scores(
         survivors,
-        target,
-        tokens_col=tokens_col,
+        target.select(features_expr(tokens_col, ns, n_buckets).alias("__feats")),
         ns=ns,
         n_buckets=n_buckets,
         smoothing=smoothing,
+        features_col="__feats",
     ).localCheckpoint()
     q = 1.0 - keep_frac
     qrows = exact_quantiles(scored, "dsir_score", [q]).collect()
@@ -294,28 +298,38 @@ def full_curation_funnel(
     1-row agg for the selection stage. Nothing corpus-sized is
     collected: the driver sees one quantile cutoff and ≤``n_buckets``
     histogram rows."""
-    from .selection import dsir_scores
+    from .selection import dsir_scores, features_expr
     from .sketch import exact_quantiles
 
+    # checkpointed: the flags frame is consumed by TWO subtrees — the
+    # hygiene stage counts and the survivor-id cut below — and an
+    # unmaterialized lineage re-evaluates the regex-heavy quality/
+    # repetition gates (plus both drop-list joins) once per consumer.
+    # The frame is thin (doc_id + 4 small columns), so the barrier
+    # costs one write of gate bits and saves a full gate pass.
     flags = _hygiene_flags(
         corpus, benchmark, jaccard_threshold, contamination_max,
         tokens_col, text_col,
-    )
+    ).localCheckpoint()
     conds = _hygiene_conds(quality_min)
     hygiene = _stage_counts(flags, conds)
     survivor_ids = flags.where(conds[4]).select("doc_id")
+    # the survivor checkpoint materializes the hashed feature array
+    # (selection.features_expr) — both DSIR passes consume the same
+    # bucket ints, one gram+md5 evaluation per survivor (see
+    # curation_funnel's seam note; scores bit-identical)
     survivors = (
         corpus.join(survivor_ids, "doc_id", "left_semi")
-        .select("doc_id", tokens_col)
+        .select("doc_id", features_expr(tokens_col, ns, n_buckets).alias("__feats"))
         .localCheckpoint()
     )
     scored = dsir_scores(
         survivors,
-        target,
-        tokens_col=tokens_col,
+        target.select(features_expr(tokens_col, ns, n_buckets).alias("__feats")),
         ns=ns,
         n_buckets=n_buckets,
         smoothing=smoothing,
+        features_col="__feats",
     ).localCheckpoint()
     qrows = exact_quantiles(scored, "dsir_score", [1.0 - keep_frac]).collect()
     if qrows:

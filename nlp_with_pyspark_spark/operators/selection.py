@@ -113,13 +113,29 @@ def _bucket(gram: Column, n_buckets: int) -> Column:
     ).cast("int")
 
 
-def _bucket_counts(grams: DataFrame, n_buckets: int) -> DataFrame:
-    """(bucket, cnt) — the bag-of-hashed-n-grams model, ≤ n_buckets rows."""
-    return (
-        grams.select(_bucket(F.col("gram"), n_buckets).alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
+def features_expr(
+    tokens_col: str = "tokens", ns: Sequence[int] = (1, 2), n_buckets: int = 4096
+) -> Column:
+    """The per-doc hashed-feature BUCKET array as one row-local
+    expression: ``_grams_expr``'s n-gram occurrences mapped through
+    ``_bucket`` — exactly the multiset of buckets the gram pipeline
+    derives, as an int array.
+
+    This is the share-the-hash seam: the gram build + md5 bucketing is
+    the expensive half of every DSIR pass, and a pipeline that fits a
+    source model AND scores the same corpus otherwise evaluates it once
+    per pass. Materialize ``features_expr(...)`` once (localCheckpoint
+    here; a stored column in a real ingestion pipeline) and hand the
+    frame to :func:`dsir_weights` / :func:`dsir_scores` via
+    ``features_col=`` — model fits become an int-array explode and
+    scoring a pure array fold, with the hash evaluated exactly once per
+    document. Bucket values are bit-identical to the gram path by
+    construction (same ``_grams_expr``, same ``_bucket``), so scores,
+    and the DuckDB oracle parity behind them, are unchanged — pinned in
+    tests/test_selection.py."""
+    return F.transform(_grams_expr(tokens_col, ns), lambda g: _bucket(g, n_buckets))
+
+
 
 
 def dsir_weights(
@@ -130,6 +146,7 @@ def dsir_weights(
     ns: Sequence[int] = (1, 2),
     n_buckets: int = 4096,
     smoothing: float = 1.0,
+    features_col: str | None = None,
 ) -> DataFrame:
     """The per-bucket importance log-weights: ``(bucket, w)`` with
 
@@ -142,26 +159,60 @@ def dsir_weights(
     (:func:`dsir_scores` does the latter). Only buckets observed in at
     least one model appear; a bucket observed in neither never occurs
     when scoring the corpus that built the source model (every corpus
-    gram is in it by construction)."""
-    tgt = _bucket_counts(_gram_rows(target, tokens_col, id_col, ns), n_buckets)
-    src = _bucket_counts(_gram_rows(corpus, tokens_col, id_col, ns), n_buckets)
-    tgt_tot = tgt.agg(F.sum("cnt").alias("__tt"))
-    src_tot = src.agg(F.sum("cnt").alias("__st"))
-    joined = (
-        tgt.withColumnRenamed("cnt", "__tc")
-        .join(src.withColumnRenamed("cnt", "__sc"), "bucket", "full_outer")
-        .crossJoin(F.broadcast(tgt_tot))
-        .crossJoin(F.broadcast(src_tot))
+    gram is in it by construction).
+
+    ``features_col``: both frames carry a precomputed
+    :func:`features_expr` bucket array under this name — the fits then
+    explode materialized ints instead of re-deriving grams + md5 per
+    pass (see :func:`features_expr`).
+
+    Execution shape: BOTH model fits run as ONE tagged union-aggregation
+    (per-bucket target count + combined count — the source count is
+    their exact long difference), the totals are exact integer sums of
+    the collected ≤B rows on the driver, and the log-ratio is evaluated
+    over those local rows through the same Spark expression (JVM
+    ``Math.log``) — so the weights are bit-identical to the former
+    two-fit + full-outer-join formulation (pinned in tests) while the
+    corpus-side work is a single pass and the per-call plan is one
+    simple aggregation instead of two aggregations, a full-outer join
+    and two broadcasts. The result is returned as a local-relation
+    DataFrame: ≤B rows that every caller collects or broadcasts anyway.
+    """
+    if features_col is not None:
+        tb = target.select(F.explode(F.col(features_col)).alias("bucket"))
+        sb = corpus.select(F.explode(F.col(features_col)).alias("bucket"))
+    else:
+        tb = _gram_rows(target, tokens_col, id_col, ns).select(
+            _bucket(F.col("gram"), n_buckets).alias("bucket")
+        )
+        sb = _gram_rows(corpus, tokens_col, id_col, ns).select(
+            _bucket(F.col("gram"), n_buckets).alias("bucket")
+        )
+    tagged = tb.withColumn("__t", F.lit(1)).unionByName(
+        sb.withColumn("__t", F.lit(0))
+    )
+    rows = (
+        tagged.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__all"),
+            F.sum("__t").cast("long").alias("__tc"),
+        )
+        .collect()
+    )
+    tt = sum(r["__tc"] for r in rows)
+    st = sum(r["__all"] - r["__tc"] for r in rows)
+    spark = corpus.sparkSession
+    local = spark.createDataFrame(
+        [(r["bucket"], r["__tc"], r["__all"] - r["__tc"]) for r in rows],
+        schema="bucket int, __tc long, __sc long",
     )
     a, b = F.lit(float(smoothing)), F.lit(float(smoothing * n_buckets))
     w = F.log(
-        (F.coalesce("__tc", F.lit(0)).cast("double") + a)
-        / (F.coalesce("__tt", F.lit(0)).cast("double") + b)
+        (F.col("__tc").cast("double") + a) / (F.lit(tt).cast("double") + b)
     ) - F.log(
-        (F.coalesce("__sc", F.lit(0)).cast("double") + a)
-        / (F.coalesce("__st", F.lit(0)).cast("double") + b)
+        (F.col("__sc").cast("double") + a) / (F.lit(st).cast("double") + b)
     )
-    return joined.select("bucket", w.alias("w"))
+    return local.select("bucket", w.alias("w"))
 
 
 def dsir_scores(
@@ -173,6 +224,7 @@ def dsir_scores(
     n_buckets: int = 4096,
     smoothing: float = 1.0,
     weights: DataFrame | None = None,
+    features_col: str | None = None,
 ) -> DataFrame:
     """Per-document DSIR importance scores: ``(doc_id, n_features,
     dsir_score)`` for EVERY corpus doc — ``dsir_score`` is the sum of
@@ -197,13 +249,34 @@ def dsir_scores(
     exactly 0. A bucket somehow absent from the map (only possible
     when scoring a frame the source model never saw — the seam's
     documented approximation) contributes 0.
-    """
+
+    ``features_col``: corpus and target carry a precomputed
+    :func:`features_expr` bucket array — the fits and the scoring fold
+    consume the materialized ints and the gram+md5 chain is evaluated
+    exactly once per document (at the caller's materialization point)
+    instead of once per pass. Scores are bit-identical (same buckets,
+    same fold order)."""
     if weights is None:
         weights = dsir_weights(
-            corpus, target, tokens_col, id_col, ns, n_buckets, smoothing
+            corpus, target, tokens_col, id_col, ns, n_buckets, smoothing,
+            features_col=features_col,
         )
     wrows = weights.collect()  # bounded: ≤ n_buckets rows
-    return _fold_scores(corpus, wrows, tokens_col, id_col, ns, n_buckets)
+    return _fold_scores(
+        corpus, wrows, tokens_col, id_col, ns, n_buckets, features_col
+    )
+
+
+def _dense_weight_lit(dense: list[float]) -> Column:
+    """The bucket→weight DENSE array as ONE SQL-parsed literal.
+    ``F.lit(list)`` builds the array element-by-element through py4j —
+    measured ~3.5 s of pure driver time per fresh plan at B=4096,
+    dwarfing the scoring job itself (~0.1 s) — where one parsed
+    ``array(...)`` SQL string is milliseconds (the operators/similarity
+    literal-compilation idiom). ``repr()`` of a Python float is the
+    shortest round-trip form, so each parsed double is bit-identical to
+    the ``F.lit`` value it replaces."""
+    return F.expr("array(" + ",".join(f"{w!r}D" for w in dense) + ")")
 
 
 def _fold_scores(
@@ -213,6 +286,7 @@ def _fold_scores(
     id_col: str,
     ns: Sequence[int],
     n_buckets: int,
+    features_col: str | None = None,
 ) -> DataFrame:
     """The scoring projection itself, weights already collected —
     shared by the batch scorer and the streaming twin (stateless, so
@@ -224,7 +298,25 @@ def _fold_scores(
     dense = [0.0] * n_buckets
     for r in wrows:
         dense[int(r["bucket"])] = float(r["w"])
-    warr = F.lit(dense)
+    warr = _dense_weight_lit(dense)
+    if features_col is not None:
+        # precomputed bucket array: the fold adds the SAME weight terms
+        # in the SAME order as the gram path (transform preserves order)
+        from ..sources.io import ensure_parallelism
+
+        if not docs.isStreaming:
+            docs = ensure_parallelism(docs)
+        feats = F.col(features_col)
+        score = F.aggregate(
+            feats,
+            F.lit(0.0),
+            lambda acc, b: acc + F.element_at(warr, b + 1),
+        )
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(feats).cast("long").alias("n_features"),
+            F.round(score, 6).alias("dsir_score"),
+        )
     grams = _gram_rows(docs, tokens_col, id_col, ns, explode=False)
     score = F.aggregate(
         F.col("__grams"),
@@ -280,7 +372,7 @@ def dsir_score_stream(
     dense = [0.0] * n_buckets
     for r in wrows:
         dense[int(r["bucket"])] = float(r["w"])
-    warr = F.lit(dense)
+    warr = _dense_weight_lit(dense)
     scored = (
         stream_docs.withColumn("__grams", _grams_expr(tokens_col, ns))
         .select(
@@ -345,6 +437,7 @@ def dsir_resample_top_k(
     ns: Sequence[int] = (1, 2),
     n_buckets: int = 4096,
     smoothing: float = 1.0,
+    features_col: str | None = None,
 ) -> DataFrame:
     """The paper's actual SELECT step — importance RESAMPLING, made
     deterministic under a ``seed``: Gumbel-top-k over the document
@@ -366,7 +459,8 @@ def dsir_resample_top_k(
     same TakeOrdered cut as :func:`dsir_top_k`.
     """
     scored = dsir_scores(
-        corpus, target, tokens_col, id_col, ns, n_buckets, smoothing
+        corpus, target, tokens_col, id_col, ns, n_buckets, smoothing,
+        features_col=features_col,
     )
     u = (
         F.conv(

@@ -5420,18 +5420,23 @@ def dsir_selection_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus. The ≤4096-row weight table broadcasts over the feature
     scan; the per-doc sum's partials collapse map-side, so the scoring
     shuffle carries one row per doc. The oracle replays the exact
-    bucket/smoothing/rounding chain. The tokenization is checkpointed
-    once (the _tokenized_documents_shared pattern — tfidf's 3× seam):
-    the target-model, source-model and scoring passes each consume it,
-    so the regex pipeline runs once, not three times."""
-    from .operators.selection import dsir_scores
+    bucket/smoothing/rounding chain. The checkpoint materializes the
+    HASHED FEATURE ARRAY (selection.features_expr), not just tokens:
+    the target-model, source-model and scoring passes each consume the
+    same bucket ints, so the regex tokenize AND the gram+md5 chain run
+    once, not once per pass (measured ~2× on this leg at sf0.1; bucket
+    values — and therefore scores and oracle parity — bit-identical by
+    construction)."""
+    from .operators.selection import dsir_scores, features_expr
 
     docs = (
         _tokenized_documents(spark, sf_dir)
-        .select("doc_id", "lang", "tokens")
+        .select("doc_id", "lang", features_expr().alias("features"))
         .localCheckpoint()
     )
-    return dsir_scores(docs, docs.where(F.col("lang") == "en"))
+    return dsir_scores(
+        docs, docs.where(F.col("lang") == "en"), features_col="features"
+    )
 
 
 @query("dsir_selected_topk", _dsir_sql(select_k=100, seed="dsir-r10"))
@@ -5447,17 +5452,23 @@ def dsir_selected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept SUBSET (not just the scores) is thereby under the external
     gate. Scale shape: one extra row-local projection over the scoring
     pass, then TakeOrdered (per-partition top-k + k-row merge — no
-    global sort); tokenization checkpointed once across the three
-    passes (the tfidf shared seam)."""
-    from .operators.selection import dsir_resample_top_k
+    global sort); the checkpoint materializes the hashed feature array
+    (selection.features_expr) so tokenize AND the gram+md5 chain run
+    once across the three passes, not once per pass — scores
+    bit-identical (same buckets, same fold order)."""
+    from .operators.selection import dsir_resample_top_k, features_expr
 
     docs = (
         _tokenized_documents(spark, sf_dir)
-        .select("doc_id", "lang", "tokens")
+        .select("doc_id", "lang", features_expr().alias("features"))
         .localCheckpoint()
     )
     return dsir_resample_top_k(
-        docs, docs.where(F.col("lang") == "en"), k=100, seed="dsir-r10"
+        docs,
+        docs.where(F.col("lang") == "en"),
+        k=100,
+        seed="dsir-r10",
+        features_col="features",
     )
 
 

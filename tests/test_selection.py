@@ -206,3 +206,46 @@ def test_curation_funnel_zero_survivors(spark):
         for r in curation_funnel(docs, docs, quality_min=0.99).collect()
     }
     assert got == {"raw": 6, "quality": 0, "dsir_selected": 0}
+
+
+def test_featurized_path_matches_gram_path_bit_for_bit(spark):
+    """The features_expr seam (one materialized gram+hash evaluation
+    shared by fits and scoring) must be EXACTLY the token path: same
+    weights, same n_features, same rounded scores — the optimization
+    contract of the round-13 featurize change."""
+    from nlp_with_pyspark_spark.operators.selection import features_expr
+
+    docs = _docs(
+        spark,
+        [
+            (1, ["the", "cat", "sat", "on", "the", "mat"]),
+            (2, ["dogs", "bark", "at", "cats"]),
+            (3, ["quantum", "flux", "capacitor"]),
+            (4, []),
+        ],
+    ).withColumn("lang", F.when(F.col("doc_id") < 3, "en").otherwise("xx"))
+    target = docs.where(F.col("lang") == "en")
+
+    base = {
+        (r.doc_id): (r.n_features, r.dsir_score)
+        for r in dsir_scores(docs, target).collect()
+    }
+    feat = docs.select(
+        "doc_id", "lang", features_expr().alias("features")
+    ).localCheckpoint()
+    got = {
+        (r.doc_id): (r.n_features, r.dsir_score)
+        for r in dsir_scores(
+            feat, feat.where(F.col("lang") == "en"), features_col="features"
+        ).collect()
+    }
+    assert got == base
+
+    wb = {(r.bucket): r.w for r in dsir_weights(docs, target).collect()}
+    wf = {
+        (r.bucket): r.w
+        for r in dsir_weights(
+            feat, feat.where(F.col("lang") == "en"), features_col="features"
+        ).collect()
+    }
+    assert wf == wb

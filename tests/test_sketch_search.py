@@ -811,3 +811,15 @@ def test_vacuum_keeps_external_locations_and_disk_state(
     finally:
         for t in ("postings", "docs", "stats", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_exact_quantiles_driver_path_equals_distributed(spark, values_df):
+    """The measured-small driver fast path (round-13 optimization) must
+    be EXACTLY the distributed histogram path — same rows, both global
+    and grouped, including the rank/tie semantics."""
+    for by in ((), ["grp"]):
+        fast = exact_quantiles(values_df, "v", QS, by=by, n_buckets=8).collect()
+        slow = exact_quantiles(
+            values_df, "v", QS, by=by, n_buckets=8, driver_threshold=0
+        ).collect()
+        assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
