@@ -23,10 +23,11 @@ Spark-first:
     counts only, ≤ ``n_buckets`` rows each side;
   * the smoothed log-ratio weight table (≤ ``n_buckets`` rows) is
     collected once — a bounded fetch, the `_collect_centroids`
-    precedent — and folded into a MAP LITERAL, so scoring is a pure
-    row-local projection: grams never leave their document's row, the
-    per-doc sum is ``aggregate`` over the gram array, and the scoring
-    pass crosses ZERO joins and ZERO Exchanges (plan-pinned in tests).
+    precedent — and folded into a DENSE ARRAY LITERAL (SQL-compiled,
+    see ``_dense_weight_lit``), so scoring is a pure row-local
+    projection: grams never leave their document's row, the per-doc
+    sum is ``aggregate`` over the gram array, and the scoring pass
+    crosses ZERO joins and ZERO Exchanges (plan-pinned in tests).
 
 Two corpus passes by construction (the source model must be complete
 before any weight exists). The paper's own scale trick applies when
