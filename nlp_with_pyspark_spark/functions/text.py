@@ -81,8 +81,18 @@ def token_count(tokens: Column | str) -> Column:
 
 
 def tokens_pipeline(text_col: Column | str, stopwords=DEFAULT_STOPWORDS) -> Column:
-    """clean → tokenize → stop-filter in one expression tree."""
-    return filter_stopwords(tokenize(clean_text(text_col)), stopwords)
+    """clean → tokenize → stop-filter in one expression tree.
+
+    Memoized per process (functions/expr.memo_col): the tree build
+    costs ~0.03 s of py4j driver time per fresh plan and this column
+    heads nearly every text query's plan — construction caching only;
+    results pinned identical in tests/test_expr.py."""
+    from .expr import col_key, memo_col
+
+    return memo_col(
+        ("text.tokens_pipeline", col_key(text_col), tuple(stopwords)),
+        lambda: filter_stopwords(tokenize(clean_text(text_col)), stopwords),
+    )
 
 
 def lemmatize_udf():

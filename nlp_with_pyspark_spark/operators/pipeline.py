@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from .decontam import benchmark_overlap
 from .dedup import _shingle_sets, minhash_dedup_pairs
 from .graph import connected_components
-from .textstats import is_repetitive_expr, quality_score_expr
+from .textstats import hygiene_gates_expr, quality_score_expr
 
 #: (index, name) of the funnel stages, in order
 FUNNEL_STAGES = (
@@ -75,15 +75,22 @@ def _hygiene_flags(
         .distinct()
         .withColumn("is_contaminated", F.lit(1))
     )
-    return (
-        corpus.select(
-            "doc_id",
-            quality_score_expr(F.col(text_col)).alias("quality_score"),
-            is_repetitive_expr(F.col(text_col)).alias("is_repetitive"),
-        )
-        .join(dropped, "doc_id", "left")
-        .join(contaminated, "doc_id", "left")
+    # ONE struct-valued gate expression instead of two standalone gate
+    # columns: both gates consume the same lowered-token array, and
+    # lambda-bound expressions are outside Spark's subexpression
+    # elimination, so separate columns would lowercase + split every
+    # document twice (textstats.hygiene_gates_expr; fields numerically
+    # identical to quality_score_expr / is_repetitive_expr — pinned in
+    # tests). Two-step select so the multi-referenced struct evaluates
+    # once per row (the repetition_features CollapseProject note).
+    gated = corpus.select(
+        "doc_id", hygiene_gates_expr(F.col(text_col)).alias("_g")
+    ).select(
+        "doc_id",
+        F.col("_g")["quality_score"].alias("quality_score"),
+        F.col("_g")["is_repetitive"].alias("is_repetitive"),
     )
+    return gated.join(dropped, "doc_id", "left").join(contaminated, "doc_id", "left")
 
 
 def _hygiene_conds(quality_min: float) -> dict:

@@ -418,8 +418,17 @@ def load_posting_index(spark: SparkSession, table_prefix: str) -> PostingIndex:
     the refresh."""
     docs_tbl = f"{table_prefix}_docs"
     tomb_tbl = f"{table_prefix}_tombstones"
+    # existence-guarded (like docs below): an unconditional refresh of a
+    # nonexistent table raises a catalog error far less informative than
+    # a store-not-found message
+    if not spark.catalog.tableExists(f"{table_prefix}_postings"):
+        raise ValueError(
+            f"{table_prefix}_postings not found: no posting index at "
+            f"this prefix — build one with persist_posting_index first"
+        )
     for sub in ("postings", "stats"):
-        spark.catalog.refreshTable(f"{table_prefix}_{sub}")
+        if spark.catalog.tableExists(f"{table_prefix}_{sub}"):
+            spark.catalog.refreshTable(f"{table_prefix}_{sub}")
     if spark.catalog.tableExists(docs_tbl):
         spark.catalog.refreshTable(docs_tbl)
     tombs = None

@@ -256,7 +256,12 @@ def dsir_scores(
     consume the materialized ints and the gram+md5 chain is evaluated
     exactly once per document (at the caller's materialization point)
     instead of once per pass. Scores are bit-identical (same buckets,
-    same fold order)."""
+    same fold order). ``n_buckets`` must equal the materializing
+    ``features_expr`` call's — the array's buckets were fixed then,
+    while the fits' smoothing term and the scoring fold's dense array
+    are sized by the argument given here (the fold coalesces an
+    out-of-range lookup to 0 rather than nulling the document, but a
+    mismatch still mis-scores: keep them equal)."""
     if weights is None:
         weights = dsir_weights(
             corpus, target, tokens_col, id_col, ns, n_buckets, smoothing,
@@ -276,8 +281,20 @@ def _dense_weight_lit(dense: list[float]) -> Column:
     ``array(...)`` SQL string is milliseconds (the operators/similarity
     literal-compilation idiom). ``repr()`` of a Python float is the
     shortest round-trip form, so each parsed double is bit-identical to
-    the ``F.lit`` value it replaces."""
-    return F.expr("array(" + ",".join(f"{w!r}D" for w in dense) + ")")
+    the ``F.lit`` value it replaces. Non-finite weights (``smoothing=0``
+    with a source-only bucket yields ``log(0) = -inf``) have no ``D``
+    literal form — they are emitted as the cast the SQL parser does
+    accept, matching ``F.lit(float('-inf'))`` exactly."""
+    import math
+
+    def wlit(w: float) -> str:
+        if math.isfinite(w):
+            return f"{w!r}D"
+        if math.isnan(w):
+            return "CAST('NaN' AS DOUBLE)"
+        return f"CAST('{'-' if w < 0 else ''}Infinity' AS DOUBLE)"
+
+    return F.expr("array(" + ",".join(wlit(w) for w in dense) + ")")
 
 
 def _fold_scores(
@@ -307,11 +324,19 @@ def _fold_scores(
 
         if not docs.isStreaming:
             docs = ensure_parallelism(docs)
+        # NOTE: n_buckets must equal the features_expr(...) call that
+        # materialized the bucket array — the buckets were fixed then,
+        # and this dense array is sized by the argument given HERE. The
+        # coalesce guards the mismatch failure mode: under non-ANSI SQL
+        # an out-of-range element_at returns null and would silently
+        # null every score; a never-observed in-range bucket contributes
+        # 0 by the documented seam semantics either way (in the matched
+        # case element_at is never null, so the fold is bit-unchanged).
         feats = F.col(features_col)
         score = F.aggregate(
             feats,
             F.lit(0.0),
-            lambda acc, b: acc + F.element_at(warr, b + 1),
+            lambda acc, b: acc + F.coalesce(F.element_at(warr, b + 1), F.lit(0.0)),
         )
         return docs.select(
             F.col(id_col).alias("doc_id"),

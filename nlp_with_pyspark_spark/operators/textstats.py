@@ -92,6 +92,47 @@ def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def _quality_score_from(c: Column, toks: Column, ltoks: Column) -> Column:
+    """The composite quality score over ALREADY-BOUND raw-case and
+    lowercased token arrays (callers flet-bind; see
+    :func:`quality_score_expr` / :func:`hygiene_gates_expr`) —
+    numerically identical to the ``quality_score`` column
+    ``quality_features`` emits (same sub-expressions, same rounding).
+    The raw-case and lowercased arrays stay SEPARATE because ``lower()``
+    is not length-preserving on all of Unicode (e.g. U+0130 → 2
+    codepoints) and ``quality_features`` measures word length on the
+    raw-case tokens."""
+    n_chars = F.length(c)
+    alpha_chars = F.length(F.regexp_replace(c, r"[^a-zA-Z]", ""))
+    alpha_ratio = F.when(
+        n_chars > 0, alpha_chars.cast("double") / n_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+    markers = F.array(*[F.lit(w) for w in EN_MARKERS])
+    n_tokens = F.size(toks)
+    mean_word_len = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+        / n_tokens.cast("double"),
+    ).otherwise(F.lit(0.0))
+    hits = F.size(F.filter(ltoks, lambda x: F.array_contains(markers, x)))
+    sw_ratio = F.when(
+        F.size(ltoks) > 0, hits.cast("double") / F.size(ltoks).cast("double")
+    ).otherwise(F.lit(0.0))
+    score = (
+        F.least(alpha_ratio / 0.7, F.lit(1.0)) * 0.4
+        + F.least(sw_ratio / 0.3, F.lit(1.0)) * 0.3
+        + F.when(
+            (mean_word_len >= 3) & (mean_word_len <= 10), F.lit(1.0)
+        ).otherwise(F.lit(0.0))
+        * 0.2
+        + F.when(
+            (n_tokens >= 10) & (n_tokens <= 100000), F.lit(1.0)
+        ).otherwise(F.lit(0.0))
+        * 0.1
+    )
+    return F.round(score, 6)
+
+
 def quality_score_expr(text: Column | str) -> Column:
     """The composite quality score ALONE, as one flet-bound expression —
     numerically identical to the ``quality_score`` column
@@ -101,52 +142,82 @@ def quality_score_expr(text: Column | str) -> Column:
     a funnel stage that only gates on the score shouldn't pay a second
     corpus scan + join against the full ``quality_features`` output.
     Both token arrays are flet-bound (functions/expr.py) so the
-    whitespace tokenization runs once per row, not once per reference;
-    the raw-case and lowercased arrays stay SEPARATE because ``lower()``
-    is not length-preserving on all of Unicode (e.g. U+0130 → 2
-    codepoints) and ``quality_features`` measures word length on the
-    raw-case tokens.
-    """
-    from ..functions.expr import flet
+    whitespace tokenization runs once per row, not once per reference.
+
+    The built tree is memoized per process (functions/expr.memo_col):
+    the ~300-node build costs ~0.16 s of py4j driver time per FRESH
+    plan, recurring on every text-scoring query — construction caching
+    only; results are pinned identical in tests."""
+    from ..functions.expr import col_key, flet, memo_col
 
     c = F.col(text) if isinstance(text, str) else text
-    n_chars = F.length(c)
-    alpha_chars = F.length(F.regexp_replace(c, r"[^a-zA-Z]", ""))
-    alpha_ratio = F.when(
-        n_chars > 0, alpha_chars.cast("double") / n_chars.cast("double")
-    ).otherwise(F.lit(0.0))
-    markers = F.array(*[F.lit(w) for w in EN_MARKERS])
 
-    def with_raw(toks: Column) -> Column:
-        n_tokens = F.size(toks)
-        mean_word_len = F.when(
-            n_tokens > 0,
-            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
-            / n_tokens.cast("double"),
-        ).otherwise(F.lit(0.0))
+    def build() -> Column:
+        return flet(
+            tokenize(c),
+            lambda toks: flet(
+                tokenize(F.lower(c)),
+                lambda ltoks: _quality_score_from(c, toks, ltoks),
+            ),
+        )
 
-        def with_lower(ltoks: Column) -> Column:
-            hits = F.size(F.filter(ltoks, lambda x: F.array_contains(markers, x)))
-            sw_ratio = F.when(
-                F.size(ltoks) > 0, hits.cast("double") / F.size(ltoks).cast("double")
-            ).otherwise(F.lit(0.0))
-            score = (
-                F.least(alpha_ratio / 0.7, F.lit(1.0)) * 0.4
-                + F.least(sw_ratio / 0.3, F.lit(1.0)) * 0.3
-                + F.when(
-                    (mean_word_len >= 3) & (mean_word_len <= 10), F.lit(1.0)
-                ).otherwise(F.lit(0.0))
-                * 0.2
-                + F.when(
-                    (n_tokens >= 10) & (n_tokens <= 100000), F.lit(1.0)
-                ).otherwise(F.lit(0.0))
-                * 0.1
-            )
-            return F.round(score, 6)
+    return memo_col(("textstats.quality_score_expr", col_key(c)), build)
 
-        return flet(tokenize(F.lower(c)), with_lower)
 
-    return flet(tokenize(c), with_raw)
+def hygiene_gates_expr(
+    text: Column | str,
+    top_token_max: float = 0.10,
+    distinct_min: float = 0.25,
+    top_bigram_max: float = 0.05,
+) -> Column:
+    """BOTH hygiene gates — ``struct(quality_score, is_repetitive)`` —
+    over ONE bound lowered-token array. :func:`is_repetitive_expr`'s
+    token array (``_raw_tokens`` = filter(split(lower(text)))) is the
+    IDENTICAL expression to ``tokenize(lower(text))`` inside
+    :func:`quality_score_expr`, but lambda-bound expressions are
+    excluded from Spark's subexpression elimination, so a projection
+    computing the two gates as separate columns lowercases and splits
+    every document twice. Binding the array once serves both gates;
+    each field is numerically identical to its standalone expression
+    (same sub-expressions, same rounding — pinned in tests).
+
+    For pipeline composition (operators/pipeline._hygiene_flags — the
+    funnel's gate projection). Select the struct into its own column
+    first, THEN expand the two fields (the repetition_features two-step
+    pattern), or the multi-referenced struct re-runs the whole pipeline
+    per field. Memoized per process like the standalone gates."""
+    from ..functions.expr import col_key, flet, memo_col
+
+    c = F.col(text) if isinstance(text, str) else text
+
+    def build() -> Column:
+        return flet(
+            tokenize(c),
+            lambda toks: flet(
+                tokenize(F.lower(c)),
+                lambda ltoks: F.struct(
+                    _quality_score_from(c, toks, ltoks).alias("quality_score"),
+                    _repetition_struct(
+                        ltoks, top_token_max, distinct_min, top_bigram_max
+                    )["is_repetitive"].alias("is_repetitive"),
+                    # free byproduct of the bound array: the whitespace
+                    # token count (== size(_raw_tokens(text))) — the
+                    # datasheet query's third tokenize pass
+                    F.size(ltoks).cast("long").alias("n_ws_tokens"),
+                ),
+            ),
+        )
+
+    return memo_col(
+        (
+            "textstats.hygiene_gates_expr",
+            col_key(c),
+            top_token_max,
+            distinct_min,
+            top_bigram_max,
+        ),
+        build,
+    )
 
 
 def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -295,15 +366,32 @@ def is_repetitive_expr(
     For pipeline composition (operators/pipeline.corpus_funnel): a
     stage that only gates on the flag shouldn't pay a second corpus
     scan + join against the full feature output.
+
+    The built tree is memoized per process (functions/expr.memo_col):
+    the build costs ~0.3 s of py4j driver time per FRESH plan —
+    construction caching only; results pinned identical in tests.
     """
-    from ..functions.expr import flet
+    from ..functions.expr import col_key, flet, memo_col
 
     c = F.col(text) if isinstance(text, str) else text
-    return flet(
-        _raw_tokens(c),
-        lambda toks: _repetition_struct(
-            toks, top_token_max, distinct_min, top_bigram_max
-        )["is_repetitive"],
+
+    def build() -> Column:
+        return flet(
+            _raw_tokens(c),
+            lambda toks: _repetition_struct(
+                toks, top_token_max, distinct_min, top_bigram_max
+            )["is_repetitive"],
+        )
+
+    return memo_col(
+        (
+            "textstats.is_repetitive_expr",
+            col_key(c),
+            top_token_max,
+            distinct_min,
+            top_bigram_max,
+        ),
+        build,
     )
 
 

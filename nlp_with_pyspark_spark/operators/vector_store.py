@@ -705,6 +705,7 @@ def vector_index_rerank_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     allowed: DataFrame | None = None,
+    deterministic_queries: bool = True,
 ) -> DataFrame:
     """Serve the production two-stage retrieval FROM THE STORE —
     row-identical to similarity.ivfpq_rerank_topk over the live corpus
@@ -741,9 +742,24 @@ def vector_index_rerank_topk(
     time would cost a probed-candidates × ledger anti-join on every
     query — corpus-scale work to mask a bounded, self-healing
     transient — so serving tolerates it instead.
+
+    ``deterministic_queries``: stage 1 derives the probe-id IN-list and
+    the per-query LUT join from TWO evaluations of the ``queries`` plan,
+    which must therefore be deterministic (the default asserts nothing —
+    a plain scan/projection batch, the serving shape, always is). Pass
+    ``False`` when it is not (rand/sample/limit, or a source that can
+    change between the two jobs): the batch is snapshotted once
+    (localCheckpoint) so both consumers read the same rows.
     """
     if shortlist < k:
         raise ValueError("shortlist must be >= k")
+    if not deterministic_queries:
+        # the probe-id collect below and the lazy q join each evaluate
+        # the queries plan once; a NONDETERMINISTIC queries frame
+        # (rand/sample/limit, a source mutating between the two jobs)
+        # could diverge between the two reads and silently drop probed
+        # lists from cand_codes — pin one snapshot for both consumers
+        queries = queries.localCheckpoint()
     m = len(index.codebooks)
     dsub = len(index.codebooks[0][0])
     vs = f"`{vec_col}`"

@@ -4114,15 +4114,26 @@ def corpus_stats_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     averages 6dp-rounded doubles — integer-exact sums everywhere else —
     so the 6dp output rounding has ~1e9× headroom over summation-order
     drift at any corpus size."""
-    from .operators.textstats import _raw_tokens, is_repetitive_expr, quality_score_expr
+    from .operators.textstats import hygiene_gates_expr
 
     docs = read_table(spark, sf_dir, "documents")
+    # one struct-valued gate expression: token count, quality score and
+    # repetition flag share ONE lowered-token array instead of three
+    # independent tokenize passes (lambda-bound expressions sit outside
+    # subexpression elimination — textstats.hygiene_gates_expr; each
+    # field numerically identical to the standalone expression it
+    # replaces, pinned in tests). Two-step select so the struct
+    # evaluates once per row.
     base = docs.select(
         "lang",
         F.sha2(F.col("text"), 256).alias("h"),
-        F.size(_raw_tokens(F.col("text"))).cast("long").alias("n_tokens"),
-        quality_score_expr(F.col("text")).alias("qs"),
-        is_repetitive_expr(F.col("text")).alias("is_rep"),
+        hygiene_gates_expr(F.col("text")).alias("_g"),
+    ).select(
+        "lang",
+        "h",
+        F.col("_g")["n_ws_tokens"].alias("n_tokens"),
+        F.col("_g")["quality_score"].alias("qs"),
+        F.col("_g")["is_repetitive"].alias("is_rep"),
     )
     w = Window.partitionBy("h")
     flags = base.withColumn(
