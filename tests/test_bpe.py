@@ -72,6 +72,7 @@ def toks(spark, sf_dir):
     )
 
 
+@pytest.mark.slow  # heavy e2e/marathon; kin + oracle parity cover the default run
 def test_bpe_train_matches_reference_exactly(toks):
     freqs = {r.w: r.n for r in word_frequencies(toks).collect()}
     assert len(freqs) > 20, "corpus too small for a meaningful check"

@@ -155,6 +155,7 @@ def test_decontaminated_corpus_applies_both_passes(spark):
     assert kept_exact_only == [2, 3]
 
 
+@pytest.mark.slow  # heavy e2e/marathon; kin + oracle parity cover the default run
 def test_decontaminated_corpus_batchwise_equals_global(spark):
     """The statelessness claim in the docstring: gating each micro-batch
     independently equals gating the union — the operator never compares

@@ -118,6 +118,7 @@ def test_disjoint_outputs_union_to_batch(spark, toks):
 
 
 @pytest.mark.parametrize("mod,rem", [(10, 7), (4, 2)])
+@pytest.mark.slow  # heavy e2e/marathon; kin + oracle parity cover the default run
 def test_simhash_delta_equals_batch_restricted(spark, toks, mod, rem):
     """SimHash twin of the minhash contract: delta-vs-index output ==
     batch-global pairs restricted to delta-touching pairs, at the
@@ -216,6 +217,7 @@ def test_append_to_index_preserves_plan_and_equivalence(spark, toks, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_shingles")
 
 
+@pytest.mark.slow  # heavy e2e/marathon; kin + oracle parity cover the default run
 def test_simhash_index_persist_append_roundtrip(spark, toks, tmp_path):
     """persist/load/append for the simhash index family: the delta
     check against a persisted-then-appended index stays correct and the

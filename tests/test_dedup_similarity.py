@@ -243,6 +243,7 @@ def test_simhash_xxhash64_production_family(docs):
         simhash_fingerprints(docs, hash_fn="sha1")
 
 
+@pytest.mark.slow  # heavy e2e/marathon; kin + oracle parity cover the default run
 def test_xxhash64_families_interchangeable_at_driver_scale(spark):
     """End-to-end pin that the PRODUCTION hash family (xxhash64 — the
     one a 100 TB run uses, since md5-hex exists for DuckDB oracle
@@ -828,6 +829,7 @@ def _trained_quantizer(corpus):
     return tr_cent, pq_train(corpus, m=8, ksub=16, dim=64)
 
 
+@pytest.mark.slow  # heavy e2e/marathon; kin + oracle parity cover the default run
 def test_trained_quantizer_recall_beats_untrained(spark, emb):
     """The tuning loop ann_recall_at_k's docstring promises, closed
     end-to-end: train the coarse quantizer (k-means, build_ivf_index)
@@ -900,6 +902,7 @@ def test_ivfpq_rerank_full_probe_equals_exact(spark, emb):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exact.collect()))
 
 
+@pytest.mark.slow  # heavy e2e/marathon; kin + oracle parity cover the default run
 def test_ivfpq_rerank_lifts_recall(spark, emb):
     """The production two-stage shape earns its keep: exact re-ranking
     a 50-candidate ADC shortlist removes the ADC rank noise that

@@ -117,6 +117,7 @@ def test_golden_envelope_properties():
         assert c[-1] <= 1.02 * min(c), name  # settled near its floor
 
 
+@pytest.mark.slow  # heavy e2e/marathon; kin + oracle parity cover the default run
 def test_compat_curves_descend_all_optimizers(spark, tweet_features):
     """compat='reference' replicates the as-written update rules for all
     six optimizers; every curve must descend over 10 iterations on the

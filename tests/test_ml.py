@@ -93,6 +93,7 @@ def test_reference_compat_optimizers_descend(doc_features, optimizer):
     assert ref.costs_ != std.costs_
 
 
+@pytest.mark.slow  # heavy e2e/marathon; kin + oracle parity cover the default run
 def test_svm_cost_decreases(doc_features):
     _, feats = doc_features
     t = GDTrainer(k=50, loss="hinge", optimizer="gd", lr=0.001, iterations=40)
@@ -111,6 +112,7 @@ def test_svm_early_stop_triggers(doc_features):
     assert len(t.costs_) < 50, "early stop never triggered"
 
 
+@pytest.mark.slow  # heavy e2e/marathon; kin + oracle parity cover the default run
 def test_lr_finds_signal_feature(spark, doc_features, sf_dir):
     """Mechanism test: training on 'doc contains <word>' must put the
     single largest weight on <word>'s own feature and beat the base rate.
@@ -138,6 +140,7 @@ def test_lr_finds_signal_feature(spark, doc_features, sf_dir):
     assert acc > base_rate, f"acc {acc} did not beat base rate {base_rate}"
 
 
+@pytest.mark.slow  # heavy e2e/marathon; kin + oracle parity cover the default run
 def test_lr_separates_synthetic(spark):
     """Well-scaled separable data (feature 0 ⇔ label 1, feature 1 ⇔ label 0,
     O(1) values) must be driven to ~perfect accuracy."""
@@ -166,6 +169,7 @@ def test_lr_separates_synthetic(spark):
     assert acc > 0.97, f"synthetic separable data learned poorly: {acc}"
 
 
+@pytest.mark.slow  # heavy e2e/marathon; kin + oracle parity cover the default run
 def test_top_features_and_cost_sink(spark, doc_features, sf_dir, tmp_path):
     """R12 report surfaces 'spark' for the contains-spark label; R13 sink
     writes exactly one part file."""

@@ -8,6 +8,7 @@ plain Python and require exact agreement — an independent model check,
 complementing the DuckDB oracle which shares the SQL formulation.
 """
 
+import pytest
 import re
 
 import pyspark.sql.functions as F
@@ -143,6 +144,7 @@ def test_asof_join_matches_python_model(spark, rows):
 
 @settings(**SETTINGS)
 @given(st.lists(token_lists.filter(lambda l: len(l) >= 1), min_size=2, max_size=12))
+@pytest.mark.slow  # heavy e2e/marathon; kin + oracle parity cover the default run
 def test_simhash_banding_exact_below_bands(spark, lists):
     """Pigeonhole guarantee: with max_hamming < bands, banded blocking
     finds EXACTLY the pairs with hamming ≤ max_hamming — no false

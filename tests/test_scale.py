@@ -134,6 +134,7 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert "event_type" not in flat_seg, flat_seg
 
 
+@pytest.mark.slow  # heavy e2e/marathon; kin + oracle parity cover the default run
 def test_bucketed_range_join_randomized(spark):
     """Randomized cross-check (seeded): 300 random intervals × 500
     random points, three bucket widths (smaller, comparable, larger than

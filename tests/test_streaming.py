@@ -9,6 +9,12 @@ same answers once all data is processed (availableNow drain).
 import pyspark.sql.functions as F
 import pytest
 
+# slow: ~10 min of stream-replay / store-lifecycle e2e. The default
+# (driver-window) run keeps the same semantics covered via the
+# oracle-parity tests — every maintained-store query runs its full
+# ingest→takedown→vacuum→serve lifecycle against DuckDB there.
+pytestmark = pytest.mark.slow
+
 from nlp_with_pyspark_spark.operators.windows import (
     session_stats,
     sessionize,

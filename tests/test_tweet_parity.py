@@ -17,9 +17,14 @@ from nlp_with_pyspark_spark.sources.io import TWEETS_SCHEMA, read_csv
 
 TRAIN_CSV = "/root/reference/nlp-getting-started/train.csv"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(TRAIN_CSV), reason="reference dataset not present"
-)
+# slow: ~3 min of MLlib reference-replay marathons over the frozen
+# Kaggle golden — only ml/ changes can move them
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not os.path.exists(TRAIN_CSV), reason="reference dataset not present"
+    ),
+]
 
 
 @pytest.fixture(scope="module")

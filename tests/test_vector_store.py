@@ -82,6 +82,7 @@ def test_store_serve_equals_inline_rerank_and_prunes(
         _drop(spark, prefix)
 
 
+@pytest.mark.slow  # heavy e2e/marathon; kin + oracle parity cover the default run
 def test_takedown_lifecycle_delete_vacuum_reingest(spark, emb, quantizer, tmp_path):
     """The LSM maintenance contract, end to end: (1) a takedown wave is
     served as if the index were rebuilt without the dead vectors —
@@ -148,6 +149,7 @@ def test_takedown_lifecycle_delete_vacuum_reingest(spark, emb, quantizer, tmp_pa
         _drop(spark, rebuilt)
 
 
+@pytest.mark.slow  # heavy e2e/marathon; kin + oracle parity cover the default run
 def test_trained_quantizer_store_roundtrip(spark, emb, tmp_path):
     """The production build path: train_and_persist_vector_index trains
     k-means centroids + PQ codebooks (on a hash-sample) and persists —
@@ -356,6 +358,7 @@ def test_streaming_ingest_sink_converges(spark, emb, quantizer, tmp_path):
         _drop(spark, oneshot)
 
 
+@pytest.mark.slow  # heavy e2e/marathon; kin + oracle parity cover the default run
 def test_fanout_drives_vector_store(spark, sf_dir, emb, quantizer, tmp_path):
     """One takedown-id stream converges the vector store alongside a
     text-side store through takedown_fanout_sink's new 'vector' kind:
@@ -438,6 +441,7 @@ def test_fanout_drives_vector_store(spark, sf_dir, emb, quantizer, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {ndx}_{t}")
 
 
+@pytest.mark.slow  # heavy e2e/marathon; kin + oracle parity cover the default run
 def test_filtered_serve_equals_rebuild_with_only_allowed(
     spark, emb, quantizer, tmp_path
 ):
@@ -759,6 +763,7 @@ def _retrain_cents(emb, lo=100, hi=108):
     ]
 
 
+@pytest.mark.slow  # heavy e2e/marathon; kin + oracle parity cover the default run
 def test_retrain_global_reassignment_and_serve_pin(
     spark, emb, quantizer, tmp_path
 ):
@@ -839,6 +844,7 @@ def test_retrain_global_reassignment_and_serve_pin(
         _drop(spark, prefix)
 
 
+@pytest.mark.slow  # heavy e2e/marathon; kin + oracle parity cover the default run
 def test_retrain_crash_replay_converges(
     spark, emb, quantizer, tmp_path, monkeypatch
 ):
@@ -1055,6 +1061,7 @@ def test_rebalance_noop_when_balanced(spark, emb, quantizer, tmp_path):
         _drop(spark, prefix)
 
 
+@pytest.mark.slow  # heavy e2e/marathon; kin + oracle parity cover the default run
 def test_rebalance_serve_anchor_and_lifecycle_interop(
     spark, emb, quantizer, tmp_path
 ):
@@ -1198,6 +1205,7 @@ def test_rebalance_detection_uses_live_counts(spark, emb, quantizer, tmp_path):
         _drop(spark, prefix)
 
 
+@pytest.mark.slow  # heavy e2e/marathon; kin + oracle parity cover the default run
 def test_rebalance_crash_between_commits_replays_convergently(
     spark, emb, quantizer, tmp_path, monkeypatch
 ):
