@@ -537,10 +537,22 @@ def neardup_upsert_batch(
         .where((F.col("has_index") == 1) | (F.col("node") != F.col("min_delta")))
         .select(F.col("node").alias(id_col))
     )
-    survivors = fresh.join(drops, id_col, "left_anti").localCheckpoint()
-    surv_ids = survivors.select(F.col(id_col).alias("doc_id"))
-    new_keys = delta_keys.join(surv_ids, "doc_id", "left_semi")
-    new_feats = delta_feats.join(surv_ids, "doc_id", "left_semi")
+    # checkpoint the DROPS side, not the survivors: drops (this batch's
+    # duplicate ids, ≤ batch-sized — the same bound as the fresh_ids
+    # broadcasts above) pins the components chain's one evaluation,
+    # and every survivor consumer then derives lazily from the two
+    # pinned frames (fresh ckpt minus drops ckpt) — a map-side
+    # broadcast anti-join per consumer instead of a second corpus-wide
+    # checkpoint materialization. The index filters flip from
+    # semi-join-against-survivors (corpus-sized build side at scale)
+    # to anti-join-against-drops: delta_keys/delta_feats rows belong to
+    # fresh docs by construction, and survivors = fresh − drops, so
+    # semi(survivors) ≡ anti(drops) row-for-row.
+    drops = drops.localCheckpoint()
+    survivors = fresh.join(F.broadcast(drops), id_col, "left_anti")
+    drop_ids = F.broadcast(drops.select(F.col(id_col).alias("doc_id")))
+    new_keys = delta_keys.join(drop_ids, "doc_id", "left_anti")
+    new_feats = delta_feats.join(drop_ids, "doc_id", "left_anti")
     # idempotent append: drop rows a crashed attempt already stored
     # ((doc_id, band_id) identifies a key row — band_hash is a function
     # of it; doc_id identifies a feature row)
