@@ -1802,18 +1802,16 @@ def remove_from_neardup_store(
             F.broadcast(spark.table(tomb_tbl)), "doc_id", "left_anti"
         )
     # takedown lists are broadcast-sized by the store contract, so the
-    # newly dead ids are collected (ONE job) and appended driver-side —
-    # replacing localCheckpoint + count + a Spark write job
-    # (io.append_small_table)
-    from ..sources.io import append_small_table
+    # newly dead ids are collected (ONE bounded job) and appended
+    # driver-side; a contract-violating corpus-sized frame degrades to
+    # the distributed append instead of OOMing the driver
+    # (io.append_ids_table)
+    from ..sources.io import append_ids_table
 
-    rows = [(r.doc_id,) for r in fresh.collect()]
-    if rows:
-        append_small_table(
-            spark, rows, f"doc_id {id_type}", tomb_tbl,
-            _neardup_tombstones_sidecar_path(spark, table_prefix),
-        )
-    return len(rows)
+    return append_ids_table(
+        spark, fresh, f"doc_id {id_type}", tomb_tbl,
+        _neardup_tombstones_sidecar_path(spark, table_prefix),
+    )
 
 
 def _rewrite_neardup_tombstones(
@@ -2031,17 +2029,16 @@ def remove_from_exact_dedup_store(
             F.broadcast(spark.table(tomb_tbl)), list(key_cols), "left_anti"
         )
     # takedown key lists are broadcast-sized by the store contract —
-    # collected (ONE job) and appended driver-side (io.append_small_table;
-    # falls back to a Spark append for key types outside its DDL subset)
-    from ..sources.io import append_small_table
+    # collected (ONE bounded job) and appended driver-side
+    # (io.append_ids_table; falls back to a Spark append for key types
+    # outside the DDL subset, or for a contract-violating corpus-sized
+    # frame instead of OOMing the driver)
+    from ..sources.io import append_ids_table
 
-    rows = [tuple(r) for r in fresh.collect()]
-    if rows:
-        append_small_table(
-            spark, rows, schema, tomb_tbl,
-            _exact_store_tombstones_sidecar_path(spark, table),
-        )
-    return len(rows)
+    return append_ids_table(
+        spark, fresh, schema, tomb_tbl,
+        _exact_store_tombstones_sidecar_path(spark, table),
+    )
 
 
 def _rewrite_exact_store_tombstones(spark, table: str, live) -> None:

@@ -644,20 +644,21 @@ def remove_from_posting_index(
         spark.catalog.refreshTable(tomb_tbl)
         fresh = fresh.join(F.broadcast(spark.table(tomb_tbl)), "doc_id", "left_anti")
     # takedown lists are broadcast-sized by the store contract, so the
-    # newly dead ids are collected (ONE job) and appended driver-side —
-    # replacing localCheckpoint + count + a Spark write job; the
-    # tombstone home is the `<postings>__tombstones` sidecar either way
-    # (io.append_small_table)
-    from ..sources.io import append_small_table
+    # newly dead ids are collected (ONE bounded job) and appended
+    # driver-side — replacing localCheckpoint + count + a Spark write
+    # job; a contract-violating corpus-sized frame degrades to the
+    # distributed append instead of OOMing the driver
+    # (io.append_ids_table); the tombstone home is the
+    # `<postings>__tombstones` sidecar either way
+    from ..sources.io import append_ids_table
 
-    rows = [(int(r.doc_id),) for r in fresh.collect()]
-    if rows:
-        append_small_table(
-            spark, rows, "doc_id bigint", tomb_tbl,
-            _tombstones_sidecar_path(spark, table_prefix),
-        )
+    n = append_ids_table(
+        spark, fresh, "doc_id bigint", tomb_tbl,
+        _tombstones_sidecar_path(spark, table_prefix),
+    )
+    if n:
         _refresh_stats(spark, table_prefix)
-    return len(rows)
+    return n
 
 
 def vacuum_posting_index(spark: SparkSession, table_prefix: str) -> dict:

@@ -463,18 +463,16 @@ def remove_from_vector_index(
         spark.catalog.refreshTable(tomb_tbl)
         fresh = fresh.join(F.broadcast(spark.table(tomb_tbl)), "vec_id", "left_anti")
     # takedown lists are broadcast-sized by the store contract, so the
-    # newly dead ids are collected (ONE job) and appended driver-side —
-    # replacing localCheckpoint + count + a Spark write job
-    # (io.append_small_table)
-    from ..sources.io import append_small_table
+    # newly dead ids are collected (ONE bounded job) and appended
+    # driver-side; a contract-violating corpus-sized frame degrades to
+    # the distributed append instead of OOMing the driver
+    # (io.append_ids_table)
+    from ..sources.io import append_ids_table
 
-    rows = [(int(r.vec_id),) for r in fresh.collect()]
-    if rows:
-        append_small_table(
-            spark, rows, "vec_id bigint", tomb_tbl,
-            _tombstones_sidecar_path(spark, table_prefix),
-        )
-    return len(rows)
+    return append_ids_table(
+        spark, fresh, "vec_id bigint", tomb_tbl,
+        _tombstones_sidecar_path(spark, table_prefix),
+    )
 
 
 def _rewrite_tombstones(

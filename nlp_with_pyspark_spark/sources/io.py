@@ -497,15 +497,20 @@ def write_small_table(
     lived in executors to begin with (guide §1.2: remove work, then
     tune what remains).
 
-    Crash exposure is unchanged from the Spark overwrite it replaces
-    (delete-then-commit: a crash in between leaves an empty table —
-    the same window ``mode('overwrite').saveAsTable`` has).
+    Crash/concurrency exposure is BETTER than the Spark overwrite it
+    replaces: the new file is renamed over a FIXED part name, so in the
+    steady state (the previous write also came from here) the replace
+    is one atomic ``rename`` — no window where a reader sees an empty
+    or doubled table, where ``mode('overwrite').saveAsTable`` has a
+    delete-then-commit window. Only when legacy Spark-written part
+    files exist does a residual window remain (new file visible before
+    the old ones are unlinked — a transient union read, never an empty
+    table), and it closes permanently after the first rewrite.
 
     ``path=None`` (managed warehouse table — no externally-known
     location) falls back to the Spark write path with identical
     semantics."""
     import os
-    import uuid
 
     schema = None
     if path is not None:
@@ -532,12 +537,19 @@ def write_small_table(
         schema=schema,
     )
     os.makedirs(path, exist_ok=True)
-    fname = f"part-00000-{uuid.uuid4().hex}.parquet"
+    # FIXED part name: rename() atomically replaces the previous write's
+    # file, so the common overwrite (small-table → small-table) has NO
+    # reader/crash window at all; stale files under other names (a
+    # legacy Spark-written table) are unlinked only AFTER the new data
+    # is in place — a transient union read, never an empty table
+    fname = "part-00000-small.parquet"
     tmp = os.path.join(path, "." + fname + ".tmp")
     pq.write_table(tbl, tmp)
-    for f in parquet_data_files(path):
+    dest = os.path.join(path, fname)
+    stale = [f for f in parquet_data_files(path) if f != dest]
+    os.rename(tmp, dest)
+    for f in stale:
         os.remove(f)
-    os.rename(tmp, os.path.join(path, fname))
     if spark.catalog.tableExists(table):
         spark.catalog.refreshTable(table)
     else:
@@ -590,6 +602,47 @@ def append_small_table(
         spark.catalog.refreshTable(table)
     else:
         spark.catalog.createTable(table, path=path, source="parquet")
+
+
+#: Driver-collect bound for takedown id/key frames (append_ids_table).
+#: At or below it the list is collected and appended driver-side (one
+#: Spark job, no write job); above it the caller has violated the
+#: "takedown lists are broadcast-sized" store contract, and the append
+#: degrades to a distributed Spark write instead of OOMing the driver.
+#: 1M single-column ids collect to tens of MB — safely inside any
+#: driver, comfortably above any sane takedown wave.
+TAKEDOWN_COLLECT_MAX = 1_000_000
+
+
+def append_ids_table(
+    spark: SparkSession,
+    fresh: DataFrame,
+    ddl: str,
+    table: str,
+    path: str,
+) -> int:
+    """Append ``fresh``'s rows (a takedown id/key frame — broadcast-
+    sized by the store contract) to an artifact table, returning the
+    row count. The probe collects AT MOST ``TAKEDOWN_COLLECT_MAX + 1``
+    rows (one job, bounded driver memory): a complete result within the
+    bound is appended driver-side (:func:`append_small_table` — no
+    Spark write job); a truncated result means a corpus-sized frame,
+    which falls back to the distributed localCheckpoint + count +
+    Spark-append path the driver-side fast path replaced — graceful
+    degradation instead of a driver OOM."""
+    rows = [tuple(r) for r in fresh.limit(TAKEDOWN_COLLECT_MAX + 1).collect()]
+    if len(rows) <= TAKEDOWN_COLLECT_MAX:
+        if rows:
+            append_small_table(spark, rows, ddl, table, path)
+        return len(rows)
+    ckpt = fresh.localCheckpoint()
+    n = ckpt.count()
+    writer = ckpt.write.format("parquet")
+    if spark.catalog.tableExists(table):
+        writer.mode("append").saveAsTable(table)
+    else:
+        writer.mode("overwrite").option("path", path).saveAsTable(table)
+    return n
 
 
 def register_bucketed_table(

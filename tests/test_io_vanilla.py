@@ -9,6 +9,7 @@ builder session.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from nlp_with_pyspark_spark.sources.io import read_table
 
@@ -209,3 +210,75 @@ def test_utc_pin_warns_on_non_utc_session(spark):
         assert not caught
     finally:
         spark.conf.set(key, old)
+
+
+def test_write_small_table_replace_is_atomic_rename(spark, tmp_path):
+    """write_small_table overwrites via one atomic rename over a FIXED
+    part name: after a rewrite the directory holds exactly one data
+    file (no stale siblings), re-reads see the new rows, and a legacy
+    foreign-named file is unlinked only after the new data is in place."""
+    import os
+
+    from nlp_with_pyspark_spark.sources.io import (
+        parquet_data_files,
+        write_small_table,
+    )
+
+    path = str(tmp_path / "small")
+    tbl = "t_small_atomic"
+    try:
+        write_small_table(spark, [(1, "a")], "id bigint, v string", tbl, path)
+        assert len(parquet_data_files(path)) == 1
+        first = parquet_data_files(path)[0]
+        write_small_table(spark, [(2, "b"), (3, "c")], "id bigint, v string", tbl, path)
+        files = parquet_data_files(path)
+        assert files == [first], "rewrite must reuse the fixed part name"
+        got = sorted(tuple(r) for r in spark.table(tbl).collect())
+        assert got == [(2, "b"), (3, "c")]
+        # legacy foreign-named file (a Spark-written part) is cleaned up
+        legacy = os.path.join(path, "part-99999-legacy.parquet")
+        os.link(first, legacy)
+        write_small_table(spark, [(4, "d")], "id bigint, v string", tbl, path)
+        assert parquet_data_files(path) == [first]
+        assert [tuple(r) for r in spark.table(tbl).collect()] == [(4, "d")]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_append_ids_table_guard_falls_back_distributed(spark, tmp_path, monkeypatch):
+    """append_ids_table collects at most TAKEDOWN_COLLECT_MAX+1 rows:
+    within the bound it appends driver-side; a larger (contract-
+    violating) frame degrades to the distributed Spark append with
+    identical table contents and return count."""
+    from nlp_with_pyspark_spark.sources import io as io_mod
+
+    tbl_small, tbl_big = "t_ids_small", "t_ids_big"
+    try:
+        df = spark.range(10).select(F.col("id").alias("doc_id"))
+        n = io_mod.append_ids_table(
+            spark, df, "doc_id bigint", tbl_small, str(tmp_path / "small_ids")
+        )
+        assert n == 10
+        got = sorted(r.doc_id for r in spark.table(tbl_small).collect())
+        assert got == list(range(10))
+
+        monkeypatch.setattr(io_mod, "TAKEDOWN_COLLECT_MAX", 4)
+        n = io_mod.append_ids_table(
+            spark, df, "doc_id bigint", tbl_big, str(tmp_path / "big_ids")
+        )
+        assert n == 10, "fallback must return the full count"
+        got = sorted(r.doc_id for r in spark.table(tbl_big).collect())
+        assert got == list(range(10))
+        # and appends accumulate on the existing table
+        n = io_mod.append_ids_table(
+            spark,
+            spark.range(10, 14).select(F.col("id").alias("doc_id")),
+            "doc_id bigint",
+            tbl_big,
+            str(tmp_path / "big_ids"),
+        )
+        assert n == 4
+        assert spark.table(tbl_big).count() == 14
+    finally:
+        for t in (tbl_small, tbl_big):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -823,3 +823,43 @@ def test_exact_quantiles_driver_path_equals_distributed(spark, values_df):
             values_df, "v", QS, by=by, n_buckets=8, driver_threshold=0
         ).collect()
         assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+
+
+def test_posting_index_delete_fallback_over_threshold(
+    spark, tokenized_docs, tmp_path, monkeypatch
+):
+    """A takedown frame larger than the driver-collect bound must take
+    the distributed append fallback (io.append_ids_table) and still be
+    bit-identical to the driver-side path: same count, same tombstone
+    table, same serve answers."""
+    from pyspark.sql import functions as F  # noqa: F811
+    from nlp_with_pyspark_spark.operators.search import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_posting_index,
+        load_posting_index,
+        persist_posting_index,
+        remove_from_posting_index,
+    )
+    from nlp_with_pyspark_spark.sources import io as io_mod
+
+    prefix = "t_bm25_del_fb"
+    persist_posting_index(
+        build_posting_index(tokenized_docs), prefix, n_buckets=8,
+        path=str(tmp_path / "pidx_fb"),
+    )
+    try:
+        monkeypatch.setattr(io_mod, "TAKEDOWN_COLLECT_MAX", 3)
+        dead_df = tokenized_docs.where(F.col("doc_id") % 7 == 0).select("doc_id")
+        n_dead = dead_df.count()
+        assert n_dead > 3, "fixture must exceed the patched bound"
+        assert remove_from_posting_index(spark, dead_df, prefix) == n_dead
+        # idempotent replay through the fallback too
+        assert remove_from_posting_index(spark, dead_df, prefix) == 0
+        live = tokenized_docs.where(F.col("doc_id") % 7 != 0)
+        idx = load_posting_index(spark, prefix)
+        got = _topk_rows(bm25_topk_indexed(idx, TERMS, k=15))
+        assert got == _topk_rows(bm25_topk(live, TERMS, k=15))
+    finally:
+        for t in ("postings", "docs", "stats", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
