@@ -93,6 +93,49 @@ def _hygiene_flags(
     return gated.join(dropped, "doc_id", "left").join(contaminated, "doc_id", "left")
 
 
+#: staging dirs created by ``_pin(..., "staging_table")`` — swept at exit
+_STAGING_DIRS: list[str] = []
+
+
+def _pin(df: DataFrame, materialize: str) -> DataFrame:
+    """Materialize a multi-consumer funnel intermediate once.
+
+    ``'local_checkpoint'`` (default) stores the partitions on
+    executor-local storage — the cheapest barrier, but unreplicated: an
+    executor loss kills the lineage, which is fine for local mode and
+    short-lived jobs. ``'staging_table'`` writes the frame to a
+    session-scoped staging parquet directory and reads it back —
+    reliable, re-scannable storage for runs where executor loss is
+    routine (guide §5: prefer a reliable checkpoint/staging table at
+    extreme scale). Identical rows either way; the default leaves every
+    existing plan byte-unchanged."""
+    if materialize == "local_checkpoint":
+        return df.localCheckpoint()
+    if materialize != "staging_table":
+        raise ValueError(
+            f"materialize must be 'local_checkpoint' or 'staging_table', "
+            f"got {materialize!r}"
+        )
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="funnel_staging_")
+    _STAGING_DIRS.append(path)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def _sweep_staging_dirs() -> None:
+    import shutil
+
+    while _STAGING_DIRS:
+        shutil.rmtree(_STAGING_DIRS.pop(), ignore_errors=True)
+
+
+import atexit as _atexit  # noqa: E402
+
+_atexit.register(_sweep_staging_dirs)
+
+
 def _hygiene_conds(quality_min: float) -> dict:
     """Cumulative stage predicates over the ``_hygiene_flags`` frame,
     keyed by FUNNEL_STAGES index."""
@@ -184,6 +227,7 @@ def curation_funnel(
     ns=(1, 2),
     n_buckets: int = 4096,
     smoothing: float = 1.0,
+    materialize: str = "local_checkpoint",
 ) -> DataFrame:
     """(stage_idx, stage, n_docs): the SELECTION half of a training-data
     pipeline — raw corpus → cheap quality gate → DSIR importance
@@ -211,6 +255,11 @@ def curation_funnel(
     one bounded-histogram aggregation; the three stage counts are
     map-side 1-row aggs. Nothing corpus-sized is ever collected — the
     driver sees one cutoff value and ≤``n_buckets`` histogram rows.
+
+    ``materialize`` picks how the two multi-consumer seams are pinned:
+    ``'local_checkpoint'`` (default — unchanged plans) or
+    ``'staging_table'`` (reliable staging parquet, the 100 TB choice —
+    see :func:`_pin`). Identical rows either way (tested).
     """
     from .selection import dsir_scores, features_expr
     from .sketch import exact_quantiles
@@ -230,9 +279,12 @@ def curation_funnel(
     # stores int arrays, not token strings. At extreme scale the same
     # seam writes to a staging table instead of executor disk either
     # way. Scores are bit-identical (same buckets, same fold order).
-    survivors = flagged.where(F.col("__qs") >= quality_min).select(
-        "doc_id", features_expr(tokens_col, ns, n_buckets).alias("__feats")
-    ).localCheckpoint()
+    survivors = _pin(
+        flagged.where(F.col("__qs") >= quality_min).select(
+            "doc_id", features_expr(tokens_col, ns, n_buckets).alias("__feats")
+        ),
+        materialize,
+    )
     scored = dsir_scores(
         survivors,
         target.select(features_expr(tokens_col, ns, n_buckets).alias("__feats")),
@@ -240,7 +292,8 @@ def curation_funnel(
         n_buckets=n_buckets,
         smoothing=smoothing,
         features_col="__feats",
-    ).localCheckpoint()
+    )
+    scored = _pin(scored, materialize)
     q = 1.0 - keep_frac
     qrows = exact_quantiles(scored, "dsir_score", [q]).collect()
     if qrows:
@@ -282,6 +335,7 @@ def full_curation_funnel(
     ns=(1, 2),
     n_buckets: int = 4096,
     smoothing: float = 1.0,
+    materialize: str = "local_checkpoint",
 ) -> DataFrame:
     """(stage_idx, stage, n_docs): the WHOLE published training-data
     pipeline as one funnel — quality → repetition → near-dup dedup →
@@ -304,7 +358,13 @@ def full_curation_funnel(
     the flags explode (≤5 thin rows per doc into one hash agg) plus one
     1-row agg for the selection stage. Nothing corpus-sized is
     collected: the driver sees one quantile cutoff and ≤``n_buckets``
-    histogram rows."""
+    histogram rows.
+
+    ``materialize`` picks how the three multi-consumer seams (flags,
+    survivors, scored) are pinned: ``'local_checkpoint'`` (default —
+    unchanged plans) or ``'staging_table'`` (reliable staging parquet,
+    the 100 TB choice — see :func:`_pin`). Identical rows either way
+    (tested)."""
     from .selection import dsir_scores, features_expr
     from .sketch import exact_quantiles
 
@@ -314,10 +374,13 @@ def full_curation_funnel(
     # repetition gates (plus both drop-list joins) once per consumer.
     # The frame is thin (doc_id + 4 small columns), so the barrier
     # costs one write of gate bits and saves a full gate pass.
-    flags = _hygiene_flags(
-        corpus, benchmark, jaccard_threshold, contamination_max,
-        tokens_col, text_col,
-    ).localCheckpoint()
+    flags = _pin(
+        _hygiene_flags(
+            corpus, benchmark, jaccard_threshold, contamination_max,
+            tokens_col, text_col,
+        ),
+        materialize,
+    )
     conds = _hygiene_conds(quality_min)
     hygiene = _stage_counts(flags, conds)
     survivor_ids = flags.where(conds[4]).select("doc_id")
@@ -325,19 +388,22 @@ def full_curation_funnel(
     # (selection.features_expr) — both DSIR passes consume the same
     # bucket ints, one gram+md5 evaluation per survivor (see
     # curation_funnel's seam note; scores bit-identical)
-    survivors = (
+    survivors = _pin(
         corpus.join(survivor_ids, "doc_id", "left_semi")
-        .select("doc_id", features_expr(tokens_col, ns, n_buckets).alias("__feats"))
-        .localCheckpoint()
+        .select("doc_id", features_expr(tokens_col, ns, n_buckets).alias("__feats")),
+        materialize,
     )
-    scored = dsir_scores(
-        survivors,
-        target.select(features_expr(tokens_col, ns, n_buckets).alias("__feats")),
-        ns=ns,
-        n_buckets=n_buckets,
-        smoothing=smoothing,
-        features_col="__feats",
-    ).localCheckpoint()
+    scored = _pin(
+        dsir_scores(
+            survivors,
+            target.select(features_expr(tokens_col, ns, n_buckets).alias("__feats")),
+            ns=ns,
+            n_buckets=n_buckets,
+            smoothing=smoothing,
+            features_col="__feats",
+        ),
+        materialize,
+    )
     qrows = exact_quantiles(scored, "dsir_score", [1.0 - keep_frac]).collect()
     if qrows:
         kept = scored.where(F.col("dsir_score") >= float(qrows[0]["value"]))

@@ -249,3 +249,52 @@ def test_featurized_path_matches_gram_path_bit_for_bit(spark):
         ).collect()
     }
     assert wf == wb
+
+
+def test_funnel_staging_materialization_matches_default(spark):
+    """materialize='staging_table' (the reliable-storage seam for runs
+    where executor loss is routine) must produce exactly the default
+    localCheckpoint path's rows, for both funnel compositions."""
+    from nlp_with_pyspark_spark.operators.pipeline import (
+        _STAGING_DIRS,
+        curation_funnel,
+        full_curation_funnel,
+    )
+
+    good = "the quick brown fox jumps over the lazy dog and runs far away today"
+    bad = "@@@@ #### %%%% &&&& !!!! ???? ++++ ==== ~~~~ ;;;;"
+    rows = [(i, good + f" extra{i}") for i in range(12)]
+    rows += [(i, bad) for i in range(12, 18)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "tokens", F.split(F.lower(F.col("text")), r"\s+")
+    )
+    target = docs.where((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 12))
+    bench = docs.where(F.col("doc_id") == 0).select("doc_id", "text", "tokens")
+
+    want = sorted(
+        tuple(r) for r in curation_funnel(docs, target, keep_frac=0.5).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in curation_funnel(
+            docs, target, keep_frac=0.5, materialize="staging_table"
+        ).collect()
+    )
+    assert got == want
+    assert _STAGING_DIRS, "staging path must have been exercised"
+
+    want_full = sorted(
+        tuple(r) for r in full_curation_funnel(docs, bench, target).collect()
+    )
+    got_full = sorted(
+        tuple(r)
+        for r in full_curation_funnel(
+            docs, bench, target, materialize="staging_table"
+        ).collect()
+    )
+    assert got_full == want_full
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="materialize"):
+        curation_funnel(docs, target, materialize="nope")
