@@ -67,20 +67,57 @@ def pmi_collocations(
     PINNED association order, so both engines feed ``ln`` the same
     double and the 6-decimal rounding absorbs its 1-ulp.
 
-    Scale shape: the ``min_count`` floor is applied to the bigram
-    counts BEFORE any join, so only surviving collocation candidates
-    (≤ vocab²/floor, in practice thousands) proceed; the unigram table
-    — corpus-vocabulary-sized, too big to broadcast at 100 TB — is
-    first semi-filtered to the candidates' member words under a
-    broadcast and THEN broadcast-joined twice (word_a, word_b). The
-    only full-data shuffles are the two count aggregations themselves.
+    Scale shape: ONE corpus pass — the unigram and bigram streams are
+    exploded together as tagged ``(n, gram)`` structs into a single
+    count aggregation (the per-doc row fan-out, ``2·len−1``, equals the
+    two separate explodes'), and the counts frame is materialized once
+    (localCheckpoint) so its four consumers — the candidate filter, the
+    unigram lookup joined twice, and the two totals — read
+    aggregate-sized data instead of each re-running a corpus-wide
+    explode+shuffle (separately-built ``word_counts``/``ngram_counts``
+    frames did exactly that: four full-corpus aggregations per
+    materialization, 34-Exchange plan). The ``min_count`` floor is
+    applied to the bigram counts BEFORE any join, so only surviving
+    collocation candidates (≤ vocab²/floor, in practice thousands)
+    proceed; the unigram table — corpus-vocabulary-sized, too big to
+    broadcast at 100 TB — is first semi-filtered to the candidates'
+    member words under a broadcast and THEN broadcast-joined twice
+    (word_a, word_b). The only full-data shuffle is the combined count
+    aggregation itself. Counts are identical to the separate
+    ``word_counts``/``ngram_counts`` frames (same explode multiset per
+    stream, the tag disambiguates a bigram string colliding with a
+    token — pinned in tests).
     """
     tokens = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
-    uni = word_counts(df.select(tokens.alias("__toks")), "__toks").select(
-        F.col("word"), F.col("count").alias("__ca")
+    uni_part = F.transform(
+        tokens, lambda x: F.struct(F.lit(1).alias("n"), x.alias("gram"))
+    )
+    # the bigram window build is ngram_counts' expression verbatim
+    # (n=2), struct-tagged; the `when` guard matters for the same
+    # reason (sequence(1, 0) DESCENDS)
+    bi_part = F.when(
+        F.size(tokens) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - F.lit(1)),
+            lambda i: F.struct(
+                F.lit(2).alias("n"),
+                F.concat_ws(
+                    " ", F.element_at(tokens, i), F.element_at(tokens, i + 1)
+                ).alias("gram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+    counts = (
+        df.select(F.explode(F.concat(uni_part, bi_part)).alias("g"))
+        .groupBy(F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .localCheckpoint()
+    )
+    uni = counts.where(F.col("n") == 1).select(
+        F.col("gram").alias("word"), F.col("count").alias("__ca")
     )
     n1 = uni.agg(F.sum("__ca").alias("__n1"))
-    bi = ngram_counts(df, n=2, tokens_col=tokens_col)
+    bi = counts.where(F.col("n") == 2).select(F.col("gram").alias("ngram"), "count")
     n2 = bi.agg(F.sum("count").alias("__n2"))
     cand = bi.where(F.col("count") >= min_count).select(
         "ngram",

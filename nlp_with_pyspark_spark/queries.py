@@ -3416,7 +3416,7 @@ def collocations_pmi_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
     pmi_collocations; the min-count floor prunes candidates BEFORE any
     join, and the vocabulary-sized unigram table is semi-filtered to
     candidate member words before it is broadcast — the only full-data
-    shuffles are the two count aggregations)."""
+    shuffle is the single tagged unigram+bigram count aggregation)."""
     from .operators.vocab import pmi_collocations
 
     docs = read_table(spark, sf_dir, "documents")

@@ -153,3 +153,49 @@ def test_latest_event_matches_manual(spark, sf_dir):
     # champion row whenever microseconds are unique per user (they are in
     # the testdata; the pinned key keeps engines agreeing even if not)
     assert got == want
+
+
+def test_pmi_collocations_matches_separate_count_frames(spark):
+    """The single-pass tagged (n, gram) count restructure must score
+    identically to an independent recomputation from the separate
+    word_counts / ngram_counts frames — including when a literal
+    bigram string collides with a token (the tag disambiguates) and
+    when short/empty docs contribute nothing."""
+    import math
+
+    from nlp_with_pyspark_spark.operators.vocab import (
+        pmi_collocations,
+        word_counts,
+    )
+
+    rows = [
+        (0, ["strong", "coffee", "strong", "coffee", "strong", "tea"]),
+        (1, ["strong", "coffee", "black", "tea", "strong", "coffee"]),
+        (2, ["strong coffee", "strong coffee", "black", "tea"]),  # collides
+        (3, ["solo"]),                                            # no bigrams
+        (4, []),                                                  # empty
+        (5, ["black", "tea", "black", "tea", "black", "tea"]),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    got = [
+        tuple(r)
+        for r in pmi_collocations(docs, min_count=2, k=10).collect()
+    ]
+
+    # independent recomputation with plain python over the two frames
+    uni = {r.word: r["count"] for r in word_counts(docs).collect()}
+    bi = {r.ngram: r["count"] for r in ngram_counts(docs, n=2).collect()}
+    n1 = sum(uni.values())
+    n2 = sum(bi.values())
+    want = []
+    for g, cab in bi.items():
+        if cab < 2:
+            continue
+        wa, wb = g.split(" ")[0], g.split(" ")[1]
+        pmi = math.log(
+            (cab / n2) / ((uni[wa] / n1) * (uni[wb] / n1))
+        )
+        want.append((g, cab, round(pmi, 6)))
+    want.sort(key=lambda t: (-t[2], t[0]))
+    assert got == want[:10]
+    assert any(g == "strong coffee" for g, _, _ in got), "collision case present"
