@@ -128,6 +128,25 @@ LIFECYCLE = {
     "full_curation_funnel",
     "corpus_pipeline_funnel",
 }
+
+#: SCALE-DEMONSTRATION legs (round 14, ADDED — the round-13 scaling
+#: block showed the 8-core suite BEATING the 32-core suite because at
+#: sf0.1 nearly every leg is plan/scheduling-overhead-bound, so the
+#: bench could not demonstrate that anything parallelizes). Each leg
+#: runs a REGISTERED query's exact function against a 10× perturbed-
+#: replica corpus (scale_probe.build_replicated_dir — the SCALING.md
+#: construction: letter-salted replicas, near-dup structure linear in
+#: the factor), built idempotently in the leg's own subprocess BEFORE
+#: the warm runs: dataset construction is input generation, never part
+#: of a timed sample, and every timed materialization still computes
+#: from parquet inputs with a fresh plan. At 10× these legs carry
+#: enough executor work for the driver's low-core bench run to show a
+#: real low/high-core ratio. name → (registered base query, factor).
+SCALE_LEGS = {
+    "scale10x_dedup_minhash_pairs": ("dedup_minhash_pairs", 10),
+    "scale10x_decontam_overlap": ("decontamination_overlap", 10),
+}
+
 # MEMBERSHIP POLICY. The printed JSON line must stay under ~1850 chars
 # (the driver captures only the last 2000 chars of stdout), capping the
 # suite at ~68 entries — fewer than the registry. Rules (since r8):
@@ -356,7 +375,22 @@ def run_one(name: str, sf_dir: str, runs: int) -> None:
 
     spark = get_spark(app_name=f"bench-{name}")
     spark.sparkContext.setLogLevel("ERROR")
-    fn = QUERIES[name]
+    if name in SCALE_LEGS:
+        # scale-demonstration leg: same query function, 10× input.
+        # Replica construction is idempotent (factor-stamped dir,
+        # content deterministic) and strictly precedes the warms — it
+        # is input generation, not query work, and never inside a
+        # timed sample.
+        from scale_probe import build_replicated_dir
+
+        base_query, factor = SCALE_LEGS[name]
+        sf_tag = os.path.basename(sf_dir.rstrip("/"))
+        rep_dir = f"/tmp/bench_scale{factor}x_{sf_tag}"
+        build_replicated_dir(spark, sf_dir, rep_dir, factor)
+        fn = QUERIES[base_query]
+        sf_dir = rep_dir
+    else:
+        fn = QUERIES[name]
 
     def mat() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -383,6 +417,9 @@ def main() -> None:
     from nlp_with_pyspark_spark.queries import QUERIES  # import check up front
 
     names = [n for n in HEADLINE if n in QUERIES]
+    # scale-demonstration ADDs (see SCALE_LEGS): appended last so a
+    # driver timeout still records the full 1× suite first
+    names += [n for n, (base, _) in SCALE_LEGS.items() if base in QUERIES]
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     failed: list[str] = []
@@ -398,15 +435,18 @@ def main() -> None:
         # explicitly marked partial with a null total, never a
         # fewer-queries sum masquerading as a faster suite.
         lc = round(sum(v for k, v in times.items() if k in LIFECYCLE), 2)
+        sc = round(sum(v for k, v in times.items() if k in SCALE_LEGS), 2)
         out = {
             "metric": "suite-iso-med-of-%d" % runs,
             "value": round(sum(times.values()), 2),
             "unit": "sec",
             # store-lifecycle / multi-stage pipeline legs vs single-query
-            # legs (see LIFECYCLE above): compare like with like across
-            # rounds
+            # legs (see LIFECYCLE above) vs 10x scale-demonstration legs
+            # (SCALE_LEGS, new r14 ADDs): compare like with like across
+            # rounds — query_sec/lifecycle_sec keep their r13 meaning
             "lifecycle_sec": lc,
-            "query_sec": round(sum(times.values()) - lc, 2),
+            "scale_sec": sc,
+            "query_sec": round(sum(times.values()) - lc - sc, 2),
             # one decimal per leg: the driver parses the LAST 2000 chars
             # of stdout, and with 66 legs (several long r13 names) the
             # two-decimal line crossed 2000 chars — 0.1 s precision is
